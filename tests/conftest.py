@@ -1,0 +1,13 @@
+"""Test configuration: run everything on CPU with 8 virtual XLA devices so
+sharded == unsharded equivalence can be asserted without TPU hardware
+(the TPU-native analogue of the reference's `mpirun -n 2 pytest -m mpi`
+strategy, SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.setdefault('JAX_ENABLE_X64', 'False')
