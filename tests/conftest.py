@@ -6,6 +6,8 @@ strategy, SURVEY.md §4)."""
 import os
 
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# the axon TPU plugin ignores JAX_PLATFORMS; the legacy var does work
+os.environ.setdefault('JAX_PLATFORM_NAME', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
