@@ -6,10 +6,17 @@ strategy, SURVEY.md §4)."""
 import os
 
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-# the axon TPU plugin ignores JAX_PLATFORMS; the legacy var does work
 os.environ.setdefault('JAX_PLATFORM_NAME', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ.setdefault('JAX_ENABLE_X64', 'False')
+
+# Installed pytest plugins (jaxtyping) import jax before this conftest
+# runs, which freezes jax's env-var-derived config defaults. Backends are
+# created lazily, so updating the config here still takes effect.
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 8)
