@@ -1,0 +1,175 @@
+"""K-centers (Gonzalez farthest-point) clustering.
+
+(reference: enspara/cluster/kcenters.py). The hot path runs entirely on
+the device mesh as one jitted while_loop (see
+:mod:`enspara_tpu.cluster.engine`); user-supplied callable metrics fall
+back to a host loop with the reference's exact semantics.
+"""
+
+import logging
+import time
+
+import numpy as np
+
+from ..citation import cite
+from ..exception import ImproperlyConfigured
+from . import util
+from . import engine
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['KCenters', 'kcenters']
+
+
+class KCenters(util.MolecularClusterMixin):
+    """Sklearn-style estimator for k-centers clustering.
+
+    Parameters
+    ----------
+    metric : str or callable
+        'rmsd', 'euclidean', 'manhattan', 'hamming', or a callable
+        ``f(X, center) -> distances``.
+    n_clusters : int, optional
+    cluster_radius : float, optional
+        Stop adding centers when the max frame-center distance falls to
+        this value. At least one of n_clusters/cluster_radius required.
+    random_first_center : bool
+        Unsupported (as in the reference, kcenters.py:193).
+    mesh : jax Mesh, optional
+        Device mesh to shard frames over (default: all devices).
+    """
+
+    def __init__(self, metric, n_clusters=None, cluster_radius=None,
+                 random_first_center=False, random_state=None, mesh=None):
+        if n_clusters is None and cluster_radius is None:
+            raise ImproperlyConfigured(
+                'Either n_clusters or cluster_radius is required for '
+                'KCenters clustering')
+        self.metric = metric
+        self.n_clusters = n_clusters
+        self.cluster_radius = cluster_radius
+        self.random_first_center = random_first_center
+        self.random_state = random_state
+        self.mesh = mesh
+
+    def fit(self, X, init_centers=None):
+        t0 = time.perf_counter()
+        self.result_ = kcenters(
+            X, distance_method=self.metric,
+            n_clusters=self.n_clusters,
+            dist_cutoff=self.cluster_radius,
+            init_centers=init_centers,
+            random_first_center=self.random_first_center,
+            mesh=self.mesh)
+        self.runtime_ = time.perf_counter() - t0
+        return self
+
+    # sklearn-compatible params plumbing
+    def get_params(self, deep=True):
+        return {'metric': self.metric, 'n_clusters': self.n_clusters,
+                'cluster_radius': self.cluster_radius,
+                'random_first_center': self.random_first_center,
+                'random_state': self.random_state, 'mesh': self.mesh}
+
+    def set_params(self, **params):
+        for k, v in params.items():
+            setattr(self, k, v)
+        return self
+
+
+@cite('kcenters')
+def kcenters(traj, distance_method, n_clusters=None, dist_cutoff=None,
+             init_centers=None, random_first_center=False,
+             mesh=None):
+    """Functional k-centers (reference: cluster/kcenters.py:108).
+
+    Returns a :class:`~enspara_tpu.cluster.util.ClusterResult` whose
+    assignments/distances cover all frames and whose center_indices are
+    concatenated frame positions.
+    """
+    if n_clusters is None and dist_cutoff is None:
+        raise ImproperlyConfigured(
+            "KCenters must specify 'n_clusters' or 'dist_cutoff'")
+    if random_first_center:
+        raise NotImplementedError(
+            "kcenters 'random_first_center' is not implemented (matches "
+            "the reference, kcenters.py:193)")
+
+    metric_name = util._metric_name(distance_method)
+    xyz = traj.xyz if hasattr(traj, 'xyz') else np.asarray(traj)
+
+    if metric_name is not None:
+        return _kcenters_fast(xyz, metric_name, n_clusters, dist_cutoff,
+                              init_centers, mesh)
+    return _kcenters_host(traj, util._get_distance_method(distance_method),
+                          n_clusters, dist_cutoff, init_centers)
+
+
+def _kcenters_fast(X, metric, n_clusters, dist_cutoff, init_centers,
+                   mesh):
+    n_init = 0
+    init_distances = init_assignments = init_ctr_inds = None
+    init_center_data = []
+    if init_centers is not None and len(init_centers):
+        init_center_data = [np.asarray(
+            c.xyz[0] if hasattr(c, 'xyz') else c) for c in init_centers]
+        init_assignments, init_distances = engine.assign_device(
+            X, np.stack(init_center_data), metric, mesh=mesh)
+        n_init = len(init_center_data)
+        init_ctr_inds = util.find_cluster_centers(
+            init_assignments, init_distances)
+
+    res = engine.kcenters_device(
+        X, metric=metric, n_clusters=n_clusters, dist_cutoff=dist_cutoff,
+        init_distances=init_distances, init_assignments=init_assignments,
+        n_init_centers=n_init, mesh=mesh)
+
+    ctr_inds = list(res.center_indices)
+    if n_init:
+        centers = list(init_center_data) + \
+            [np.asarray(X[i]) for i in ctr_inds[n_init:]]
+    else:
+        centers = [np.asarray(X[i]) for i in ctr_inds]
+    logger.info('Terminated k-centers with n=%s and d=%0.6f',
+                res.n_found, res.distances.max(initial=0.0))
+    return util.ClusterResult(
+        center_indices=ctr_inds,
+        assignments=res.assignments,
+        distances=res.distances,
+        centers=centers)
+
+
+def _kcenters_host(traj, distance_method, n_clusters, dist_cutoff,
+                   init_centers):
+    """Generic host loop for callable metrics — reference semantics
+    (kcenters.py:217-231, :243-306)."""
+    n_clusters = np.inf if n_clusters is None else n_clusters
+    dist_cutoff = 0 if dist_cutoff is None else dist_cutoff
+
+    if init_centers is None:
+        ctr_inds = []
+        centers = []
+        assignments = np.full(len(traj), -1, dtype=int)
+        distances = np.full(len(traj), np.inf, dtype=float)
+    else:
+        centers = [c for c in init_centers]
+        assignments, distances = util.assign_to_nearest_center(
+            traj, centers, distance_method)
+        ctr_inds = list(util.find_cluster_centers(assignments, distances))
+
+    while (len(ctr_inds) < n_clusters) and (distances.max() > dist_cutoff):
+        new_center_index = int(np.argmax(distances))
+        ctr_inds.append(new_center_index)
+        new_center = traj[new_center_index]
+        dist = np.asarray(
+            distance_method(traj, new_center)).reshape(-1)
+        inds = dist < distances
+        distances[inds] = dist[inds]
+        assignments[inds] = len(ctr_inds) - 1
+        centers.append(new_center)
+
+    return util.ClusterResult(
+        center_indices=ctr_inds,
+        assignments=assignments,
+        distances=distances,
+        centers=centers)

@@ -1,0 +1,80 @@
+"""Device mesh management — the TPU-native replacement for the
+reference's MPI world (enspara/mpi/__init__.py:6-40).
+
+The reference stripes frames/files over MPI ranks; here the frame axis of
+every device array shards over a 1-D ``jax.sharding.Mesh`` named
+``'frames'``. A 1-device mesh behaves exactly like the reference's
+DummyComm single-rank fallback: all library code is written against the
+mesh and degrades to serial with zero code change.
+
+Multi-host pods: call :func:`initialize_distributed` first (wraps
+``jax.distributed.initialize``), then the mesh spans all hosts' devices
+and collectives ride ICI/DCN automatically.
+"""
+
+import functools
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+FRAME_AXIS = 'frames'
+
+__all__ = ['FRAME_AXIS', 'frame_mesh', 'n_devices', 'pad_to_multiple',
+           'shard_frames', 'replicated', 'initialize_distributed',
+           'P', 'Mesh', 'NamedSharding']
+
+
+def initialize_distributed(**kwargs):
+    """Multi-host bootstrap (jax.distributed.initialize). No-op if
+    already initialized or single-host."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass
+
+
+def n_devices():
+    return len(jax.devices())
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_mesh(n):
+    devs = np.array(jax.devices()[:n])
+    return Mesh(devs, (FRAME_AXIS,))
+
+
+def frame_mesh(n=None):
+    """A 1-D mesh over ``n`` devices (default: all) with axis 'frames'."""
+    return _cached_mesh(n or n_devices())
+
+
+def pad_to_multiple(n, m):
+    """Smallest multiple of ``m`` that is >= ``n``."""
+    return ((n + m - 1) // m) * m
+
+
+def shard_frames(arr, mesh=None, pad_value=0):
+    """Pad the leading axis to a multiple of the mesh size and place the
+    array sharded over the 'frames' axis.
+
+    Returns ``(sharded_array, n_valid)``.
+    """
+    if mesh is None:
+        mesh = frame_mesh()
+    d = mesh.shape[FRAME_AXIS]
+    arr = np.asarray(arr)
+    n = arr.shape[0]
+    n_pad = pad_to_multiple(max(n, d), d)
+    if n_pad != n:
+        pad = np.full((n_pad - n,) + arr.shape[1:], pad_value,
+                      dtype=arr.dtype)
+        arr = np.concatenate([arr, pad])
+    sharding = NamedSharding(mesh, P(FRAME_AXIS))
+    return jax.device_put(arr, sharding), n
+
+
+def replicated(arr, mesh=None):
+    if mesh is None:
+        mesh = frame_mesh()
+    return jax.device_put(np.asarray(arr), NamedSharding(mesh, P()))

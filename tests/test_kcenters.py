@@ -1,0 +1,116 @@
+"""K-centers tests: blob structure, device-vs-host equivalence, RMSD
+metric, dist_cutoff stopping, init_centers warm start."""
+
+import numpy as np
+from numpy.testing import assert_array_equal, assert_allclose
+from sklearn.datasets import make_blobs
+
+from enspara_tpu.cluster import kcenters, KCenters
+from enspara_tpu.cluster.engine import assign_device
+from enspara_tpu.cluster.util import assign_to_nearest_center
+from enspara_tpu.geometry import libdist
+from enspara_tpu.ops import qcp
+
+
+def test_kcenters_blobs_structure():
+    X, y = make_blobs(n_samples=200, centers=3, cluster_std=0.3,
+                      random_state=0)
+    res = kcenters(X, 'euclidean', n_clusters=3)
+    assert len(res.center_indices) == 3
+    assert res.assignments.shape == (200,)
+    # every blob maps to exactly one cluster label
+    for blob in range(3):
+        labels = res.assignments[y == blob]
+        assert len(np.unique(labels)) == 1
+    assert res.distances.max() < 2.0
+
+
+def test_kcenters_device_matches_host_loop():
+    """Device while_loop must bit-match the generic host loop."""
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(101, 5)).astype(np.float32)
+    dev = kcenters(X, 'euclidean', n_clusters=10)
+    host = kcenters(X, lambda A, y: libdist.euclidean(np.asarray(A), y),
+                    n_clusters=10)
+    assert_array_equal(dev.center_indices, host.center_indices)
+    assert_array_equal(dev.assignments, host.assignments)
+    assert_allclose(dev.distances, host.distances, rtol=1e-5, atol=1e-6)
+
+
+def test_kcenters_dist_cutoff_stopping():
+    X, _ = make_blobs(n_samples=150, centers=4, cluster_std=0.2,
+                      random_state=1)
+    res = kcenters(X, 'euclidean', dist_cutoff=1.0)
+    assert res.distances.max() <= 1.0
+    assert len(res.center_indices) >= 4
+
+
+def test_kcenters_first_center_is_frame_zero():
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(50, 3))
+    res = kcenters(X, 'euclidean', n_clusters=2)
+    assert res.center_indices[0] == 0
+
+
+def test_kcenters_rmsd_metric():
+    rng = np.random.default_rng(3)
+    # 3 conformations, each jittered and randomly rotated
+    base = rng.normal(size=(3, 40, 3)).astype(np.float32) * 2
+    frames = []
+    which = []
+    for i in range(90):
+        b = i % 3
+        x = base[b] + rng.normal(size=(40, 3)) * 0.01
+        frames.append(x)
+        which.append(b)
+    frames = np.array(frames, dtype=np.float32)
+    res = kcenters(frames, 'rmsd', n_clusters=3)
+    which = np.array(which)
+    for b in range(3):
+        assert len(np.unique(res.assignments[which == b])) == 1
+    assert res.distances.max() < 0.1
+
+
+def test_kcenters_init_centers():
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(80, 4)).astype(np.float32)
+    full = kcenters(X, 'euclidean', n_clusters=6)
+    warm = kcenters(X, 'euclidean', n_clusters=6,
+                    init_centers=[X[i] for i in full.center_indices[:3]])
+    # warm start with the first 3 centers discovers the same next ones
+    assert_array_equal(full.center_indices[3:],
+                       warm.center_indices[3:])
+    assert_array_equal(full.assignments, warm.assignments)
+
+
+def test_kcenters_estimator_api():
+    X, _ = make_blobs(n_samples=100, centers=3, random_state=5)
+    est = KCenters(metric='euclidean', n_clusters=3).fit(X)
+    assert est.labels_.shape == (100,)
+    assert len(est.centers_) == 3
+    pred = est.predict(X[:10])
+    assert_array_equal(pred.assignments, est.labels_[:10])
+
+
+def test_assign_device_matches_host():
+    rng = np.random.default_rng(6)
+    X = rng.normal(size=(77, 6)).astype(np.float32)
+    centers = X[[3, 14, 59]]
+    a_dev, d_dev = assign_device(X, centers, 'euclidean')
+    a_host, d_host = assign_to_nearest_center(
+        X, centers, libdist.euclidean)
+    assert_array_equal(a_dev, a_host)
+    assert_allclose(d_dev, d_host, rtol=1e-5, atol=1e-6)
+
+
+def test_assign_device_rmsd():
+    rng = np.random.default_rng(7)
+    frames = rng.normal(size=(30, 25, 3)).astype(np.float32)
+    centers = frames[[0, 10, 20]]
+    a, d = assign_device(frames, centers, 'rmsd')
+    # oracle via float64 kabsch
+    want_d = np.array([[qcp.kabsch_rmsd_np(f, c) for c in centers]
+                       for f in frames])
+    assert_array_equal(a, want_d.argmin(1))
+    # fp32 QCP noise floor near rmsd=0 is sqrt(G*eps32/N) ~ 1e-3
+    assert_allclose(d, want_d.min(1), rtol=1e-4, atol=1e-3)
