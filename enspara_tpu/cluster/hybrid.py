@@ -1,0 +1,78 @@
+"""K-hybrid clustering: k-centers seeding + k-medoids refinement.
+(reference: enspara/cluster/hybrid.py)
+"""
+
+import logging
+import time
+
+import numpy as np
+from sklearn.utils import check_random_state
+
+from ..citation import cite
+from ..exception import ImproperlyConfigured
+from . import util
+from .kcenters import kcenters as _kcenters
+from .kmedoids import _kmedoids_iterations
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['KHybrid', 'hybrid']
+
+
+class KHybrid(util.MolecularClusterMixin):
+    """Sklearn-style estimator: k-centers to place centers, then
+    ``kmedoids_updates`` PAM sweeps to refine them.
+    (reference: hybrid.py:28)"""
+
+    def __init__(self, metric, n_clusters=None, cluster_radius=None,
+                 kmedoids_updates=5, random_first_center=False,
+                 random_state=None, mesh=None):
+        if n_clusters is None and cluster_radius is None:
+            raise ImproperlyConfigured(
+                'Either n_clusters or cluster_radius is required for '
+                'KHybrid clustering')
+        self.metric = metric
+        self.n_clusters = n_clusters
+        self.cluster_radius = cluster_radius
+        self.kmedoids_updates = kmedoids_updates
+        self.random_first_center = random_first_center
+        self.random_state = random_state
+        self.mesh = mesh
+
+    def fit(self, X, init_centers=None):
+        t0 = time.perf_counter()
+        self.result_ = hybrid(
+            X, self.metric,
+            n_iters=self.kmedoids_updates,
+            n_clusters=self.n_clusters,
+            dist_cutoff=self.cluster_radius,
+            random_first_center=self.random_first_center,
+            init_centers=init_centers,
+            random_state=self.random_state,
+            mesh=self.mesh)
+        self.runtime_ = time.perf_counter() - t0
+        return self
+
+
+@cite('khybrid')
+def hybrid(X, distance_method, n_iters=5, n_clusters=None,
+           dist_cutoff=None, random_first_center=False,
+           init_centers=None, random_state=None, mesh=None):
+    """(reference: hybrid.py:112)"""
+    random_state = check_random_state(random_state)
+
+    result = _kcenters(
+        X, distance_method, n_clusters=n_clusters,
+        dist_cutoff=dist_cutoff, init_centers=init_centers,
+        random_first_center=random_first_center, mesh=mesh)
+
+    if n_iters <= 0:
+        return result
+
+    metric = util._get_distance_method(distance_method)
+    return _kmedoids_iterations(
+        X, metric, n_iters,
+        list(np.asarray(result.center_indices)),
+        np.asarray(result.assignments),
+        np.asarray(result.distances),
+        random_state=random_state)

@@ -1,0 +1,216 @@
+"""K-medoids (PAM) clustering. (reference: enspara/cluster/kmedoids.py)
+
+Orchestration stays on the host (the PAM sweep is inherently sequential:
+each accepted proposal changes the state the next proposal is judged
+against, kmedoids.py:520-700), but every heavy step — the full-dataset
+distance to a proposed medoid and the nearest-medoid reassignment of
+ambiguous frames — executes on the device mesh through the metric
+kernels. This preserves the reference's exact update semantics (the
+3-case mask logic) at the reference's O(k*n) per-sweep complexity.
+"""
+
+import logging
+import time
+
+import numpy as np
+from sklearn.utils import check_random_state
+
+from ..exception import ImproperlyConfigured, DataInvalid
+from . import util
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['KMedoids', 'kmedoids']
+
+
+class KMedoids(util.MolecularClusterMixin):
+    """Sklearn-style estimator for k-medoids clustering.
+
+    Parameters
+    ----------
+    metric : str or callable
+    n_clusters : int, optional (required unless warm-starting fit())
+    n_iters : int, default=5
+        Number of PAM sweeps.
+    """
+
+    def __init__(self, metric, n_clusters=None, n_iters=5,
+                 random_state=None):
+        self.metric = metric
+        self.n_clusters = n_clusters
+        self.n_iters = n_iters
+        self.random_state = random_state
+
+    def fit(self, X, assignments=None, distances=None,
+            cluster_center_inds=None):
+        t0 = time.perf_counter()
+        self.result_ = kmedoids(
+            X, distance_method=self.metric,
+            n_clusters=self.n_clusters, n_iters=self.n_iters,
+            assignments=assignments, distances=distances,
+            cluster_center_inds=cluster_center_inds,
+            random_state=self.random_state)
+        self.runtime_ = time.perf_counter() - t0
+        return self
+
+
+def kmedoids(X, distance_method, n_clusters=None, n_iters=5,
+             assignments=None, distances=None, cluster_center_inds=None,
+             proposals=None, random_state=None):
+    """Functional k-medoids (reference: cluster/kmedoids.py:108).
+
+    Cold start: picks ``n_clusters`` random frames as medoids. Warm
+    start: pass ``assignments``+``distances`` (center indices are then
+    recovered) and/or ``cluster_center_inds``.
+    """
+    if (cluster_center_inds is None and n_clusters is None
+            and (assignments is None or distances is None)):
+        raise ImproperlyConfigured(
+            'Must provide n_clusters or cluster_center_inds or '
+            '(assignments and distances) for KMedoids')
+
+    metric = util._get_distance_method(distance_method)
+    random_state = check_random_state(random_state)
+
+    assignments, distances, cluster_center_inds = _inputs_tree(
+        X, metric, n_clusters, assignments, distances,
+        cluster_center_inds, random_state)
+
+    assert np.all(np.asarray(distances)[cluster_center_inds] < 1e-3)
+
+    return _kmedoids_iterations(
+        X, metric, n_iters, cluster_center_inds, assignments, distances,
+        proposals=proposals, random_state=random_state)
+
+
+def _inputs_tree(X, metric, n_clusters, assignments, distances,
+                 cluster_center_inds, random_state):
+    """Resolve the three warm-start combinations into a consistent
+    (assignments, distances, center_inds) triple.
+    (reference: kmedoids.py:285-378)"""
+    if (cluster_center_inds is None and assignments is None
+            and distances is None):
+        cluster_center_inds = random_state.choice(
+            len(X), size=n_clusters, replace=False)
+        assignments, distances = util.assign_to_nearest_center(
+            X, [X[i] for i in cluster_center_inds], metric)
+    elif cluster_center_inds is None:
+        cluster_center_inds = util.find_cluster_centers(
+            assignments, distances)
+    elif assignments is None or distances is None:
+        assignments, distances = util.assign_to_nearest_center(
+            X, [X[i] for i in cluster_center_inds], metric)
+    return (np.asarray(assignments), np.asarray(distances),
+            list(np.asarray(cluster_center_inds)))
+
+
+def _kmedoids_iterations(X, metric, n_iters, cluster_center_inds,
+                         assignments, distances, proposals=None,
+                         random_state=None):
+    """(reference: kmedoids.py:410)"""
+    result = None
+    for i in range(n_iters):
+        cluster_center_inds, distances, assignments, centers = \
+            _kmedoids_pam_update(
+                X, metric, cluster_center_inds, assignments, distances,
+                proposals=proposals, random_state=random_state)
+        logger.info('KMedoids update %s', i)
+        result = util.ClusterResult(
+            center_indices=cluster_center_inds,
+            assignments=assignments,
+            distances=distances,
+            centers=centers)
+    return result
+
+
+def _msq(x):
+    return float(np.mean(np.square(x)))
+
+
+def _propose_new_center_amongst(X, state_inds, random_state):
+    """(reference: kmedoids.py:482)"""
+    proposed_center_ind = random_state.choice(state_inds)
+    return X[proposed_center_ind], proposed_center_ind
+
+
+def _kmedoids_pam_update(X, metric, medoid_inds, assignments, distances,
+                         proposals=None, cost=_msq, random_state=None):
+    """One PAM sweep: for every medoid, propose a random member of its
+    cluster as the replacement, recompute costs with the 3-case update,
+    accept if the mean-square cost drops. (reference: kmedoids.py:520)
+    """
+    assignments = np.asarray(assignments)
+    distances = np.asarray(distances, dtype=np.float64)
+    assert np.issubdtype(assignments.dtype, np.integer)
+    assert len(assignments) == len(X)
+    assert len(distances) == len(X)
+
+    random_state = check_random_state(random_state)
+
+    if proposals is not None:
+        if len(proposals) != len(medoid_inds):
+            raise DataInvalid(
+                "Length of 'proposals' didn't match length of "
+                "'medoid_inds' ({} != {}).".format(
+                    len(proposals), len(medoid_inds)))
+
+    medoid_inds = list(medoid_inds)
+    medoid_coords = [X[i] for i in medoid_inds]
+
+    acceptances = 0
+    old_cost = new_cost = cost(distances)
+    for cid in range(len(medoid_inds)):
+        state_inds = np.where(assignments == cid)[0]
+        if len(state_inds) == 0:
+            continue
+
+        if proposals is None:
+            proposed_center, proposed_center_ind = \
+                _propose_new_center_amongst(X, state_inds, random_state)
+        else:
+            proposed_center_ind = proposals[cid]
+            proposed_center = X[proposed_center_ind]
+
+        new_ctr_dist = np.asarray(
+            metric(X, proposed_center)).reshape(-1)
+
+        new_dist = np.full_like(distances, -1.0)
+        new_assig = np.full_like(assignments, -1)
+
+        # case 1: the proposal is closer than the current medoid
+        # (whichever cluster the frame is in) -> reassign to cid
+        dst_dn = distances > new_ctr_dist
+        new_assig[dst_dn] = cid
+        new_dist[dst_dn] = new_ctr_dist[dst_dn]
+
+        # case 2: farther, and assigned elsewhere -> unchanged
+        dst_up_other = (distances <= new_ctr_dist) & (assignments != cid)
+        new_assig[dst_up_other] = assignments[dst_up_other]
+        new_dist[dst_up_other] = distances[dst_up_other]
+
+        # case 3: farther, but the frame was assigned to cid -> must be
+        # re-assigned against ALL medoids (with cid replaced)
+        dst_up_this = (distances <= new_ctr_dist) & (assignments == cid)
+        new_medoids = medoid_coords.copy()
+        new_medoids[cid] = proposed_center
+        ambig_assigs, ambig_dists = util.assign_to_nearest_center(
+            X[dst_up_this], new_medoids, metric)
+        new_assig[dst_up_this] = ambig_assigs
+        new_dist[dst_up_this] = ambig_dists
+
+        assert np.all(new_assig >= 0)
+        assert np.all(new_dist >= 0)
+
+        old_cost = cost(distances)
+        new_cost = cost(new_dist)
+
+        if new_cost < old_cost:
+            distances, assignments = new_dist, new_assig
+            medoid_coords = new_medoids
+            medoid_inds[cid] = proposed_center_ind
+            acceptances += 1
+
+    logger.info('Kmedoid sweep reduced cost to %.7f (%.2f%% acceptance)',
+                min(old_cost, new_cost),
+                acceptances / max(len(medoid_inds), 1) * 100)
+    return medoid_inds, distances, assignments, medoid_coords

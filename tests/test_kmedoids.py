@@ -1,0 +1,85 @@
+import numpy as np
+from numpy.testing import assert_array_equal
+from sklearn.datasets import make_blobs
+
+from enspara_tpu.cluster import (kmedoids, hybrid, KHybrid, KMedoids,
+                                 kcenters)
+from enspara_tpu.cluster.kmedoids import _kmedoids_pam_update, _msq
+from enspara_tpu.geometry import libdist
+
+
+def test_kmedoids_blobs():
+    X, y = make_blobs(n_samples=180, centers=3, cluster_std=0.3,
+                      random_state=0)
+    res = kmedoids(X, 'euclidean', n_clusters=3, n_iters=5,
+                   random_state=0)
+    assert len(res.center_indices) == 3
+    for blob in range(3):
+        assert len(np.unique(res.assignments[y == blob])) == 1
+    # medoids must be members with distance ~0 to themselves
+    assert np.all(res.distances[np.asarray(res.center_indices)] < 1e-5)
+
+
+def test_kmedoids_cost_never_increases():
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(120, 4))
+    res0 = kmedoids(X, 'euclidean', n_clusters=8, n_iters=0 + 1,
+                    random_state=3)
+    cost_prev = _msq(res0.distances)
+    res = res0
+    for _ in range(4):
+        res = kmedoids(X, 'euclidean', n_iters=1, random_state=4,
+                       assignments=res.assignments,
+                       distances=res.distances,
+                       cluster_center_inds=res.center_indices)
+        cost = _msq(res.distances)
+        assert cost <= cost_prev + 1e-12
+        cost_prev = cost
+
+
+def test_pam_update_with_explicit_proposals():
+    """With a proposal equal to the current medoid, nothing changes;
+    with a better medoid, cost decreases."""
+    rng = np.random.default_rng(2)
+    X = np.concatenate([rng.normal(size=(50, 3)),
+                        rng.normal(size=(50, 3)) + 10])
+    seed = kcenters(X, 'euclidean', n_clusters=2)
+    inds, dists, assigs, centers = _kmedoids_pam_update(
+        X, libdist.euclidean,
+        list(np.asarray(seed.center_indices)),
+        seed.assignments, seed.distances,
+        proposals=list(np.asarray(seed.center_indices)))
+    assert_array_equal(inds, seed.center_indices)
+    assert_array_equal(assigs, seed.assignments)
+
+
+def test_hybrid_improves_on_kcenters():
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(300, 4))
+    kc = kcenters(X, 'euclidean', n_clusters=10)
+    hy = hybrid(X, 'euclidean', n_iters=5, n_clusters=10,
+                random_state=0)
+    assert _msq(hy.distances) <= _msq(kc.distances)
+    assert len(hy.center_indices) == 10
+    assert np.all(hy.distances[np.asarray(hy.center_indices)] < 1e-5)
+
+
+def test_khybrid_estimator():
+    X, y = make_blobs(n_samples=150, centers=3, cluster_std=0.25,
+                      random_state=7)
+    est = KHybrid('euclidean', n_clusters=3, kmedoids_updates=2,
+                  random_state=0).fit(X)
+    for blob in range(3):
+        assert len(np.unique(est.labels_[y == blob])) == 1
+
+
+def test_kmedoids_rmsd():
+    rng = np.random.default_rng(8)
+    base = rng.normal(size=(2, 20, 3)).astype(np.float32) * 2
+    frames = np.array([base[i % 2] + rng.normal(size=(20, 3)) * 0.01
+                       for i in range(40)], dtype=np.float32)
+    res = hybrid(frames, 'rmsd', n_iters=2, n_clusters=2,
+                 random_state=0)
+    labels = res.assignments
+    assert len(np.unique(labels[::2])) == 1
+    assert len(np.unique(labels[1::2])) == 1
