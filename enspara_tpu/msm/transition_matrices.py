@@ -1,0 +1,277 @@
+"""Transition counting, eigenspectra, ergodic trimming.
+(reference: enspara/msm/transition_matrices.py)
+
+Counting semantics match the reference exactly: unassigned (-1) frames
+are stripped per trajectory *before* pairing, so transitions skip over
+gaps; sliding-window or strided pairing at the lag time; accumulation
+into a scipy COO counts matrix (container-polymorphic downstream).
+
+The device-side masked-pair counting for sharded data lives in
+:func:`assigns_to_counts_device` — padding and trajectory boundaries are
+handled by masks so counts never cross rows (SURVEY.md §5 long-context
+note).
+"""
+
+import csv
+import numbers
+
+import numpy as np
+import scipy.sparse
+import scipy.sparse.linalg
+from scipy.sparse.csgraph import connected_components
+
+from .. import exception
+from ..ra import RaggedArray
+
+__all__ = ['TrimMapping', 'assigns_to_counts', 'eigenspectrum',
+           'trim_disconnected', 'eq_probs', 'assigns_to_counts_device']
+
+
+class TrimMapping:
+    """Bijection between pre- and post-ergodic-trimming state ids, with
+    CSV round-trip. (reference: transition_matrices.py:26)"""
+
+    __slots__ = ['to_original']
+
+    def __init__(self, transformations=None):
+        self.to_original = {}
+        if transformations:
+            self.to_original = {t: o for o, t in transformations}
+
+    @classmethod
+    def load(cls, filename):
+        with open(filename, 'r') as f:
+            return cls.read(f)
+
+    @classmethod
+    def read(cls, file):
+        reader = csv.reader(file)
+        headers = next(reader)
+        assert headers == ['original', 'mapped']
+        column = {h: [] for h in headers}
+        for row in reader:
+            for h, v in zip(headers, row):
+                column[h].append(int(v))
+        return TrimMapping(zip(column['original'], column['mapped']))
+
+    @property
+    def to_mapped(self):
+        return {v: k for k, v in self.to_original.items()}
+
+    @to_mapped.setter
+    def to_mapped(self, value):
+        self.to_original = {v: k for k, v in value.items()}
+
+    def save(self, filename):
+        with open(filename, 'w') as f:
+            self.write(f)
+
+    def write(self, file):
+        writer = csv.writer(file)
+        writer.writerow(['original', 'mapped'])
+        writer.writerows(sorted(self.to_mapped.items(),
+                                key=lambda x: x[0]))
+
+    def __eq__(self, other):
+        if self is other:
+            return True
+        if hasattr(other, 'to_original'):
+            return self.to_original == other.to_original
+        try:
+            return TrimMapping(other) == self
+        except Exception:
+            return False
+
+    def __repr__(self):
+        return 'to_original:' + str(self.to_original)
+
+    __str__ = __repr__
+
+
+def _transitions_helper(assigns_1d, lag_time=1, sliding_window=True):
+    """(start, end) state pairs of one gap-compacted trajectory.
+    (reference: transition_matrices.py:310)"""
+    if sliding_window:
+        start_states = assigns_1d[:-lag_time:1]
+        end_states = assigns_1d[lag_time::1]
+    else:
+        start_states = assigns_1d[:-lag_time:lag_time]
+        end_states = assigns_1d[lag_time::lag_time]
+    return np.vstack((start_states, end_states))
+
+
+def assigns_to_counts(assigns, lag_time, max_n_states=None,
+                      sliding_window=True):
+    """Count transitions between states. (reference:
+    transition_matrices.py:113)
+
+    Parameters
+    ----------
+    assigns : 2-D array or RaggedArray, rows = trajectories; -1 marks
+        unassigned frames (dropped before pairing).
+    lag_time : int, observation interval.
+    max_n_states : int, optional matrix dimension override.
+    sliding_window : bool, every frame (True) or every lag_time'th.
+
+    Returns
+    -------
+    C : scipy.sparse.coo_matrix, shape=(n_states, n_states)
+    """
+    if not isinstance(lag_time, numbers.Integral):
+        raise exception.DataInvalid(
+            'The lag time must be an integer. Got %s type %s.'
+            % (lag_time, type(lag_time)))
+    if lag_time < 1:
+        raise exception.DataInvalid(
+            "Lag times must be be strictly greater than 0. Got '%s'."
+            % lag_time)
+
+    if isinstance(assigns, RaggedArray):
+        rows = [assigns[i] for i in range(len(assigns))]
+    else:
+        assigns = np.asarray(assigns)
+        if assigns.ndim == 1:
+            raise exception.DataInvalid(
+                'The given assignments array has 1-dimensional shape %s. '
+                'Two dimensional shapes = (n_trj, n_frames) are expected. '
+                'If this is really what you want, try using '
+                'assignments.reshape(1, -1) to create a single-row 2d '
+                'array.' % (assigns.shape,))
+        rows = list(assigns)
+
+    rows = [np.asarray(a)[np.asarray(a) != -1] for a in rows]
+
+    if max_n_states is None:
+        max_n_states = int(max(
+            (a.max() for a in rows if len(a)), default=-1)) + 1
+
+    transitions = [
+        _transitions_helper(a, lag_time=lag_time,
+                            sliding_window=sliding_window)
+        for a in rows if len(a) > lag_time]
+    if transitions:
+        mat_coords = np.hstack(transitions)
+    else:
+        mat_coords = np.zeros((2, 0), dtype=int)
+    mat_data = np.ones(mat_coords.shape[1], dtype=int)
+    return scipy.sparse.coo_matrix(
+        (mat_data, mat_coords), shape=(max_n_states, max_n_states))
+
+
+def assigns_to_counts_device(assigns_padded, mask, lag_time, n_states,
+                             sliding_window=True):
+    """Masked transition counting on device for padded (n_traj, max_len)
+    assignment blocks: counts pairs (a[t], a[t+lag]) where both ends are
+    valid and assigned, never crossing row boundaries or padding.
+
+    Note: on gapped (-1-containing) data this differs from the host
+    :func:`assigns_to_counts`, which compacts gaps before pairing; on
+    gap-free data they agree exactly.
+
+    Returns a dense (n_states, n_states) int32 device array.
+    """
+    import jax.numpy as jnp
+
+    a = jnp.asarray(assigns_padded, jnp.int32)
+    m = jnp.asarray(mask, bool)
+    start = a[:, :-lag_time]
+    end = a[:, lag_time:]
+    valid = (m[:, :-lag_time] & m[:, lag_time:]
+             & (start >= 0) & (end >= 0))
+    if not sliding_window:
+        stride_mask = jnp.zeros_like(valid)
+        stride_mask = stride_mask.at[:, ::lag_time].set(True)
+        valid = valid & stride_mask
+    flat_idx = jnp.where(valid, start * n_states + end, n_states ** 2)
+    counts = jnp.bincount(flat_idx.reshape(-1),
+                          length=n_states ** 2 + 1)[:-1]
+    return counts.reshape(n_states, n_states)
+
+
+def eigenspectrum(T, n_eigs=None, left=True, maxiter=100000, tol=1E-30):
+    """Top eigenvalues/vectors of a transition matrix, sorted by
+    descending real part; the first eigenvector is normalized to sum 1
+    (equilibrium populations when left=True).
+    (reference: transition_matrices.py:173)
+    """
+    if n_eigs is None:
+        n_eigs = T.shape[0]
+    elif n_eigs < 2:
+        raise ValueError('n_eig must be greater than or equal to 2')
+
+    T = T.T if left else T
+
+    if T.shape[0] < 1000 and scipy.sparse.issparse(T):
+        T = T.toarray()
+
+    if scipy.sparse.issparse(T):
+        vals, vecs = scipy.sparse.linalg.eigs(
+            T.tocsr().asfptype(), n_eigs, which='LR', maxiter=maxiter,
+            tol=tol)
+    else:
+        vals, vecs = scipy.linalg.eig(np.asarray(T, dtype=float))
+
+    order = np.argsort(-np.real(vals))
+    vals = vals[order]
+    vecs = vecs[:, order]
+
+    vecs[:, 0] /= vecs[:, 0].sum()
+
+    vals = np.real(vals[:n_eigs])
+    vecs = np.real(vecs[:, :n_eigs])
+    return vals, vecs
+
+
+def trim_disconnected(counts, threshold=1, renumber_states=True):
+    """Keep only the maximum-population strongly-connected component of
+    the thresholded counts graph. (reference:
+    transition_matrices.py:236)
+
+    Returns (TrimMapping, trimmed_counts) with trimmed_counts recast to
+    the input container type.
+    """
+    out_type = type(counts)
+    if scipy.sparse.issparse(counts):
+        counts = counts.toarray()
+    counts = np.asarray(counts)
+
+    thresholded = np.array(counts, copy=True)
+    thresholded[counts < threshold] = 0
+
+    n_subgraphs, labels = connected_components(
+        thresholded, connection='strong', directed=True)
+
+    pops = counts.sum(axis=1)
+    subgraph_pops = [np.sum(pops[labels == i]) for i in range(n_subgraphs)]
+    maxpop_subgraph = np.argmax(subgraph_pops)
+    keep_states = np.where(labels == maxpop_subgraph)[0]
+
+    if renumber_states:
+        new_states = np.arange(len(keep_states))
+        trimmed_counts = np.zeros((len(keep_states), len(keep_states)),
+                                  dtype=counts.dtype)
+        trimmed_counts[np.ix_(new_states, new_states)] = \
+            counts[np.ix_(keep_states, keep_states)]
+        mapping = TrimMapping(zip(keep_states, range(len(trimmed_counts))))
+    else:
+        trim_states = np.where(labels != maxpop_subgraph)
+        trimmed_counts = np.array(counts, copy=True)
+        trimmed_counts[trim_states, :] = 0
+        trimmed_counts[:, trim_states] = 0
+        mapping = TrimMapping(zip(keep_states, keep_states))
+
+    if out_type is not np.ndarray and out_type is not type(trimmed_counts):
+        try:
+            trimmed_counts = out_type(trimmed_counts)
+        except TypeError:
+            pass
+
+    return mapping, trimmed_counts
+
+
+def eq_probs(T, maxiter=100000, tol=1E-30):
+    """Equilibrium populations: the top left eigenvector, normalized.
+    (reference: transition_matrices.py:304)"""
+    val, vec = eigenspectrum(T, n_eigs=3, left=True, maxiter=maxiter,
+                             tol=tol)
+    return vec[:, 0]
