@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Headline benchmark: sharded k-centers RMSD clustering throughput.
+
+Runs the flagship pipeline (BASELINE.json config style: k-centers RMSD
+clustering + transition counts) on whatever devices are present and
+prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The metric is QCP-RMSD frame-center pair evaluations per second inside
+the full clustering loop (not a bare kernel microbenchmark: it includes
+the global argmax, center broadcast and min-update every iteration).
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md);
+we normalize against an estimated single-node reference throughput of
+2.4e7 QCP pairs/s — mdtraj's threaded C QCP kernel at ~1.5e6
+pairs/s/core (64-atom structures) on a 16-core node, which is what
+`enspara.cluster` achieves on one machine without MPI.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_PAIRS_PER_SEC = 2.4e7  # estimated single-node enspara (see above)
+
+N_FRAMES = 200_000
+N_ATOMS = 64
+N_CLUSTERS = 200
+
+
+def main():
+    import jax
+    from enspara_tpu.cluster.engine import kcenters_device
+    from enspara_tpu.parallel import frame_mesh
+
+    rng = np.random.default_rng(42)
+    # correlated random walk so clustering structure is nontrivial
+    base = rng.normal(size=(N_ATOMS, 3)).astype(np.float32)
+    drift = rng.normal(size=(N_FRAMES, 1, 1)).astype(np.float32)
+    noise = rng.normal(size=(N_FRAMES, N_ATOMS, 3)).astype(np.float32)
+    frames = base[None] + 0.3 * drift * base[None] + 0.1 * noise
+
+    mesh = frame_mesh()
+
+    # compile + warm up on a small slice
+    kcenters_device(frames[:4096], metric='rmsd', n_clusters=8, mesh=mesh)
+
+    t0 = time.perf_counter()
+    res = kcenters_device(frames, metric='rmsd', n_clusters=N_CLUSTERS,
+                          mesh=mesh)
+    elapsed = time.perf_counter() - t0
+
+    assert res.n_found == N_CLUSTERS
+    assert res.assignments.max() == N_CLUSTERS - 1
+
+    pairs = N_FRAMES * N_CLUSTERS
+    pairs_per_sec = pairs / elapsed
+
+    print(json.dumps({
+        'metric': 'kcenters_qcp_rmsd_pairs_per_sec',
+        'value': round(pairs_per_sec, 1),
+        'unit': 'pairs/s',
+        'vs_baseline': round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,166 @@
+"""TPT tests with the reference's oracle values
+(reference: enspara/test/test_tpt_fluxes.py)."""
+
+import warnings
+
+import numpy as np
+import scipy.sparse
+from numpy.testing import assert_array_equal, assert_array_almost_equal
+
+from enspara_tpu.tpt import (committors, mfpts, reactive_fluxes,
+                             net_fluxes, reactive_populations, paths,
+                             top_path)
+
+ARR_TYPES = [np.array, scipy.sparse.lil_matrix, scipy.sparse.csr_matrix,
+             scipy.sparse.coo_matrix]
+
+
+def test_committors_small():
+    Tij0 = np.array([[0.5, 0.4, 0.1],
+                     [0.25, 0.5, 0.25],
+                     [0.1, 0.5, 0.4]])
+    for arr_type in ARR_TYPES:
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            Tij = arr_type(Tij0)
+        true_committors = np.array([0, 0.5, 1.])
+        assert_array_almost_equal(committors(Tij, 0, 2), true_committors)
+        assert_array_almost_equal(committors(Tij, [0], [2]),
+                                  true_committors)
+
+
+def test_committors_big():
+    Tij0 = np.array([[0.5, 0.4, 0.1, 0.],
+                     [0.25, 0.5, 0.2, 0.05],
+                     [0.1, 0.15, 0.5, 0.25],
+                     [0., 0.1, 0.4, 0.5]])
+    for arr_type in ARR_TYPES:
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            Tij = arr_type(Tij0)
+        got = np.around(committors(Tij, 0, 3), 5)
+        assert_array_equal(got, np.array([0, 0.34091, 0.60227, 1.]))
+        got2 = committors(Tij, [0, 2], [3])
+        assert_array_almost_equal(got2, np.array([0, 0.1, 0, 1.0]))
+
+
+def test_committors_large_dense_device_path():
+    """n_states >= 64 triggers the device linear solve."""
+    rng = np.random.default_rng(0)
+    n = 100
+    T = rng.random((n, n))
+    T /= T.sum(1, keepdims=True)
+    q = committors(T, [0], [n - 1])
+    q_sp = committors(scipy.sparse.csr_matrix(T), [0], [n - 1])
+    assert_array_almost_equal(q, q_sp, 5)
+    assert q[0] == 0 and q[n - 1] == 1
+    assert np.all((q >= 0) & (q <= 1))
+
+
+def test_fluxes():
+    Tij0 = np.array([[0.5, 0.5, 0],
+                     [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]])
+    true_fluxes = np.zeros((3, 3))
+    true_fluxes[0, 1] = 1 / 12.
+    true_fluxes[1, 2] = 1 / 12.
+    true_fluxes = np.around(true_fluxes, 5)
+
+    for arr_type in ARR_TYPES:
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            Tij = arr_type(Tij0)
+        for pops in (np.zeros(3) + 1 / 3., None):
+            calc = reactive_fluxes(Tij, 0, 2, populations=pops)
+            if hasattr(calc, 'todense'):
+                calc = np.array(calc.todense()).astype(np.double)
+            assert_array_equal(np.around(calc, 5), true_fluxes)
+
+
+def test_net_fluxes_nonnegative():
+    Tij = np.array([[0.5, 0.4, 0.1],
+                    [0.25, 0.5, 0.25],
+                    [0.1, 0.5, 0.4]])
+    net = net_fluxes(Tij, 0, 2)
+    assert np.all(np.asarray(net) >= 0)
+
+
+def test_reactive_populations():
+    Tij = np.array([[0.5, 0.4, 0.1],
+                    [0.25, 0.5, 0.25],
+                    [0.1, 0.5, 0.4]])
+    pops = reactive_populations(Tij, 0, 2)
+    assert_array_almost_equal(pops.sum(), 1.0)
+    # only the intermediate state carries reactive density
+    assert pops[1] == 1.0
+
+
+def test_mfpts():
+    tcounts = np.array([[2, 1, 1], [2, 1, 2], [3, 2, 1]])
+    T = tcounts / tcounts.sum(axis=1)[:, None]
+
+    all_mfpts = mfpts(T)
+    assert_array_almost_equal(
+        all_mfpts,
+        np.array([[0., 3.71428571, 3.5],
+                  [2.3125, 0., 3.],
+                  [2.125, 3.42857143, 0.]]), 5)
+
+    sink_mfpts = mfpts(T, sinks=[0])
+    assert_array_almost_equal(sink_mfpts, np.array([0., 2.3125, 2.125]),
+                              5)
+    # lagtime scaling
+    assert_array_almost_equal(mfpts(T, sinks=[0], lagtime=10.),
+                              10 * sink_mfpts, 5)
+
+
+def test_top_path_simple_chain():
+    # 0 -> 1 -> 3 carries 0.3; 0 -> 2 -> 3 carries 0.1
+    net = np.zeros((4, 4))
+    net[0, 1] = 0.3
+    net[1, 3] = 0.3
+    net[0, 2] = 0.1
+    net[2, 3] = 0.1
+    path, flux = top_path([0], [3], net)
+    assert_array_equal(path, [0, 1, 3])
+    assert flux == 0.3
+
+
+def test_top_path_bottleneck():
+    # wide start, narrow middle: bottleneck defines path flux
+    net = np.zeros((4, 4))
+    net[0, 1] = 1.0
+    net[1, 2] = 0.05
+    net[2, 3] = 1.0
+    net[0, 3] = 0.04
+    path, flux = top_path([0], [3], net)
+    assert_array_equal(path, [0, 1, 2, 3])
+    assert np.isclose(flux, 0.05)
+
+
+def test_paths_subtract_and_bottleneck():
+    net = np.zeros((4, 4))
+    net[0, 1] = 0.3
+    net[1, 3] = 0.3
+    net[0, 2] = 0.1
+    net[2, 3] = 0.1
+    for scheme in ('subtract', 'bottleneck'):
+        p, f = paths([0], [3], net, remove_path=scheme, num_paths=5)
+        assert len(p) == 2
+        assert_array_equal(p[0], [0, 1, 3])
+        assert_array_equal(p[1], [0, 2, 3])
+        assert_array_almost_equal(f, [0.3, 0.1])
+
+
+def test_paths_from_tpt_pipeline():
+    """committors -> fluxes -> net fluxes -> paths, end to end."""
+    rng = np.random.default_rng(1)
+    n = 20
+    C = rng.integers(1, 20, size=(n, n))
+    from enspara_tpu.msm import builders
+    _, T, pi = builders.mle(C.astype(float))
+    net = net_fluxes(T, [0], [n - 1], populations=pi)
+    p, f = paths([0], [n - 1], np.asarray(net), num_paths=10)
+    assert len(p) >= 1
+    assert np.all(f > 0)
+    assert all(pp[0] == 0 and pp[-1] == n - 1 for pp in p)
