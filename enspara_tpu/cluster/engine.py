@@ -2,21 +2,18 @@
 
 The reference's k-centers outer loop is a stateful Python loop with MPI
 collectives per iteration (enspara/cluster/kcenters.py:217-231, :314-378).
-Here the whole loop is ONE jitted ``lax.while_loop`` executed under
-``shard_map`` over the frame mesh:
+Here the whole loop is ONE jitted global-view ``lax.while_loop`` over
+frame-sharded arrays: data, distances and assignments carry a
+``NamedSharding(mesh, P('frames'))``, and XLA's SPMD partitioner inserts
+the collectives (the global argmax becomes a cross-shard reduce; the
+``data[argmax]`` center fetch becomes an owner-masked gather + psum) —
+exactly the hand-written MPI choreography of the reference, derived
+automatically. A 1-device mesh degrades to a plain single-chip loop
+with zero communication code.
 
-* frames (features or centered coordinates) are block-sharded on axis 0,
-* the global farthest-point search is an ``all_gather`` of per-shard
-  (max, argmax) pairs with first-max tie-breaking (bit-parity with the
-  serial ``np.argmax``),
-* the new center is broadcast via an owner-masked dynamic-slice + psum
-  (replacing ``mpi.ops.distribute_frame``),
-* the centers buffer is preallocated at ``k_max`` (static shape), the
-  data-dependent stop (``dist_cutoff``/``n_clusters``) lives in the
-  while-loop condition.
-
-Padding frames carry ``distance = -inf`` so they are never selected as a
-center, never counted in the stopping criterion, and keep assignment -1.
+Padding frames carry ``distance = -inf`` so they are never selected as
+a center, never count toward the stopping criterion, and keep
+assignment -1.
 """
 
 import functools
@@ -27,8 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel import mesh as pmesh
-from ..parallel import ops as pops
-from ..parallel.mesh import FRAME_AXIS, P
+from ..parallel.mesh import FRAME_AXIS, P, NamedSharding
 from ..ops import qcp
 
 NEG_INF = -jnp.inf
@@ -37,27 +33,27 @@ __all__ = ['kcenters_device', 'assign_device', 'KCentersDeviceResult']
 
 
 # ---------------------------------------------------------------------
-# metric backends: distance of every local frame to one replicated frame
+# metric kernels: distance of every frame to one frame
 # ---------------------------------------------------------------------
 
-def _euclidean_to(local, frame):
-    d = local - frame[None]
+def _euclidean_to(X, frame):
+    d = X - frame[None]
     return jnp.sqrt(jnp.sum(d * d, axis=-1))
 
 
-def _manhattan_to(local, frame):
-    return jnp.sum(jnp.abs(local - frame[None]), axis=-1)
+def _manhattan_to(X, frame):
+    return jnp.sum(jnp.abs(X - frame[None]), axis=-1)
 
 
-def _hamming_to(local, frame):
-    return jnp.mean((local != frame[None]).astype(jnp.float32), axis=-1)
+def _hamming_to(X, frame):
+    return jnp.mean((X != frame[None]).astype(jnp.float32), axis=-1)
 
 
-def _rmsd_to(local, frame):
-    """local: (m, N, 3) centered; frame: (N, 3) centered."""
-    g_local = jnp.sum(local * local, axis=(-2, -1))
+def _rmsd_to(X, frame):
+    """X: (n, N, 3) centered; frame: (N, 3) centered."""
+    g = jnp.sum(X * X, axis=(-2, -1))
     g_frame = jnp.sum(frame * frame)
-    return qcp.qcp_rmsd_vector(local, frame, g_local, g_frame)
+    return qcp.qcp_rmsd_vector(X, frame, g, g_frame)
 
 
 _METRIC_TO_FRAME = {
@@ -69,72 +65,40 @@ _METRIC_TO_FRAME = {
 }
 
 
-def _flatten_for_bcast(row):
-    return row.reshape(-1)
-
-
 class KCentersDeviceResult(NamedTuple):
-    distances: np.ndarray       # (n,) float32
+    distances: np.ndarray       # (n,) float64
     assignments: np.ndarray     # (n,) int64
     center_indices: np.ndarray  # (n_found,) int64 global frame indices
     n_found: int
 
 
-def _kcenters_local_loop(data_local, distances, assignments,
-                         n_start, n_clusters, dist_cutoff, k_max,
-                         metric):
-    """shard_map body: runs the full k-centers while_loop on this shard,
-    communicating via mesh collectives. Returns final local state plus
-    the replicated center-index buffer."""
+@functools.partial(jax.jit, static_argnames=('k_max', 'metric'))
+def _kcenters_loop(data, distances, assignments, n_start, n_clusters,
+                   dist_cutoff, k_max, metric):
+    """Global-view k-centers while_loop. All arrays may be sharded on
+    their frame axis; XLA partitions the body automatically."""
     dist_fn = _METRIC_TO_FRAME[metric]
-    frame_shape = data_local.shape[1:]
-    flat_len = int(np.prod(frame_shape))
-
     ctr_inds = jnp.full((k_max,), -1, jnp.int32)
 
-    def fetch_frame(gidx):
-        flat_local = data_local.reshape(data_local.shape[0], flat_len)
-        row = pops.distribute_frame(flat_local, gidx)
-        return row.reshape(frame_shape).astype(data_local.dtype)
-
-    def maxdist(distances):
-        return pops.striped_max(distances)
-
     def cond(state):
-        i, dists, _, _, md = state
-        return (i < n_clusters) & (md > dist_cutoff)
+        i, dists, _, _ = state
+        return (i < n_clusters) & (jnp.max(dists) > dist_cutoff)
 
     def step(state):
-        i, dists, assigs, ctrs, _ = state
-        _, gidx = pops.global_argmax(dists)
+        i, dists, assigs, ctrs = state
+        gidx = jnp.argmax(dists)      # first-max tie break, global
         ctrs = ctrs.at[i].set(gidx.astype(jnp.int32))
-        frame = fetch_frame(gidx)
-        d_new = dist_fn(data_local, frame)
+        frame = data[gidx]            # cross-shard gather
+        d_new = dist_fn(data, frame)
         upd = d_new < dists
         dists = jnp.where(upd, d_new, dists)
         assigs = jnp.where(upd, i, assigs)
-        return (i + 1, dists, assigs, ctrs, maxdist(dists))
+        return (i + 1, dists, assigs, ctrs)
 
     init = (jnp.asarray(n_start, jnp.int32), distances, assignments,
-            ctr_inds, maxdist(distances))
-    i, dists, assigs, ctrs, _ = jax.lax.while_loop(cond, step, init)
-    return dists, assigs, ctrs, jnp.full((distances.shape[0],), i,
-                                         jnp.int32)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=('k_max', 'metric', 'mesh'))
-def _kcenters_sharded(data, distances, assignments, n_start, n_clusters,
-                      dist_cutoff, k_max, metric, mesh):
-    body = functools.partial(
-        _kcenters_local_loop, k_max=k_max, metric=metric)
-    spec = P(FRAME_AXIS)
-    return jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(spec, spec, spec, P(), P(), P()),
-        out_specs=(spec, spec, P(), spec),
-        check_vma=False,
-    )(data, distances, assignments, n_start, n_clusters, dist_cutoff)
+            ctr_inds)
+    i, dists, assigs, ctrs = jax.lax.while_loop(cond, step, init)
+    return dists, assigs, ctrs, i
 
 
 def _prepare_data(X, metric):
@@ -173,7 +137,7 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
 
     n = len(X)
     if n_clusters is None and dist_cutoff is None:
-        raise ValueError("Either n_clusters or dist_cutoff is required")
+        raise ValueError('Either n_clusters or dist_cutoff is required')
     if k_max is None:
         k_max = int(n_clusters) if n_clusters is not None else n
     k_max = int(min(k_max, n))
@@ -185,27 +149,24 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
     data_sh, _ = pmesh.shard_frames(data, mesh)
     n_pad = data_sh.shape[0]
 
-    if init_distances is None:
-        distances = np.full(n_pad, np.inf, np.float32)
-        assignments = np.full(n_pad, -1, np.int32)
-    else:
-        distances = np.full(n_pad, np.inf, np.float32)
+    distances = np.full(n_pad, np.inf, np.float32)
+    assignments = np.full(n_pad, -1, np.int32)
+    if init_distances is not None:
         distances[:n] = init_distances
-        assignments = np.full(n_pad, -1, np.int32)
         assignments[:n] = init_assignments
     distances[n:] = NEG_INF
 
     dist_sh, _ = pmesh.shard_frames(distances, mesh)
     assig_sh, _ = pmesh.shard_frames(assignments, mesh)
 
-    dists, assigs, ctrs, n_found = _kcenters_sharded(
+    dists, assigs, ctrs, n_found = _kcenters_loop(
         data_sh, dist_sh, assig_sh,
         np.int32(n_init_centers), n_clusters_eff, cutoff_eff,
-        k_max, metric, mesh)
+        k_max, metric)
 
     dists = np.asarray(dists)[:n].astype(np.float64)
     assigs = np.asarray(assigs)[:n].astype(np.int64)
-    n_found = int(np.asarray(n_found)[0])
+    n_found = int(n_found)
     ctr_inds = np.asarray(ctrs)[:n_found].astype(np.int64)
     if init_center_indices is not None:
         ctr_inds[:n_init_centers] = init_center_indices
@@ -216,33 +177,22 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
 # batched assignment: every frame to its nearest center
 # ---------------------------------------------------------------------
 
-def _assign_local(data_local, centers, metric, center_block=512):
-    """Distances of local frames to all centers, blocked over centers to
-    bound memory; returns (assignments, distances) for the shard."""
+@functools.partial(jax.jit, static_argnames=('metric',))
+def _assign_all(data, centers, metric):
+    """Distances of all frames to all centers via a scan over center
+    blocks (bounds peak memory at (n, block)); first-min tie break
+    matches the reference's strict-< update loop."""
     dist_fn = _METRIC_TO_FRAME[metric]
 
     def to_center(c):
-        return dist_fn(data_local, c)
+        return dist_fn(data, c)
 
+    k = centers.shape[0]
     d_all = jax.lax.map(to_center, centers,
-                        batch_size=min(center_block, centers.shape[0]))
-    # d_all: (k, m) -> nearest center per frame (first-min tie break,
-    # matching the reference's strict-< update loop)
+                        batch_size=min(512, k))  # (k, n)
     assigs = jnp.argmin(d_all, axis=0).astype(jnp.int32)
     dists = jnp.min(d_all, axis=0)
     return assigs, dists
-
-
-@functools.partial(jax.jit, static_argnames=('metric', 'mesh'))
-def _assign_sharded(data, centers, metric, mesh):
-    body = functools.partial(_assign_local, metric=metric)
-    spec = P(FRAME_AXIS)
-    return jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(spec, P()),
-        out_specs=(spec, spec),
-        check_vma=False,
-    )(data, centers)
 
 
 def assign_device(X, centers, metric='euclidean', mesh=None):
@@ -259,6 +209,6 @@ def assign_device(X, centers, metric='euclidean', mesh=None):
     centers = _prepare_data(np.asarray(centers), metric)
     data_sh, _ = pmesh.shard_frames(data, mesh)
     centers_r = pmesh.replicated(centers, mesh)
-    assigs, dists = _assign_sharded(data_sh, centers_r, metric, mesh)
+    assigs, dists = _assign_all(data_sh, centers_r, metric)
     return (np.asarray(assigs)[:n].astype(np.int64),
             np.asarray(dists)[:n].astype(np.float64))
