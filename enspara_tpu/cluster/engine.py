@@ -101,16 +101,20 @@ def _kcenters_loop(data, distances, assignments, n_start, n_clusters,
     return dists, assigs, ctrs, i
 
 
+@jax.jit
+def _center_structures(X):
+    return X - jnp.mean(X, axis=1, keepdims=True)
+
+
 def _prepare_data(X, metric):
-    """Host prep: for 'rmsd', center coordinates (QCP requires it and it
+    """Prep: for 'rmsd', center coordinates on device (QCP requires it;
     matches the reference's precentering, cluster/util.py:625)."""
     X = np.asarray(X)
     if metric == 'rmsd':
         if X.ndim != 3 or X.shape[-1] != 3:
             raise ValueError("metric='rmsd' requires (n, n_atoms, 3) "
                              "coordinates, got %s" % (X.shape,))
-        X = X.astype(np.float32)
-        X = X - X.mean(axis=1, keepdims=True)
+        X = np.asarray(_center_structures(X.astype(np.float32)))
     elif metric == 'hamming':
         X = X.astype(np.int32)
     else:

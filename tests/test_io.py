@@ -1,0 +1,206 @@
+"""I/O subsystem tests: topology/selection, PDB, XTC codec, HDF5, DCD,
+Trajectory ops, parallel concatenated loading.
+
+Uses the reference repo's bundled test data (read-only) when present,
+plus synthetic round-trips that are fully self-contained."""
+
+import os
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose, assert_array_equal
+
+from enspara_tpu import io
+from enspara_tpu.io.topology import Topology
+from enspara_tpu.util.load import (load_as_concatenated,
+                                   sound_trajectory, concatenate_trjs)
+
+REF_DATA = '/root/reference/enspara/test/data'
+HAVE_REF = os.path.isdir(REF_DATA)
+
+
+def make_topology(n_res=3):
+    top = Topology()
+    chain = top.add_chain('A')
+    for i in range(n_res):
+        res = top.add_residue('ALA', chain, i + 1)
+        for name, elem in (('N', 'N'), ('CA', 'C'), ('C', 'C'),
+                           ('O', 'O'), ('CB', 'C')):
+            top.add_atom(name, elem, res)
+    return top
+
+
+def make_traj(n_frames=5, n_res=3, seed=0):
+    top = make_topology(n_res)
+    rng = np.random.default_rng(seed)
+    xyz = rng.normal(size=(n_frames, top.n_atoms, 3)).astype(np.float32)
+    return io.Trajectory(xyz, top)
+
+
+def test_topology_basics():
+    top = make_topology(4)
+    assert top.n_atoms == 20
+    assert top.n_residues == 4
+    assert top.residue(0).name == 'ALA'
+    assert top.atom(1).name == 'CA'
+    assert top.atom(1).element == 'C'
+
+
+def test_topology_select():
+    top = make_topology(4)
+    ca = top.select('name CA')
+    assert len(ca) == 4
+    assert all(top.atom(i).name == 'CA' for i in ca)
+    bb = top.select('backbone')
+    assert len(bb) == 16
+    sc = top.select('sidechain')
+    assert len(sc) == 4
+    not_bb = top.select('not backbone')
+    assert_array_equal(sc, not_bb)
+    combo = top.select('name CA or name CB')
+    assert len(combo) == 8
+    r0 = top.select('resid 0')
+    assert len(r0) == 5
+    rng_sel = top.select('resid 0 to 1')
+    assert len(rng_sel) == 10
+    assert len(top.select('protein and not element H')) == 20
+
+
+def test_topology_json_roundtrip():
+    top = make_topology(3)
+    top2 = Topology.from_json(top.to_json())
+    assert top2 == top
+
+
+def test_topology_subset():
+    top = make_topology(3)
+    sub = top.subset(top.select('name CA'))
+    assert sub.n_atoms == 3
+    assert sub.n_residues == 3
+    assert all(a.name == 'CA' for a in sub.atoms)
+
+
+def test_pdb_roundtrip(tmp_path):
+    traj = make_traj(3)
+    fn = str(tmp_path / 'out.pdb')
+    io.write_pdb(fn, traj)
+    back = io.load_pdb(fn)
+    assert back.n_frames == 3
+    assert back.n_atoms == traj.n_atoms
+    assert back.top == traj.top
+    # PDB has 3 decimal places in Angstroms -> 1e-4 nm
+    assert_allclose(back.xyz, traj.xyz, atol=1e-4)
+
+
+def test_xtc_roundtrip(tmp_path):
+    traj = make_traj(7)
+    fn = str(tmp_path / 'out.xtc')
+    io.write_xtc(fn, traj)
+    back = io.load_xtc(fn, top=traj.top)
+    assert back.n_frames == 7
+    assert_allclose(back.xyz, traj.xyz, atol=6e-4)
+    assert_allclose(back.time, traj.time)
+    strided = io.load_xtc(fn, top=traj.top, stride=2)
+    assert strided.n_frames == 4
+    assert_allclose(strided.xyz, back.xyz[::2])
+
+
+def test_hdf5_roundtrip(tmp_path):
+    traj = make_traj(4)
+    fn = str(tmp_path / 'out.h5')
+    io.write_hdf5(fn, traj)
+    back = io.load_hdf5(fn)
+    assert back.n_frames == 4
+    assert_allclose(back.xyz, traj.xyz)
+    assert back.top == traj.top
+
+
+def test_dcd_roundtrip(tmp_path):
+    traj = make_traj(4)
+    fn = str(tmp_path / 'out.dcd')
+    io.write_dcd(fn, traj)
+    back = io.load_dcd(fn, top=traj.top)
+    assert back.n_frames == 4
+    assert_allclose(back.xyz, traj.xyz, atol=1e-6)
+
+
+def test_trajectory_ops():
+    traj = make_traj(10)
+    assert len(traj) == 10
+    assert traj[0].n_frames == 1
+    assert traj[2:8].n_frames == 6
+    assert traj[::2].n_frames == 5
+    j = traj[:5].join(traj[5:])
+    assert_allclose(j.xyz, traj.xyz)
+    sliced = traj.atom_slice([0, 1, 2])
+    assert sliced.n_atoms == 3
+    assert sliced.top.n_atoms == 3
+    centered = traj.copy().center_coordinates()
+    assert_allclose(centered.xyz.mean(axis=1), 0, atol=1e-5)
+
+
+def test_superpose_removes_rigid_motion():
+    traj = make_traj(1)
+    base = traj.xyz[0].astype(np.float64)
+    theta = 0.7
+    R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                  [np.sin(theta), np.cos(theta), 0],
+                  [0, 0, 1]])
+    moved = io.Trajectory(
+        (base @ R.T + np.array([1., 2., 3.]))[None].astype(np.float32),
+        traj.top)
+    moved.superpose(traj)
+    assert_allclose(moved.xyz[0], base, atol=1e-5)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason='reference data not present')
+def test_load_reference_xtc_against_h5():
+    h5 = io.load(os.path.join(REF_DATA, 'frame0.h5'))
+    xtc = io.load(os.path.join(REF_DATA, 'frame0.xtc'),
+                  top=h5.topology)
+    assert xtc.n_frames == h5.n_frames == 501
+    assert xtc.n_atoms == h5.n_atoms == 22
+    # xtc quantizes at 1/1000 nm
+    assert_allclose(xtc.xyz, h5.xyz, atol=1.01e-3)
+    assert_allclose(xtc.time, h5.time, atol=1e-4)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason='reference data not present')
+def test_load_reference_pdb():
+    pdb = io.load(os.path.join(REF_DATA, 'native.pdb'))
+    assert pdb.n_frames == 1
+    assert pdb.n_atoms == 22
+    assert pdb.top.n_residues == 3  # ACE-ALA-NME
+    # only the ALA residue has a CA atom
+    ca = pdb.top.select('name CA')
+    assert len(ca) == 1
+
+
+def test_load_as_concatenated(tmp_path):
+    trajs = [make_traj(n, seed=n) for n in (4, 6, 5)]
+    files = []
+    for i, t in enumerate(trajs):
+        fn = str(tmp_path / ('t%d.xtc' % i))
+        io.write_xtc(fn, t)
+        files.append(fn)
+    lengths, xyz = load_as_concatenated(files, top=trajs[0].top)
+    assert lengths == [4, 6, 5]
+    assert xyz.shape == (15, trajs[0].n_atoms, 3)
+    assert_allclose(xyz[:4], trajs[0].xyz, atol=6e-4)
+    assert_allclose(xyz[10:], trajs[2].xyz, atol=6e-4)
+
+
+def test_sound_trajectory(tmp_path):
+    t = make_traj(9)
+    fn = str(tmp_path / 's.xtc')
+    io.write_xtc(fn, t)
+    assert sound_trajectory(fn) == 9
+    assert sound_trajectory(fn, stride=2) == 5
+
+
+def test_concatenate_trjs():
+    trajs = [make_traj(3, seed=i) for i in range(2)]
+    out = concatenate_trjs(trajs)
+    assert out.n_frames == 6
+    ca_only = concatenate_trjs(trajs, atoms='name CA')
+    assert ca_only.n_atoms == 3
