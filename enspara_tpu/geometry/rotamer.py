@@ -1,0 +1,188 @@
+"""Rotamer-state featurization with hysteresis ("buffered transition")
+assignment. (reference: enspara/geometry/rotamer.py)
+
+The sequential per-frame state carry (rotamer.py:84-93) becomes a single
+``lax.scan`` over frames, vectorized across ALL dihedrals at once —
+replacing the reference's per-dihedral Python loop (the CARDS
+featurization hot path, SURVEY.md §3.5).
+"""
+
+import numpy as np
+
+from ..exception import DataInvalid
+from . import dihedrals as dih
+
+__all__ = ['dihedral_angles', 'all_rotamers', 'phi_rotamers',
+           'psi_rotamers', 'chi_rotamers', '_rotamers',
+           'rotamers_device']
+
+
+def dihedral_angles(traj, dihedral_type):
+    """Angles in degrees spanning [0, 360). (reference: rotamer.py:6)"""
+    valid = ['phi', 'psi', 'chi1', 'chi2', 'chi3', 'chi4']
+    if dihedral_type not in valid:
+        return None, None
+    f = getattr(dih, 'compute_%s' % dihedral_type)
+    atom_inds, angles = f(traj)
+    angles = np.rad2deg(np.asarray(angles, dtype=np.float64))
+    angles[angles < 0] += 360
+    angles[angles > 359.5] = 359.5
+    return angles, atom_inds
+
+
+def _rotamers(angles, hard_boundaries, buffer_width=15):
+    """Hysteresis state assignment for one dihedral's time series
+    (host reference path; reference: rotamer.py:28)."""
+    n_basins = len(hard_boundaries) - 1
+
+    if buffer_width < 0 or buffer_width >= 360. / n_basins:
+        raise DataInvalid('Buffer width (got %s) must be between 0 and '
+                          '360 degrees.' % buffer_width)
+    if hard_boundaries[0] != 0 or hard_boundaries[-1] != 360:
+        raise DataInvalid('hard_boundaries list must start with 0 and '
+                          'end with 360, list was %s.' % hard_boundaries)
+
+    n_frames = len(angles)
+    rotamers = -1 * np.ones(n_frames, dtype='int16')
+
+    rotamers[0] = np.digitize(angles[0], hard_boundaries) - 1
+    cur_state = rotamers[0]
+    for i in range(1, n_frames):
+        if _is_buffered_transition(cur_state, angles[i],
+                                   hard_boundaries, buffer_width):
+            cur_state = np.digitize(angles[i], hard_boundaries) - 1
+        rotamers[i] = cur_state
+    return rotamers
+
+
+def _gates(cur_state, hard_boundaries, buffer_width):
+    """(reference: rotamer.py:162 get_gates)"""
+    lower = hard_boundaries[int(cur_state)]
+    upper = hard_boundaries[int(cur_state) + 1]
+    if lower == 0:
+        lower = 360
+    if upper == 360:
+        upper = 0
+    return lower - buffer_width, upper + buffer_width
+
+
+def _is_buffered_transition(cur_state, new_angle, hard_boundaries,
+                            buffer_width):
+    """(reference: rotamer.py:98)"""
+    lower, upper = _gates(cur_state, hard_boundaries, buffer_width)
+    if upper < lower:
+        return upper <= new_angle <= lower
+    if upper > lower:
+        return not (lower <= new_angle <= upper)
+    return False
+
+
+def rotamers_device(angles, hard_boundaries, buffer_width=15):
+    """Hysteresis assignment of MANY dihedrals at once on device.
+
+    Parameters
+    ----------
+    angles : (n_frames, n_dihedrals) degrees in [0, 360)
+    hard_boundaries : basin boundary list shared by all dihedrals
+        (e.g. [0, 120, 240, 360]).
+
+    Returns (n_frames, n_dihedrals) int16 states; bit-identical to the
+    host ``_rotamers`` per column.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    angles = jnp.asarray(angles, jnp.float32)
+    bounds = jnp.asarray(hard_boundaries, jnp.float32)
+    n_basins = len(hard_boundaries) - 1
+
+    def digitize(a):
+        # state = #boundaries strictly below or equal (np.digitize right
+        # edge open), minus the leading 0 boundary
+        return (jnp.sum(a[..., None] >= bounds[None, :], axis=-1) - 1) \
+            .clip(0, n_basins - 1).astype(jnp.int16)
+
+    first = digitize(angles[0])
+
+    lower_tab = bounds[:-1]
+    upper_tab = bounds[1:]
+    lower_tab = jnp.where(lower_tab == 0, 360.0, lower_tab) - buffer_width
+    upper_tab = jnp.where(upper_tab == 360, 0.0, upper_tab) + buffer_width
+
+    def step(cur_state, a):
+        lower = lower_tab[cur_state]
+        upper = upper_tab[cur_state]
+        wrap = upper < lower
+        trans = jnp.where(
+            wrap,
+            (a >= upper) & (a <= lower),
+            (upper > lower) & ~((a >= lower) & (a <= upper)))
+        new_state = jnp.where(trans, digitize(a), cur_state)
+        return new_state, new_state
+
+    _, states = jax.lax.scan(step, first, angles[1:])
+    return np.asarray(jnp.concatenate([first[None], states], axis=0))
+
+
+def _rotamer_block(angles, hard_boundaries, buffer_width, use_device):
+    if use_device and angles.shape[0] * max(angles.shape[1], 1) > 5000:
+        return rotamers_device(angles, hard_boundaries,
+                               buffer_width).astype('int16')
+    out = np.zeros(angles.shape, dtype='int16')
+    for i in range(angles.shape[1]):
+        out[:, i] = _rotamers(angles[:, i], hard_boundaries,
+                              buffer_width)
+    return out
+
+
+def phi_rotamers(traj, buffer_width=15, use_device=True):
+    """(reference: rotamer.py:222)"""
+    hard_boundaries = [0, 180, 360]
+    angles, atom_inds = dihedral_angles(traj, 'phi')
+    rotamers = _rotamer_block(angles, hard_boundaries, buffer_width,
+                              use_device)
+    n_states = 2 * np.ones(angles.shape[1], dtype='int16')
+    return rotamers, atom_inds, n_states
+
+
+def psi_rotamers(traj, buffer_width=15, use_device=True):
+    """psi angles shifted by -100 degrees so the basin boundaries land
+    on 0/360. (reference: rotamer.py:236)"""
+    angles, atom_inds = dihedral_angles(traj, 'psi')
+    shifted = angles - 100
+    shifted[shifted < 0] += 360
+    hard_boundaries = [0, 160, 360]
+    rotamers = _rotamer_block(shifted, hard_boundaries, buffer_width,
+                              use_device)
+    n_states = 2 * np.ones(angles.shape[1], dtype='int16')
+    return rotamers, atom_inds, n_states
+
+
+def chi_rotamers(traj, buffer_width=15, use_device=True):
+    """chi1-chi4 concatenated, 3 basins each. (reference:
+    rotamer.py:255)"""
+    hard_boundaries = [0, 120, 240, 360]
+    angles, atom_inds = dihedral_angles(traj, 'chi1')
+    for i in range(2, 5):
+        more_angles, more_inds = dihedral_angles(traj, 'chi%d' % i)
+        angles = np.append(angles, more_angles, axis=1)
+        atom_inds = np.append(atom_inds, more_inds, axis=0)
+    rotamers = _rotamer_block(angles, hard_boundaries, buffer_width,
+                              use_device)
+    n_states = 3 * np.ones(angles.shape[1], dtype='int16')
+    return rotamers, atom_inds, n_states
+
+
+def all_rotamers(traj, buffer_width=15, use_device=True):
+    """All phi/psi/chi rotamer state assignments:
+    ``(states (n_frames, n_dihedrals) int16, atom_inds (n_dihedrals, 4),
+    n_states (n_dihedrals,))``. (reference: rotamer.py:276)"""
+    states, inds, ns = phi_rotamers(traj, buffer_width, use_device)
+    for fn in (psi_rotamers, chi_rotamers):
+        s, i, n = fn(traj, buffer_width, use_device)
+        states = np.append(states, s, axis=1)
+        inds = np.append(inds, i, axis=0)
+        ns = np.append(ns, n, axis=0)
+    assert issubclass(states.dtype.type, np.integer)
+    assert issubclass(ns.dtype.type, np.integer)
+    return states, inds, ns
