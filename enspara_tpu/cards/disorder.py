@@ -1,0 +1,142 @@
+"""Order/disorder segmentation of rotamer time series.
+(reference: enspara/cards/disorder.py)
+
+A dihedral is 'disordered' during intervals where transitions are fast
+relative to its ordered waiting time; segments between transitions are
+labeled by a likelihood ratio (>= 3 favors disordered).
+"""
+
+import logging
+
+import numpy as np
+
+from .. import ra
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['transitions', 'traj_ord_disord_times',
+           'create_disorder_traj', 'assign_order_disorder',
+           'transition_stats', 'aggregate_mean_times']
+
+
+def transitions(assignments):
+    """Frames at which a state transition occurs.
+    (reference: disorder.py:9)"""
+    assignments = np.asarray(assignments)
+    if assignments.ndim == 1:
+        d = assignments[1:] - assignments[:-1]
+        return np.where(d != 0)[0]
+    d = assignments[:, 1:] - assignments[:, :-1]
+    rows, columns = np.where(d != 0)
+    lengths = np.bincount(rows, minlength=assignments.shape[0])
+    return ra.RaggedArray(columns, lengths=lengths)
+
+
+def traj_ord_disord_times(transition_times):
+    """Ordered/disordered characteristic times from a single dihedral's
+    transition frames, plus their frame weights.
+    (reference: disorder.py:46)"""
+    num_transitions = transition_times.shape[0]
+
+    disord_time = 0.0
+    n_disord = 0.0
+    ord_time = 0.0
+    n_ord = 0.0
+
+    if num_transitions == 1:
+        waiting_time = transition_times[0]
+        n_ord = waiting_time
+        ord_time = waiting_time * (waiting_time + 1.0) / 2
+    elif num_transitions > 1:
+        time_between = np.diff(transition_times)
+        disord_time = time_between.mean()
+
+        max_waiting = np.concatenate(
+            [[transition_times[0]], time_between]).astype(float)
+        sum_waiting = max_waiting * (max_waiting + 1.0) / 2
+        ord_time = sum_waiting.sum() / max_waiting.sum()
+
+        n_disord = transition_times[-1] - transition_times[0]
+        n_ord = transition_times[-1]
+
+    return ord_time, n_ord, disord_time, n_disord
+
+
+def create_disorder_traj(transition_times, traj_len, ord_time,
+                         disord_time):
+    """Per-frame 0 (ordered) / 1 (disordered) labels for one dihedral.
+    (reference: disorder.py:105)"""
+    num_transitions = transition_times.shape[0]
+    traj = np.zeros(traj_len)
+
+    if num_transitions < 2:
+        return traj
+
+    seg_starts = transition_times[:-1]
+    seg_ends = transition_times[1:]
+    spans = seg_ends - seg_starts
+    with np.errstate(all='ignore'):
+        lr = (ord_time / disord_time
+              * np.exp(-spans * (1. / disord_time - 1. / ord_time)))
+    for start, end, ratio in zip(seg_starts, seg_ends, lr):
+        if ratio >= 3.0:
+            traj[start:end] = 1.
+    return traj
+
+
+def assign_order_disorder(rotamer_trajs):
+    """Disorder labels for every trajectory + the per-feature state
+    counts (always 2). (reference: disorder.py:138)"""
+    n_features = rotamer_trajs[0].shape[1]
+    transition_times, mean_ord, mean_disord = transition_stats(
+        rotamer_trajs)
+
+    disordered_trajs = []
+    for i in range(len(rotamer_trajs)):
+        traj_len = rotamer_trajs[i].shape[0]
+        dis = np.zeros((traj_len, n_features))
+        for j in range(n_features):
+            dis[:, j] = create_disorder_traj(
+                transition_times[i][j], traj_len, mean_ord[j],
+                mean_disord[j])
+        disordered_trajs.append(dis.astype('int16'))
+
+    disorder_n_states = 2 * np.ones(n_features, dtype='int16')
+    return disordered_trajs, disorder_n_states
+
+
+def transition_stats(rotamer_trajs):
+    """Transition frames plus trajectory-weighted mean ordered and
+    disordered times per feature. (reference: disorder.py:185)"""
+    n_traj = len(rotamer_trajs)
+    n_features = rotamer_trajs[0].shape[1]
+
+    transition_times = []
+    ordered_times = np.zeros((n_traj, n_features))
+    n_ordered = np.zeros((n_traj, n_features))
+    disordered_times = np.zeros((n_traj, n_features))
+    n_disordered = np.zeros((n_traj, n_features))
+
+    for i in range(n_traj):
+        transition_times.append([])
+        for j in range(n_features):
+            tt = transitions(rotamer_trajs[i][:, j])
+            transition_times[i].append(tt)
+            (ordered_times[i, j], n_ordered[i, j],
+             disordered_times[i, j],
+             n_disordered[i, j]) = traj_ord_disord_times(tt)
+
+    trj_lengths = np.array([len(a) for a in rotamer_trajs])
+    mean_ordered = aggregate_mean_times(ordered_times, n_ordered,
+                                        trj_lengths)
+    mean_disordered = aggregate_mean_times(disordered_times,
+                                           n_disordered, trj_lengths)
+    return transition_times, mean_ordered, mean_disordered
+
+
+def aggregate_mean_times(times, n_times, weight):
+    """Trajectory-length-weighted mean of per-trajectory times.
+    (reference: disorder.py:239)"""
+    nl_weight = weight / np.sum(weight)
+    with np.errstate(all='ignore'):
+        return (times * nl_weight[:, None]).sum(axis=0)

@@ -333,9 +333,11 @@ bool decode_coords(FILE* f, int natoms, float* xyz) {
         prevcoord[1] = thiscoord[1];
         prevcoord[2] = thiscoord[2];
 
+        // NOTE: the flag bit signals that the run-length CHANGED; when
+        // it is 0 the previous run-length repeats, so `run` must
+        // persist across atoms.
         int flag = br.bits(1);
         int is_smaller = 0;
-        run = 0;
         if (flag == 1) {
             run = br.bits(5);
             is_smaller = run % 3;
