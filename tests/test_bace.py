@@ -1,0 +1,75 @@
+"""BACE tests against the published 'simple model' oracle from
+Bowman 2012 (reference: enspara/test/test_bace.py:19-48)."""
+
+import numpy as np
+import pytest
+import scipy.sparse
+from numpy.testing import assert_array_equal, assert_allclose
+
+from enspara_tpu.msm import bace
+from enspara_tpu.exception import DataInvalid
+
+TCOUNTS = np.array(
+    [[1000, 100, 100, 10, 0, 0, 0, 0, 0],
+     [100, 1000, 100, 0, 0, 0, 0, 0, 0],
+     [100, 100, 1000, 0, 1, 0, 0, 0, 0],
+     [10, 0, 0, 1000, 100, 100, 10, 0, 0],
+     [0, 0, 1, 100, 1000, 100, 0, 0, 0],
+     [0, 0, 0, 100, 100, 1000, 0, 1, 0],
+     [0, 0, 0, 10, 0, 0, 1000, 100, 100],
+     [0, 0, 0, 0, 0, 1, 100, 1000, 100],
+     [0, 0, 0, 0, 0, 0, 100, 100, 1000]])
+
+EXP_BAYES_FACTORS = {
+    8: 8.54953122e+02, 7: 8.54953122e+02, 6: 8.55428120e+02,
+    5: 1.07233398e+03, 4: 1.07233398e+03, 3: 1.08250033e+03,
+    2: 4.85322085e+03, 1: 6.72422979e+03}
+
+EXP_LABELS = {
+    2: [0, 0, 0, 0, 0, 0, 1, 1, 1],
+    3: [0, 0, 0, 1, 1, 1, 2, 2, 2],
+    4: [0, 0, 0, 1, 2, 2, 3, 3, 3],
+    5: [0, 0, 0, 1, 2, 2, 3, 4, 4],
+    6: [0, 1, 1, 2, 3, 3, 4, 5, 5],
+    7: [0, 1, 1, 2, 3, 4, 5, 6, 6],
+    8: [0, 1, 1, 2, 3, 4, 5, 6, 7]}
+
+
+@pytest.mark.parametrize('container',
+                         [np.array, scipy.sparse.lil_matrix])
+def test_bace_simple_model(container):
+    bf, labels = bace.bace(container(TCOUNTS), n_macrostates=2,
+                           n_procs=1)
+    for k, want in EXP_LABELS.items():
+        assert_array_equal(labels[k], want)
+    for k, want in EXP_BAYES_FACTORS.items():
+        # reference stores distances in float32; we keep float64, so
+        # agreement is to ~1e-3 relative
+        assert_allclose(bf[k], want, rtol=2e-3)
+
+
+def test_absorb():
+    c = np.array([[10, 5, 0], [5, 10, 0], [1, 0, 10]])
+    c2, labels = bace.absorb(c.astype(float), [2])
+    assert labels[2] == labels[0]
+    assert c2[2].sum() == 0
+    # state 2's counts moved into state 0
+    assert c2[0, 0] == 10 + 1 + 10
+
+
+def test_absorb_disconnected_raises():
+    c = np.array([[10, 0], [0, 5]], dtype=float)
+    with pytest.raises(DataInvalid):
+        bace.absorb(c, [1])
+
+
+def test_baysean_prune():
+    # state 3 has almost no counts -> pruned
+    c = np.array([[100, 10, 0, 1],
+                  [10, 100, 10, 0],
+                  [0, 10, 100, 0],
+                  [1, 0, 0, 1]], dtype=float)
+    c2, labels, kept = bace.baysean_prune(c)
+    assert 3 not in kept
+    assert set(kept) == {0, 1, 2}
+    assert labels[3] == labels[0]
