@@ -1,0 +1,107 @@
+"""`collect_cards` app: compute and save the four CARDS matrices.
+(reference: enspara/apps/collect_cards.py)
+"""
+
+import argparse
+import logging
+import pickle
+import sys
+
+import numpy as np
+
+from .. import exception
+from ..cards import cards
+from ..util.log import timed
+from ..util.parallel import auto_nprocs
+from .util import readable_dir, expand_files
+
+logger = logging.getLogger(__name__)
+
+
+def process_command_line(argv):
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        description='Compute CARDS matrices for a set of trajectories '
+                    'and save all matrices and dihedral mappings.')
+
+    input_args = parser.add_argument_group('Input Settings')
+    input_args.add_argument(
+        '--trajectories', required=True, nargs='+', action='append',
+        help='List of paths to aligned trajectory files.')
+    input_args.add_argument(
+        '--topology', required=True, action='append',
+        help='The topology file for the trajectories.')
+
+    cards_args = parser.add_argument_group('CARDS Settings')
+    cards_args.add_argument(
+        '--buffer-size', default=15, type=int,
+        help='Size of buffer zone between rotameric states, degrees.')
+    cards_args.add_argument(
+        '--processes', default=max(1, auto_nprocs() // 4), type=int,
+        help='Number of processes to use.')
+
+    output_args = parser.add_argument_group('Output Settings')
+    output_args.add_argument(
+        '--matrices', required=True, action=readable_dir,
+        help='Where to write the four CARDS matrices (pickle).')
+    output_args.add_argument(
+        '--indices', required=True, action=readable_dir,
+        help='Where to write the dihedral indices (CSV).')
+
+    args = parser.parse_args(argv[1:])
+
+    if not (0 < args.buffer_size < 360):
+        raise exception.ImproperlyConfigured(
+            'The given buffer size (%s) is not possible.'
+            % args.buffer_size)
+    args.trajectories = expand_files(args.trajectories)
+    return args
+
+
+def load_trajectory_generator(trajectories, topology):
+    """(reference: apps/collect_cards.py:114)"""
+    from .. import io as io_mod
+    top = io_mod.load(topology).top
+    for t in trajectories:
+        logger.info('loading %s', t)
+        yield io_mod.load(t, top=top)
+
+
+def save_cards(ss_mi, dd_mi, sd_mi, ds_mi, output_name):
+    """(reference: apps/collect_cards.py:163)"""
+    final_mats = {
+        'Struc_struc_MI': ss_mi,
+        'Disorder_disorder_MI': dd_mi,
+        'Struc_disorder_MI': sd_mi,
+        'Disorder_struc_MI': ds_mi,
+    }
+    with open(output_name, 'wb') as f:
+        pickle.dump(final_mats, f)
+    return 0
+
+
+def main(argv=None):
+    if argv is None:
+        argv = sys.argv
+    args = process_command_line(argv)
+
+    gen = load_trajectory_generator(args.trajectories[0],
+                                    args.topology[0])
+
+    with timed('Calculating CARDS correlations took %.1f s.',
+               logger.info):
+        ss_mi, dd_mi, sd_mi, ds_mi, inds = cards(
+            gen, args.buffer_size, args.processes)
+
+    save_cards(ss_mi, dd_mi, sd_mi, ds_mi, args.matrices)
+    np.savetxt(args.indices, inds, delimiter=',')
+    logger.info('Saved dihedral indices as %s', args.indices)
+    return 0
+
+
+def entry_point():
+    return main(sys.argv)
+
+
+if __name__ == '__main__':
+    sys.exit(main(sys.argv))

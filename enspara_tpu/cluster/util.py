@@ -164,3 +164,317 @@ class MolecularClusterMixin:
     @property
     def centers_(self):
         return self.result_.centers
+
+
+# ---------------------------------------------------------------------
+# data loading front-ends and output writers (used by the CLI apps)
+# (reference: cluster/util.py:324-740)
+# ---------------------------------------------------------------------
+
+import os
+import pickle
+import time
+
+from ..util.load import load_as_concatenated, sound_trajectory
+from ..util.log import timed
+from ..util.parallel import auto_nprocs
+
+
+def load_features(features, stride):
+    """Load feature arrays: one .h5 RaggedArray file or many .npy files.
+    (reference: cluster/util.py:324)"""
+    if len(features) == 1:
+        data = ra.load(features[0], stride=stride)
+        if isinstance(data, ra.RaggedArray):
+            return list(data.lengths), data._data
+        return [len(data)], np.asarray(data)
+    rows = [np.load(f)[::stride] for f in features]
+    inner = set(r.shape[1:] for r in rows)
+    if len(inner) > 1:
+        raise DataInvalid(
+            'Feature files had inconsistent widths: %s' % inner)
+    lengths = [len(r) for r in rows]
+    return lengths, np.concatenate(rows).astype(np.float32)
+
+
+def load_trajectories(topologies, trajectories, selections, stride,
+                      processes=None):
+    """Load trajectory sets (one topology + atom selection per set)
+    into one concatenated coordinate array.
+    (reference: cluster/util.py:350)"""
+    from .. import io as io_mod
+
+    flat_trjs = []
+    configs = []
+    n_inds = None
+    top = None
+    indices = None
+
+    for topfile, trjset, selection in zip(topologies, trajectories,
+                                          selections):
+        top = io_mod.load(topfile).top
+        try:
+            indices = top.select(selection)
+        except Exception:
+            raise ImproperlyConfigured(
+                "The provided selection '{s}' didn't match the topology "
+                'file, {t}'.format(s=selection, t=topfile))
+        if len(indices) == 0:
+            raise ImproperlyConfigured(
+                "Selection '%s' selected no atoms in %s"
+                % (selection, topfile))
+        if n_inds is not None and n_inds != len(indices):
+            raise ImproperlyConfigured(
+                'Selection on topology %s selected %s atoms, but other '
+                'selections selected %s atoms.'
+                % (topfile, len(indices), n_inds))
+        n_inds = len(indices)
+        for trj in trjset:
+            flat_trjs.append(trj)
+            configs.append({'top': top, 'stride': stride,
+                            'atom_indices': indices})
+
+    with timed('Loading took %.1f sec', logger.info):
+        lengths, xyz = load_as_concatenated(
+            flat_trjs, args=configs,
+            processes=processes or auto_nprocs())
+
+    return lengths, xyz, top.subset(indices)
+
+
+def load_trjs_or_features(args):
+    """Dispatch CLI args to feature or trajectory loading; returns
+    (lengths, data) where data is an ndarray (features) or Trajectory.
+    (reference: cluster/util.py:433)"""
+    from .. import io as io_mod
+
+    if getattr(args, 'features', None):
+        lengths, data = load_features(args.features,
+                                      stride=args.subsample)
+    else:
+        assert args.trajectories
+        assert len(args.trajectories) == len(args.topologies)
+        lengths, xyz, select_top = load_trajectories(
+            args.topologies, args.trajectories, selections=args.atoms,
+            stride=args.subsample, processes=auto_nprocs())
+        data = io_mod.Trajectory(xyz, select_top)
+    return lengths, data
+
+
+def load_frames(filenames, indices, **kwargs):
+    """Load specific (file_index, frame_index) frames.
+    (reference: cluster/util.py:245)"""
+    from .. import io as io_mod
+
+    stride = kwargs.pop('stride', 1) or 1
+    centers = []
+    for i, j in indices:
+        try:
+            c = io_mod.load_frame(filenames[i], index=j * stride,
+                                  **kwargs)
+        except Exception:
+            raise ImproperlyConfigured(
+                'Failed to load frame {fr} of {fn}.'.format(
+                    fn=filenames[i], fr=j * stride))
+        centers.append(c)
+    return centers
+
+
+def load_asymm_frames(center_indices, trajectories, topology, subsample):
+    """(reference: cluster/util.py:409)"""
+    import itertools
+    from .. import io as io_mod
+
+    frames = []
+    begin_index = 0
+    for topfile, trjset in zip(topology, trajectories):
+        end_index = begin_index + len(trjset)
+        target_centers = [c for c in center_indices
+                          if begin_index <= c[0] < end_index]
+        subframes = load_frames(
+            list(itertools.chain(*trajectories)),
+            target_centers,
+            top=io_mod.load(topfile).top,
+            stride=subsample)
+        frames.extend(subframes)
+        begin_index += len(trjset)
+    return frames
+
+
+def write_centers_indices(path, indices, intermediate_n=None):
+    """(reference: cluster/util.py:464)"""
+    if not path:
+        logger.info('--center-indices not provided, not writing center '
+                    'indices to file.')
+        return
+    if intermediate_n is not None:
+        d = os.path.dirname(path)
+        os.makedirs(os.path.join(d, 'intermediate-%s' % intermediate_n),
+                    exist_ok=True)
+        path = os.path.join(d, 'intermediate-%s' % intermediate_n,
+                            os.path.basename(path))
+    with open(path, 'wb') as f:
+        np.save(f, indices)
+
+
+def write_centers(result, args, intermediate_n=None):
+    """(reference: cluster/util.py:481)"""
+    if getattr(args, 'features', None):
+        if intermediate_n is not None:
+            d = os.path.dirname(args.center_features)
+            os.makedirs(os.path.join(
+                d, 'intermediate-%s' % intermediate_n), exist_ok=True)
+            path = os.path.join(d, 'intermediate-%s' % intermediate_n,
+                                os.path.basename(args.center_features))
+            ra.save(path, np.asarray(result.centers))
+        else:
+            np.save(args.center_features, np.asarray(result.centers))
+    else:
+        outdir = os.path.dirname(args.center_features) or '.'
+        if intermediate_n is not None:
+            outdir = os.path.join(outdir,
+                                  'intermediate-%s' % intermediate_n)
+        os.makedirs(outdir, exist_ok=True)
+        centers = load_asymm_frames(result.center_indices,
+                                    args.trajectories, args.topologies,
+                                    args.subsample)
+        with open(args.center_features, 'wb') as f:
+            pickle.dump(centers, f)
+
+
+def write_assignments_and_distances_with_reassign(result, args,
+                                                  intermediate_n=None):
+    """(reference: cluster/util.py:511)"""
+    def _save(path, arr):
+        if intermediate_n is not None:
+            d = os.path.dirname(path)
+            os.makedirs(os.path.join(
+                d, 'intermediate-%s' % intermediate_n), exist_ok=True)
+            path = os.path.join(d, 'intermediate-%s' % intermediate_n,
+                                os.path.basename(path))
+        ra.save(path, arr)
+
+    if args.subsample == 1:
+        _save(args.distances, result.distances)
+        _save(args.assignments, result.assignments)
+    elif not args.no_reassign:
+        assig, dist = reassign(
+            args.topologies, args.trajectories, args.atoms,
+            centers=result.centers)
+        _save(args.distances, dist)
+        _save(args.assignments, assig)
+    else:
+        logger.debug('Got --no-reassign, not doing reassigment')
+
+
+def compute_batches(lengths, batch_size):
+    """(reference: cluster/util.py:551)"""
+    batch_sizes = [[]]
+    batch_indices = [[]]
+    for i, ln in enumerate(lengths):
+        if sum(batch_sizes[-1]) + ln < batch_size:
+            batch_sizes[-1].append(ln)
+            batch_indices[-1].append(i)
+        else:
+            batch_sizes.append([ln])
+            batch_indices.append([i])
+    return batch_indices
+
+
+def determine_batch_size(n_atoms, dtype_bytes, frac_mem):
+    """(reference: cluster/util.py:569). Batches are bounded by host
+    RAM; the device round-trips stream through HBM in sub-batches."""
+    import psutil
+
+    floats_per_frame = n_atoms * 3
+    bytes_per_frame = floats_per_frame * dtype_bytes
+    bytes_total = psutil.virtual_memory().total
+    batch_size = int(bytes_total * frac_mem / bytes_per_frame)
+    return batch_size, batch_size * bytes_per_frame / 1024 ** 3
+
+
+def batch_reassign(targets, centers, lengths, frac_mem, n_procs=None):
+    """Reassign every frame of a big dataset to the nearest center,
+    loading trajectories in RAM-bounded batches and assigning on the
+    device mesh. (reference: cluster/util.py:582)"""
+    from . import engine
+
+    center_xyz = np.stack([
+        (c.xyz[0] if hasattr(c, 'xyz') else np.asarray(c))
+        for c in centers])
+    n_atoms = center_xyz.shape[1]
+
+    DTYPE_BYTES = 4
+    batch_size, batch_gb = determine_batch_size(
+        n_atoms, DTYPE_BYTES, frac_mem)
+    if batch_size < max(lengths):
+        raise ImproperlyConfigured(
+            'Batch size of %s was smaller than largest file (size %s).'
+            % (batch_size, max(lengths)))
+
+    batches = compute_batches(lengths, batch_size)
+
+    assignments = []
+    distances = []
+    for i, batch_indices in enumerate(batches):
+        batch_targets = [targets[j] for j in batch_indices]
+        batch_lengths, xyz = load_as_concatenated(
+            [tfile for tfile, top, aids in batch_targets],
+            lengths=[lengths[j] for j in batch_indices],
+            args=[{'top': top, 'atom_indices': aids}
+                  for t, top, aids in batch_targets],
+            processes=n_procs)
+
+        batch_assignments, batch_distances = engine.assign_device(
+            xyz, center_xyz, metric='rmsd')
+        del xyz
+
+        assignments.extend(
+            partition_list(batch_assignments, batch_lengths))
+        distances.extend(
+            partition_list(batch_distances, batch_lengths))
+
+    return assignments, distances
+
+
+def reassign(topologies, trajectories, atoms, centers, frac_mem=0.5):
+    """Reassign full (unsubsampled) datasets to centers in batches.
+    (reference: cluster/util.py:652)"""
+    from .. import io as io_mod
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_procs = auto_nprocs()
+
+    if len(topologies) != len(trajectories):
+        raise ImproperlyConfigured(
+            "Number of topologies (%s) didn't match number of sets of "
+            'trajectories (%s).' % (len(topologies), len(trajectories)))
+    if len(topologies) != len(atoms):
+        raise ImproperlyConfigured(
+            "Number of topologies (%s) didn't match number of atom "
+            'selection strings (%s).' % (len(topologies), len(atoms)))
+
+    if hasattr(centers, 'xyz'):
+        centers = [centers[i] for i in range(len(centers))]
+
+    with timed('Reassignment took %.1f seconds.', logger.info):
+        targets = []
+        for topfile, trjfiles, atoms_i in zip(topologies, trajectories,
+                                              atoms):
+            t = io_mod.load(topfile).top
+            atom_ids = t.select(atoms_i)
+            for trjfile in trjfiles:
+                assert os.path.exists(trjfile)
+                targets.append((trjfile, t, atom_ids))
+
+        with ThreadPoolExecutor(max_workers=n_procs) as ex:
+            lengths = list(ex.map(
+                lambda tgt: sound_trajectory(tgt[0]), targets))
+
+        assignments, distances = batch_reassign(
+            targets, centers, lengths, frac_mem=frac_mem,
+            n_procs=n_procs)
+
+    if all(len(assignments[0]) == len(a) for a in assignments):
+        return np.array(assignments), np.array(distances)
+    return ra.RaggedArray(assignments), ra.RaggedArray(distances)

@@ -1,0 +1,188 @@
+"""App-level integration tests: run the real CLIs against bundled/
+synthetic trajectory data in temp dirs and verify outputs — mirroring
+the reference's test_apps_cluster.py strategy."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+from numpy.testing import assert_array_equal, assert_allclose
+
+from enspara_tpu import io, ra
+
+REF_DATA = '/root/reference/enspara/test/data'
+HAVE_REF = os.path.isdir(REF_DATA)
+
+pytestmark = pytest.mark.skipif(not HAVE_REF,
+                                reason='reference data not present')
+
+
+def runhelper(tmp_path, algorithm='khybrid', extra_args=()):
+    from enspara_tpu.apps import cluster as cluster_app
+
+    xtc = os.path.join(REF_DATA, 'frame0.xtc')
+    top = os.path.join(REF_DATA, 'native.pdb')
+
+    distances = str(tmp_path / 'distances.h5')
+    assignments = str(tmp_path / 'assignments.h5')
+    centers = str(tmp_path / 'centers.pkl')
+    indices = str(tmp_path / 'center-inds.npy')
+
+    argv = ['cluster',
+            '--trajectories', xtc, xtc,
+            '--topology', top,
+            '--algorithm', algorithm,
+            '--cluster-number', '4',
+            '--atoms', 'name CA or name C or name N',
+            '--distances', distances,
+            '--assignments', assignments,
+            '--center-features', centers,
+            '--center-indices', indices,
+            '--random-state', '0',
+            ] + list(extra_args)
+    cluster_app.main(argv)
+    return distances, assignments, centers, indices
+
+
+def test_cluster_app_khybrid(tmp_path):
+    distances, assignments, centers, indices = runhelper(tmp_path)
+
+    a = ra.load(assignments)
+    d = ra.load(distances)
+    assert a.shape[0] == 2          # two trajectories
+    assert len(np.unique(np.asarray(a._data if hasattr(a, '_data')
+                                    else a))) == 4
+    dd = np.asarray(d._data if hasattr(d, '_data') else d)
+    assert (dd >= 0).all()
+
+    with open(centers, 'rb') as f:
+        ctr = pickle.load(f)
+    assert len(ctr) == 4
+    inds = np.load(indices)
+    assert inds.shape == (4, 2)
+
+
+def test_cluster_app_kcenters(tmp_path):
+    distances, assignments, centers, indices = runhelper(
+        tmp_path, algorithm='kcenters')
+    a = ra.load(assignments)
+    arr = np.asarray(a._data if hasattr(a, '_data') else a)
+    assert set(np.unique(arr)) == {0, 1, 2, 3}
+    # both trajectories are the same file -> identical assignments
+    a2d = np.asarray(a) if not hasattr(a, '_data') else None
+    if a2d is not None:
+        assert_array_equal(a2d[0], a2d[1])
+
+
+def test_cluster_app_with_subsample_reassigns(tmp_path):
+    distances, assignments, centers, indices = runhelper(
+        tmp_path, algorithm='kcenters',
+        extra_args=['--subsample', '5'])
+    a = ra.load(assignments)
+    arr = np.asarray(a)
+    # reassignment covers the FULL dataset despite subsampled clustering
+    assert arr.shape == (2, 501)
+
+
+def test_reassign_app(tmp_path):
+    # first run clustering to get centers
+    distances, assignments, centers, indices = runhelper(
+        tmp_path, algorithm='kcenters')
+
+    from enspara_tpu.apps import reassign as reassign_app
+    xtc = os.path.join(REF_DATA, 'frame0.xtc')
+    top = os.path.join(REF_DATA, 'native.pdb')
+    out_d = str(tmp_path / 'reassign-distances.h5')
+    out_a = str(tmp_path / 'reassign-assignments.h5')
+    reassign_app.main([
+        'reassign',
+        '--centers', centers,
+        '--trajectories', xtc,
+        '--topology', top,
+        '--atoms', 'name CA or name C or name N',
+        '--distances', out_d,
+        '--assignments', out_a])
+
+    a = np.asarray(ra.load(out_a))
+    orig = np.asarray(ra.load(str(tmp_path / 'assignments.h5')))
+    assert a.shape == (1, 501)
+    assert_array_equal(a[0], orig[0])
+
+
+def test_implied_timescales_app(tmp_path):
+    from enspara_tpu.apps import implied_timescales as it_app
+
+    rng = np.random.default_rng(0)
+    assigns = rng.integers(0, 4, size=(3, 200))
+    afile = str(tmp_path / 'assigns.h5')
+    ra.save(afile, ra.RaggedArray(list(assigns)))
+
+    out = str(tmp_path / 'tscales.npy')
+    plot = str(tmp_path / 'tscales.png')
+    it_app.main(['implied',
+                 '--assignments', afile,
+                 '--lag-times', '1:10:2',
+                 '--n-eigenvalues', '3',
+                 '--out', out,
+                 '--plot', plot])
+    ts = np.load(out)
+    assert ts.shape == (5, 3)
+    assert os.path.exists(plot)
+
+
+def test_collect_cards_app(tmp_path):
+    from enspara_tpu.apps import collect_cards as cards_app
+
+    xtc = os.path.join(REF_DATA, 'beta-peptide.xtc')
+    top = os.path.join(REF_DATA, 'beta-peptide.pdb')
+    matrices = str(tmp_path / 'cards.pkl')
+    indices = str(tmp_path / 'inds.csv')
+    cards_app.main(['collect_cards',
+                    '--trajectories', xtc,
+                    '--topology', top,
+                    '--matrices', matrices,
+                    '--indices', indices])
+    with open(matrices, 'rb') as f:
+        mats = pickle.load(f)
+    assert set(mats) == {'Struc_struc_MI', 'Disorder_disorder_MI',
+                         'Struc_disorder_MI', 'Disorder_struc_MI'}
+    inds = np.loadtxt(indices, delimiter=',')
+    assert inds.shape[1] == 4
+    assert mats['Struc_struc_MI'].shape == (len(inds), len(inds))
+
+
+def test_shannon_entropy_app(tmp_path):
+    from enspara_tpu.apps import shannon_entropy as se_app
+
+    xtc = os.path.join(REF_DATA, 'beta-peptide.xtc')
+    top = os.path.join(REF_DATA, 'beta-peptide.pdb')
+    out = str(tmp_path / 'entropies.csv')
+    se_app.main(['entropy',
+                 '--trajectories', xtc,
+                 '--topology', top,
+                 '--entropies', out])
+    data = np.loadtxt(out, delimiter=',')
+    assert data.shape[1] == 2
+    assert (data[:, 1] >= 0).all()
+    assert (data[:, 1] <= 1.0 + 1e-9).all()
+
+
+def test_save_states(tmp_path):
+    from enspara_tpu.cluster.save_states import save_states
+
+    xtc = os.path.join(REF_DATA, 'frame0.xtc')
+    top = os.path.join(REF_DATA, 'native.pdb')
+    rng = np.random.default_rng(1)
+    assignments = rng.integers(0, 3, size=(1, 501))
+    distances = rng.random((1, 501))
+    written = save_states(
+        assignments, distances,
+        traj_filenames=[xtc],
+        output_directory=str(tmp_path / 'PDBs'),
+        topology=top, n_confs=1, n_processes=2)
+    assert len(written) == 3
+    for f in written:
+        assert os.path.exists(f)
+        t = io.load(f)
+        assert t.n_atoms == 22
