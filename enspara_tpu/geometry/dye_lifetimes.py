@@ -1,0 +1,512 @@
+"""Per-photon Monte Carlo of donor-dye relaxation over coupled
+protein x dye MSMs. (reference: enspara/geometry/dye_lifetimes.py)
+
+For each protein conformation, dye MSMs are rebuilt after removing
+sterically clashed dye states; the donor excitation then random-walks
+through (donor state, acceptor state) pairs, each step evaluating the
+instantaneous FRET rate from kappa^2 and distance until it decays
+radiatively, non-radiatively, or by energy transfer.
+"""
+
+import logging
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+from scipy.optimize import curve_fit
+
+from .. import ra
+from ..msm import builders, synthetic_data
+from . import dyes_from_expt_dist as dyes_exp_dist
+from . import explicit_r0_calc as r0c
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['FRET_rate', 'calc_dye_radiative_rates',
+           'calc_energy_transfer_prob', 'resolve_excitation',
+           'make_dye_msm', 'calc_lifetimes',
+           'sample_lifetimes_guarenteed_photon',
+           'remake_prot_MSM_from_lifetimes', 'run_mc',
+           'calc_per_state_FE', 'fit_lifetimes_single_exp',
+           'fit_lifetimes_double_exp',
+           'extract_fret_efficiency_lifetimes']
+
+
+def FRET_rate(r, R0, Td):
+    """kRET = (1/Td) (R0/r)^6. (reference: dye_lifetimes.py:9)"""
+    return (1 / Td) * ((R0 / r) ** 6)
+
+
+def calc_dye_radiative_rates(Qd, Td):
+    """(krad, k_non_radiative). (reference: dye_lifetimes.py:29)"""
+    krad = Qd / Td
+    k_non_rad = (1 / Td) - krad
+    return krad, k_non_rad
+
+
+def calc_energy_transfer_prob(krad, k_non_rad, kRET, dt):
+    """[p_radiative, p_nonradiative, p_RET, p_remain_excited] over a
+    timestep. (reference: dye_lifetimes.py:53)"""
+    p_rad = 1 - np.exp(-krad * dt)
+    p_nonrad = 1 - np.exp(-k_non_rad * dt)
+    p_RET = 1 - np.exp(-kRET * dt)
+    p_remain = 1 - p_rad - p_nonrad - p_RET
+    all_probs = np.array([p_rad, p_nonrad, p_RET, p_remain])
+    if p_remain < 0:
+        all_probs = np.array([p_rad, p_nonrad, p_RET, np.zeros(1)],
+                             dtype=object).astype(float)
+        all_probs = all_probs / all_probs.sum()
+    return np.asarray(all_probs, dtype=float).flatten()
+
+
+_OUTCOMES = np.array(['radiative', 'non_radiative', 'energy_transfer',
+                      'excited'])
+
+
+def explicit_static_dyes(d_name, a_name, d_eqs, a_eqs, d_centers,
+                         a_centers, dye_params, dyelibrary,
+                         n_samples=1000, rng_seed=None):
+    """Static-dye treatment: equilibrium dye positions, single coin
+    flip per sample. (reference: dye_lifetimes.py:91)"""
+    rng = np.random.default_rng(rng_seed)
+    J, Qd, Td = dye_params
+
+    dstates = rng.choice(np.arange(len(d_eqs)), p=d_eqs,
+                         size=n_samples)
+    astates = rng.choice(np.arange(len(a_eqs)), p=a_eqs,
+                         size=n_samples)
+
+    d_coords = r0c.assemble_dye_r_mu(d_centers, d_name, dyelibrary)
+    a_coords = r0c.assemble_dye_r_mu(a_centers, a_name, dyelibrary)
+
+    dye_outcomes = []
+    for dstate, astate in zip(dstates, astates):
+        k2, r = r0c.calc_k2_r(d_coords[dstate], a_coords[astate])
+        R0 = r0c.calc_R0(k2, Qd, J)
+        FE = dyes_exp_dist.FRET_efficiency(r, R0)
+        outcome = ('energy_transfer' if rng.random() <= FE
+                   else 'radiative')
+        dye_outcomes.append([0, outcome])
+    return dye_outcomes
+
+
+def fully_averaged_explict_dyes(d_name, a_name, d_eqs, a_eqs, d_centers,
+                                a_centers, dye_params, dyelibrary,
+                                n_samples=1000, rng_seed=None):
+    """Isotropic treatment: population-weighted average FRET efficiency
+    over all (donor, acceptor) state pairs. (reference:
+    dye_lifetimes.py:162)"""
+    rng = np.random.default_rng(rng_seed)
+    J, Qd, Td = dye_params
+
+    dstates = np.where(np.asarray(d_eqs) != 0)[0]
+    astates = np.where(np.asarray(a_eqs) != 0)[0]
+
+    d_coords = r0c.assemble_dye_r_mu(d_centers, d_name, dyelibrary)
+    a_coords = r0c.assemble_dye_r_mu(a_centers, a_name, dyelibrary)
+
+    k2s, rs, FEs, eqs = [], [], [], []
+    FE = 0.0
+    for dstate in dstates:
+        for astate in astates:
+            k2, r = r0c.calc_k2_r(d_coords[dstate], a_coords[astate])
+            R0 = r0c.calc_R0(k2, Qd, J)
+            FE = dyes_exp_dist.FRET_efficiency(r, R0)
+            k2s.append(k2)
+            rs.append(r)
+            FEs.append(FE)
+            eqs.append(d_eqs[dstate] * a_eqs[astate])
+
+    k2s = np.array(k2s).reshape(-1)
+    FEs = np.array(FEs).reshape(-1)
+    eqs = np.array(eqs).reshape(-1)
+
+    transfers = np.multiply(rng.random(n_samples) <= FE, 1, dtype='O')
+    transfers[transfers == 0] = 'radiative'
+    transfers[transfers == 1] = 'energy_transfer'
+    lifetimes = [0] * n_samples
+    return [lifetimes, transfers, k2s, FEs, eqs]
+
+
+def resolve_excitation(d_name, a_name, d_tprobs, a_tprobs, d_eqs, a_eqs,
+                       d_centers, a_centers, dye_params, dye_lagtime,
+                       dyelibrary, rng_seed=None):
+    """Monte Carlo of one donor excitation event.
+    (reference: dye_lifetimes.py:258)
+
+    Returns ``[steps, outcome, donor_traj, acceptor_traj]``.
+    """
+    rng = np.random.default_rng(rng_seed)
+    J, Qd, Td = dye_params
+
+    krad = Qd / Td
+    k_non_rad = (1 / Td) - krad
+
+    dtrj = [rng.choice(np.arange(d_tprobs.shape[0]), p=d_eqs)]
+    atrj = [rng.choice(np.arange(a_tprobs.shape[0]), p=a_eqs)]
+
+    d_coords = r0c.assemble_dye_r_mu(d_centers, d_name, dyelibrary)
+    a_coords = r0c.assemble_dye_r_mu(a_centers, a_name, dyelibrary)
+
+    n_dcenters = len(d_centers)
+    n_acenters = len(a_centers)
+
+    d_state = 'excited'
+    steps = 0
+    while d_state == 'excited':
+        k2, r = r0c.calc_k2_r(d_coords[dtrj[steps]],
+                              a_coords[atrj[steps]])
+        R0 = r0c.calc_R0(k2, Qd, J)
+        kRET = FRET_rate(r, R0, Td)
+
+        transfer_probs = calc_energy_transfer_prob(
+            krad, k_non_rad, kRET, dye_lagtime)
+        d_state = rng.choice(_OUTCOMES, p=transfer_probs)
+
+        dtrj.append(rng.choice(n_dcenters, p=d_tprobs[dtrj[-1], :]))
+        atrj.append(rng.choice(n_acenters, p=a_tprobs[atrj[-1], :]))
+        steps += 1
+
+    return [steps, d_state, np.array(dtrj), np.array(atrj)]
+
+
+def make_dye_msm(centers, t_counts, pdb, resseq, dyename, dyelibrary,
+                 center_n=None, outdir='./', save_dye_xtc=False):
+    """Align a dye to a residue, drop clashed states, rebuild the dye
+    MSM. (reference: dye_lifetimes.py:360)"""
+    centers = centers.copy()
+    centers.xyz = r0c.align_full_dye_to_res(pdb, centers, resseq,
+                                            dyename, dyelibrary)
+    dye_indices = r0c.remove_touches_protein_dye_traj(pdb, centers,
+                                                      resseq)
+    if len(dye_indices) == 0:
+        return np.array([0]), np.array([0]), np.array([])
+
+    if save_dye_xtc:
+        centers[list(dye_indices)].save(os.path.join(
+            outdir, 'center%s-aligned-to-%s-%s.xtc'
+            % (center_n, resseq, ''.join(dyename.split(' ')))))
+
+    all_indices = np.arange(len(centers))
+    bad_indices = all_indices[~np.isin(all_indices, dye_indices,
+                                       assume_unique=True)]
+    new_tcounts = r0c.remove_bad_states(bad_indices, t_counts)
+    counts, tprobs, eqs = builders.normalize(new_tcounts,
+                                             calculate_eq_probs=True)
+    return tprobs, eqs, dye_indices
+
+
+def calc_lifetimes(pdb_center_num, d_centers, d_tcounts, a_centers,
+                   a_tcounts, resSeqs, dyenames, dye_lagtime,
+                   n_samples=1000, dye_treatment='Monte-carlo',
+                   outdir='./', save_dye_trj=False, save_dye_msm=False,
+                   save_dye_centers=False, save_k2_r2=False,
+                   rng_seed=None):
+    """Dye-emission lifetimes and outcomes for one protein center.
+    (reference: dye_lifetimes.py:422)"""
+    dyelibrary = r0c.load_library()
+    dye_params = r0c.get_dye_overlap(dyenames[0], dyenames[1])
+
+    pdb, center_n = pdb_center_num
+
+    d_tprobs, d_mod_eqs, d_indxs = make_dye_msm(
+        d_centers, d_tcounts, pdb[0], resSeqs[0], dyenames[0],
+        dyelibrary, center_n=center_n, outdir=outdir,
+        save_dye_xtc=save_dye_centers)
+    a_tprobs, a_mod_eqs, a_indxs = make_dye_msm(
+        a_centers, a_tcounts, pdb[0], resSeqs[1], dyenames[1],
+        dyelibrary, center_n=center_n, outdir=outdir,
+        save_dye_xtc=save_dye_centers)
+
+    if np.sum(a_mod_eqs) == 0 or np.sum(d_mod_eqs) == 0:
+        return [], []
+
+    if save_dye_msm:
+        np.save('%s/center%s-%s-%s-eqs.npy' % (
+            outdir, center_n, ''.join(dyenames[0].split(' ')),
+            resSeqs[0]), d_mod_eqs)
+        np.save('%s/center%s-%s-%s-eqs.npy' % (
+            outdir, center_n, ''.join(dyenames[1].split(' ')),
+            resSeqs[1]), a_mod_eqs)
+        np.save('%s/center%s-%s-%s-tps.npy' % (
+            outdir, center_n, ''.join(dyenames[0].split(' ')),
+            resSeqs[0]), d_tprobs)
+        np.save('%s/center%s-%s-%s-tps.npy' % (
+            outdir, center_n, ''.join(dyenames[1].split(' ')),
+            resSeqs[1]), a_tprobs)
+
+    seeds = np.random.SeedSequence(rng_seed).spawn(n_samples)
+
+    if dye_treatment == 'Monte-carlo':
+        events = np.array([
+            resolve_excitation(
+                dyenames[0], dyenames[1], d_tprobs, a_tprobs,
+                d_mod_eqs, a_mod_eqs, d_centers, a_centers, dye_params,
+                dye_lagtime, dyelibrary, seeds[i])
+            for i in range(n_samples)], dtype='O')
+
+        if save_dye_trj:
+            if len(d_indxs) > 0:
+                dtrj = np.array([np.searchsorted(d_indxs, e)
+                                 for e in events[:, 2]], dtype=object)
+                np.save('%s/center%s-%s-%s-dtrj.npy' % (
+                    outdir, center_n, dyenames[0], resSeqs[0]), dtrj)
+            if len(a_indxs) > 0:
+                atrj = np.array([np.searchsorted(a_indxs, e)
+                                 for e in events[:, 3]], dtype=object)
+                np.save('%s/center%s-%s-%s-atrj.npy' % (
+                    outdir, center_n, dyenames[1], resSeqs[1]), atrj)
+        lifetimes = events[:, 0]
+        outcomes = events[:, 1]
+    elif dye_treatment == 'static':
+        events = np.array(explicit_static_dyes(
+            dyenames[0], dyenames[1], d_mod_eqs, a_mod_eqs, d_centers,
+            a_centers, dye_params, dyelibrary, n_samples, rng_seed),
+            dtype='O')
+        lifetimes = events[:, 0]
+        outcomes = events[:, 1]
+    elif dye_treatment == 'isotropic':
+        lifetimes, outcomes, k2s, FEs, eqs = fully_averaged_explict_dyes(
+            dyenames[0], dyenames[1], d_mod_eqs, a_mod_eqs, d_centers,
+            a_centers, dye_params, dyelibrary, n_samples, rng_seed)
+        if save_k2_r2:
+            np.save('%s/%s-%s-per_state_k2s.npy'
+                    % (outdir, resSeqs[0], resSeqs[1]), k2s)
+            np.save('%s/%s-%s-per_state_FEs.npy'
+                    % (outdir, resSeqs[0], resSeqs[1]), FEs)
+            np.save('%s/%s-%s-per_state_eqs.npy'
+                    % (outdir, resSeqs[0], resSeqs[1]), eqs)
+    else:
+        raise ValueError('Unknown dye_treatment %r' % dye_treatment)
+
+    lifetimes = np.array(lifetimes, dtype=float) * dye_lagtime  # ns
+    return lifetimes, outcomes
+
+
+def _sample_lifetimes_guarenteed_photon(states, lifetimes, outcomes,
+                                        rng_seed=None):
+    """Draw (photon id, lifetime) per visited state, redrawing
+    non-radiative events. (reference: dye_lifetimes.py:535)"""
+    rng = np.random.default_rng(rng_seed)
+
+    photons, lifetime = [], []
+    for state in states:
+        event_n = rng.choice(len(lifetimes[state]))
+        while outcomes[state][event_n] == 'non_radiative':
+            event_n = rng.choice(len(lifetimes[state]))
+        if outcomes[state][event_n] == 'energy_transfer':
+            photons.append(1)
+        elif outcomes[state][event_n] == 'radiative':
+            photons.append(0)
+        else:
+            raise ValueError(
+                'Unexpected outcome %r for state %s event %s'
+                % (outcomes[state][event_n], state, event_n))
+        lifetime.append(lifetimes[state][event_n])
+    return np.array(photons), np.array(lifetime)
+
+
+def sample_lifetimes_guarenteed_photon(frames, t_probs, eqs, lifetimes,
+                                       outcomes, rng_seed=None):
+    """One burst: protein-MSM chain + guaranteed photons at the given
+    frames. (reference: dye_lifetimes.py:587)"""
+    rng = np.random.default_rng(rng_seed)
+    n_frames = int(np.amax(frames)) + 1
+    initial_state = rng.choice(np.arange(t_probs.shape[0]), p=eqs)
+    trj = synthetic_data.synthetic_trajectory(
+        t_probs, initial_state, n_frames, random_state=rng)
+    photons, lts = _sample_lifetimes_guarenteed_photon(
+        trj[frames], lifetimes, outcomes, rng_seed=rng)
+    return photons, lts, trj[frames]
+
+
+def remake_prot_MSM_from_lifetimes(lifetimes, prot_tcounts, resSeqs,
+                                   dyenames, outdir='./',
+                                   prot_eqs=None):
+    """Rebuild the protein MSM after removing unlabelable states.
+    (reference: dye_lifetimes.py:633)"""
+    bad_states = r0c.find_dyeless_states(lifetimes)
+    logger.info('%d of %d protein states had steric clashes for '
+                'labeling pair: %s-%s.', len(bad_states),
+                len(prot_tcounts), resSeqs[0], resSeqs[1])
+
+    if prot_eqs is not None and len(bad_states):
+        lost = np.sum(np.asarray(prot_eqs)[bad_states])
+        logger.info('This was %.2f%% of the original equilibrium '
+                    'probability.', 100 * lost)
+        if lost > 0.2:
+            logger.warning('Lots of equilibrium probability lost.')
+
+    trimmed = r0c.remove_bad_states(bad_states, prot_tcounts)
+    _, new_tprobs, new_eqs = builders.normalize(
+        trimmed, calculate_eq_probs=True)
+
+    os.makedirs(outdir, exist_ok=True)
+    base = '%s-%s-%s-%s' % (resSeqs[0], ''.join(dyenames[0].split(' ')),
+                            resSeqs[1], ''.join(dyenames[1].split(' ')))
+    np.save(os.path.join(outdir, base + '-eqs.npy'), new_eqs)
+    np.save(os.path.join(outdir, base + '-t_prbs.npy'), new_tprobs)
+    return new_tprobs, new_eqs
+
+
+def run_mc(resSeq, prot_tcounts, dyenames, MSM_frames, dye_dir, outdir,
+           time_correction, save_photon_trjs=False,
+           save_burst_frames=False, rng_seed=None):
+    """Full burst MC for one labeling pair, reading the per-center
+    lifetime events from disk. (reference: dye_lifetimes.py:702)"""
+    events_path = os.path.join(
+        dye_dir, 'events-%s-%s.npy' % (resSeq[0], resSeq[1]))
+    lifetime_outcomes = np.load(events_path, allow_pickle=True)
+
+    lifets = lifetime_outcomes[:, 0]
+    outcomes = lifetime_outcomes[:, 1]
+
+    base = '%s-%s-%s-%s' % (resSeq[0], ''.join(dyenames[0].split(' ')),
+                            resSeq[1], ''.join(dyenames[1].split(' ')))
+    new_tprobs = np.load(os.path.join(outdir, 'MSMs',
+                                      base + '-t_prbs.npy'))
+    new_eqs = np.load(os.path.join(outdir, 'MSMs', base + '-eqs.npy'))
+
+    seeds = np.random.SeedSequence(rng_seed).spawn(len(MSM_frames))
+    sampling = np.array([
+        sample_lifetimes_guarenteed_photon(
+            frames, new_tprobs, new_eqs, lifets, outcomes,
+            rng_seed=seeds[i])
+        for i, frames in enumerate(MSM_frames)], dtype='O')
+
+    if save_burst_frames:
+        os.makedirs(os.path.join(outdir, 'protein-trajs'),
+                    exist_ok=True)
+        np.save(os.path.join(
+            outdir, 'protein-trajs',
+            '%s-%s-%s.npy' % (resSeq[0], resSeq[1], time_correction)),
+            sampling[:, 2])
+
+    FEs, d_lifetimes, a_lifetimes = \
+        extract_fret_efficiency_lifetimes(sampling)
+
+    os.makedirs(os.path.join(outdir, 'Lifetimes'), exist_ok=True)
+    os.makedirs(os.path.join(outdir, 'FEs'), exist_ok=True)
+    if save_photon_trjs:
+        photon_ids = ra.RaggedArray([b for b in sampling[:, 0]])
+        ra.save(os.path.join(
+            outdir, 'FEs', 'photon-trace-%s-%s-%s.h5'
+            % (resSeq[0], resSeq[1], time_correction)), photon_ids)
+    np.save(os.path.join(outdir, 'FEs', 'FE-%s-%s-%s.npy'
+                         % (resSeq[0], resSeq[1], time_correction)),
+            FEs)
+    np.save(os.path.join(
+        outdir, 'Lifetimes', 'd_lifetimes-%s-%s-%s.npy'
+        % (resSeq[0], resSeq[1], time_correction)), d_lifetimes)
+    np.save(os.path.join(
+        outdir, 'Lifetimes', 'a_lifetimes-%s-%s-%s.npy'
+        % (resSeq[0], resSeq[1], time_correction)), a_lifetimes)
+    return FEs, d_lifetimes, a_lifetimes
+
+
+def remake_msms(resSeq, prot_tcounts, dye_dir, dyenames, orig_eqs,
+                outdir):
+    """(reference: dye_lifetimes.py:688)"""
+    events_path = os.path.join(
+        dye_dir, 'events-%s-%s.npy' % (resSeq[0], resSeq[1]))
+    lifetime_outcomes = np.load(events_path, allow_pickle=True)
+    lifets = lifetime_outcomes[:, 0]
+    return remake_prot_MSM_from_lifetimes(
+        lifets, prot_tcounts, resSeq, dyenames,
+        outdir=os.path.join(outdir, 'MSMs'), prot_eqs=orig_eqs)
+
+
+def calc_per_state_FE(events):
+    """FRET efficiency per protein state from a lifetimes/outcomes
+    events array. (reference: dye_lifetimes.py:746)"""
+    per_state = []
+    for event in events[:, 1]:
+        if len(event) == 0:
+            per_state.append(np.nan)
+        else:
+            event = np.asarray(event)
+            acceptors = np.count_nonzero(event == 'energy_transfer')
+            donors = np.count_nonzero(event == 'radiative')
+            per_state.append(acceptors / (donors + acceptors))
+    return np.array(per_state)
+
+
+def single_exp_decay(t, Io, tau):
+    """(reference: dye_lifetimes.py:772)"""
+    return Io * np.exp(-t / tau)
+
+
+def fit_single_exp(t, y, p0):
+    opt_params, _ = curve_fit(single_exp_decay, t, y, p0=p0)
+    return opt_params[0], opt_params[1]
+
+
+def _lifetime_hist(lifetimes, hist_bins, hist_range):
+    counts, edges = np.histogram(lifetimes, range=hist_range,
+                                 bins=hist_bins)
+    bin_w = edges[1] - edges[0]
+    return edges[:-1] + bin_w / 2, counts
+
+
+def _donor_Td(donor_name):
+    if donor_name is None:
+        return np.array([4.0])
+    _, _, Td = r0c.get_dye_overlap(donor_name, donor_name)
+    return Td
+
+
+def fit_lifetimes_single_exp(lifetimes, donor_name=None, hist_bins=100,
+                             hist_range=(0, 25)):
+    """(reference: dye_lifetimes.py:795)"""
+    t, counts = _lifetime_hist(lifetimes, hist_bins, hist_range)
+    Td = _donor_Td(donor_name)
+    Io = np.amax(counts)
+    fit_I, fit_tau = fit_single_exp(t, counts,
+                                    p0=np.array([Io, Td[0]]))
+    return t, counts, fit_I, fit_tau
+
+
+def double_exp_decay(t, Io1, Io2, tau1, tau2):
+    """(reference: dye_lifetimes.py:842)"""
+    return Io1 * np.exp(-t / tau1) + Io2 * np.exp(-t / tau2)
+
+
+def fit_double_exp(t, y, p0):
+    opt_params, _ = curve_fit(double_exp_decay, t, y, p0=p0)
+    return tuple(opt_params)
+
+
+def fit_lifetimes_double_exp(lifetimes, donor_name=None, hist_bins=100,
+                             hist_range=(0, 25)):
+    """(reference: dye_lifetimes.py:868)"""
+    t, counts = _lifetime_hist(lifetimes, hist_bins, hist_range)
+    Td = _donor_Td(donor_name)
+    Io = np.amax(counts)
+    fit_I1, fit_I2, fit_tau1, fit_tau2 = fit_double_exp(
+        t, counts, p0=np.array([Io / 2, Io / 2, Td[0], Td[0]]))
+    return t, counts, fit_I1, fit_I2, fit_tau1, fit_tau2
+
+
+def fit_lifetimes_single_exp_high_throughput(
+        lifetimes, donor_name=None, hist_bins=100, hist_range=(0, 25)):
+    """(reference: dye_lifetimes.py:952)"""
+    t, counts = _lifetime_hist(lifetimes, hist_bins, hist_range)
+    Td = _donor_Td(donor_name)
+    Io = np.amax(counts)
+    try:
+        fit_I, fit_tau = fit_single_exp(t, counts,
+                                        p0=np.array([Io, Td[0]]))
+    except RuntimeError:
+        return t, counts, 0, 100
+    return t, counts, fit_I, fit_tau
+
+
+def extract_fret_efficiency_lifetimes(lifetime_samples):
+    """(reference: dye_lifetimes.py:919)"""
+    FEs = np.array([np.sum(b) / len(b) for b in lifetime_samples[:, 0]])
+    d_lifetimes, a_lifetimes = [], []
+    for burst in lifetime_samples:
+        d_lifetimes.append(burst[1][np.where(burst[0] == 0)[0]])
+        a_lifetimes.append(burst[1][np.where(burst[0] == 1)[0]])
+    return (FEs, np.array(d_lifetimes, dtype=object),
+            np.array(a_lifetimes, dtype=object))
