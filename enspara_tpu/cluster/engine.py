@@ -107,19 +107,40 @@ def _center_structures(X):
 
 
 def _prepare_data(X, metric):
-    """Prep: for 'rmsd', center coordinates on device (QCP requires it;
-    matches the reference's precentering, cluster/util.py:625)."""
+    """Host-side dtype prep only — no device roundtrips. Device arrays
+    pass through untouched (assumed already prepared)."""
+    if isinstance(X, jax.Array):
+        return X
     X = np.asarray(X)
     if metric == 'rmsd':
         if X.ndim != 3 or X.shape[-1] != 3:
             raise ValueError("metric='rmsd' requires (n, n_atoms, 3) "
                              "coordinates, got %s" % (X.shape,))
-        X = np.asarray(_center_structures(X.astype(np.float32)))
+        X = X.astype(np.float32)
     elif metric == 'hamming':
         X = X.astype(np.int32)
     else:
         X = X.astype(np.float32)
     return X
+
+
+def prepare_sharded(X, metric, mesh=None):
+    """One host->device push + on-device centering (for 'rmsd'),
+    sharded over the frame mesh. Returns ``(data_sharded, n_valid)``.
+    Accepts host arrays or already-on-device arrays (no host trip).
+
+    The centering happens AFTER placement so big coordinate sets never
+    bounce back through the host (reference precenters on host,
+    cluster/util.py:625).
+    """
+    if mesh is None:
+        mesh = pmesh.frame_mesh()
+    was_on_device = isinstance(X, jax.Array)
+    data = _prepare_data(X, metric)
+    data_sh, n = pmesh.shard_frames(data, mesh)
+    if metric == 'rmsd' and not was_on_device:
+        data_sh = _center_structures(data_sh)
+    return data_sh, n
 
 
 def kcenters_device(X, metric='euclidean', n_clusters=None,
@@ -149,8 +170,7 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
     cutoff_eff = np.float32(dist_cutoff if dist_cutoff is not None
                             else 0.0)
 
-    data = _prepare_data(X, metric)
-    data_sh, _ = pmesh.shard_frames(data, mesh)
+    data_sh, _ = prepare_sharded(X, metric, mesh)
     n_pad = data_sh.shape[0]
 
     distances = np.full(n_pad, np.inf, np.float32)
@@ -209,10 +229,12 @@ def assign_device(X, centers, metric='euclidean', mesh=None):
     if mesh is None:
         mesh = pmesh.frame_mesh()
     n = len(X)
-    data = _prepare_data(X, metric)
-    centers = _prepare_data(np.asarray(centers), metric)
-    data_sh, _ = pmesh.shard_frames(data, mesh)
-    centers_r = pmesh.replicated(centers, mesh)
+    data_sh, _ = prepare_sharded(X, metric, mesh)
+    centers_host = _prepare_data(centers, metric)
+    centers_r = pmesh.replicated(centers_host, mesh) \
+        if not isinstance(centers_host, jax.Array) else centers_host
+    if metric == 'rmsd' and not isinstance(centers, jax.Array):
+        centers_r = _center_structures(centers_r)
     assigs, dists = _assign_all(data_sh, centers_r, metric)
     return (np.asarray(assigs)[:n].astype(np.int64),
             np.asarray(dists)[:n].astype(np.float64))

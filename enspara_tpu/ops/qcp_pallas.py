@@ -1,0 +1,185 @@
+"""Fused Pallas TPU kernel for pairwise QCP RMSD.
+
+The XLA path (ops/qcp.py) materializes the (F, C, 3, 3) inner-product
+tensor in HBM between the matmul and the Newton stage — 9x the output
+bytes. This kernel fuses both: each grid cell loads a (TF, N) x (TC, N)
+tile of frames/centers into VMEM, runs the nine (TF, N)x(N, TC) MXU
+contractions for the S-matrix components, solves the quartic on the VPU,
+and writes only the (TF, TC) RMSD block.
+
+Inputs are pre-transposed to (3, n, N) so each component contraction is
+a clean lane-aligned matmul. Atom counts pad to a multiple of 128.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import qcp
+
+__all__ = ['qcp_rmsd_matrix_pallas', 'pallas_available']
+
+TILE_F = 256
+TILE_C = 256
+
+
+def pallas_available():
+    try:
+        from jax.experimental import pallas  # noqa: F401
+        return jax.default_backend() in ('tpu',)
+    except Exception:
+        return False
+
+
+def _kernel(ft_ref, ct_ref, gf_ref, gc_ref, out_ref, *, n_atoms_real):
+    """ft_ref: (3, TF, N) frames tile; ct_ref: (3, TC, N) centers tile;
+    gf_ref: (TF, 1); gc_ref: (TC, 1); out_ref: (TF, TC)."""
+    S = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        fi = ft_ref[i]                       # (TF, N)
+        for j in range(3):
+            cj = ct_ref[j]                   # (TC, N)
+            S[i][j] = jax.lax.dot_general(
+                fi, cj,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (TF, TC)
+
+    Sxx, Sxy, Sxz = S[0]
+    Syx, Syy, Syz = S[1]
+    Szx, Szy, Szz = S[2]
+
+    ga = gf_ref[:]                            # (TF, 1)
+    gb = gc_ref[:]                            # (TC, 1)
+    gsum = ga + gb.reshape(1, -1)             # (TF, TC)
+    lam0 = gsum * 0.5
+    inv = 1.0 / jnp.maximum(lam0, 1e-30)
+
+    fnorm2 = (Sxx * Sxx + Sxy * Sxy + Sxz * Sxz
+              + Syx * Syx + Syy * Syy + Syz * Syz
+              + Szx * Szx + Szy * Szy + Szz * Szz)
+    det = (Sxx * (Syy * Szz - Syz * Szy)
+           - Sxy * (Syx * Szz - Syz * Szx)
+           + Sxz * (Syx * Szy - Syy * Szx))
+
+    SxzpSzx = Sxz + Szx
+    SxzmSzx = Sxz - Szx
+    SyzpSzy = Syz + Szy
+    SyzmSzy = Syz - Szy
+    SxypSyx = Sxy + Syx
+    SxymSyx = Sxy - Syx
+    SxxpSyy = Sxx + Syy
+    SxxmSyy = Sxx - Syy
+
+    D = Sxy * Sxy + Sxz * Sxz - Syx * Syx - Szx * Szx
+    D = D * D
+    core = -Sxx * Sxx + Syy * Syy + Szz * Szz + Syz * Syz + Szy * Szy
+    E = (core - 2.0 * (Syy * Szz - Syz * Szy)) \
+        * (core + 2.0 * (Syy * Szz - Syz * Szy))
+    F = (-(SxzpSzx) * (SyzmSzy) + (SxymSyx) * (SxxmSyy - Szz)) \
+        * (-(SxzmSzx) * (SyzpSzy) + (SxymSyx) * (SxxmSyy + Szz))
+    G = (-(SxzpSzx) * (SyzpSzy) - (SxypSyx) * (SxxpSyy - Szz)) \
+        * (-(SxzmSzx) * (SyzmSzy) - (SxypSyx) * (SxxpSyy + Szz))
+    H = ((SxypSyx) * (SyzpSzy) + (SxzpSzx) * (SxxmSyy + Szz)) \
+        * (-(SxymSyx) * (SyzmSzy) + (SxzpSzx) * (SxxpSyy + Szz))
+    II = ((SxypSyx) * (SyzmSzy) + (SxzmSzx) * (SxxmSyy - Szz)) \
+        * (-(SxymSyx) * (SyzpSzy) + (SxzmSzx) * (SxxpSyy - Szz))
+    C0 = D + E + F + G + H + II
+
+    inv2 = inv * inv
+    c2 = (-2.0 * fnorm2) * inv2
+    c1 = (-8.0 * det) * inv2 * inv
+    c0 = C0 * inv2 * inv2
+
+    u = jnp.ones_like(c2)
+    for _ in range(qcp.NEWTON_ITERS):
+        u2 = u * u
+        p = u2 * u2 + c2 * u2 + c1 * u + c0
+        dp = u * (4.0 * u2 + 2.0 * c2) + c1
+        step = p / jnp.where(jnp.abs(dp) < 1e-12, 1e-12, dp)
+        u = u - jnp.clip(step, -0.5, 0.5)
+    u = jnp.clip(u, 0.0, 1.0)
+
+    msd = jnp.maximum(gsum - 2.0 * u * lam0, 0.0) / n_atoms_real
+    out_ref[:] = jnp.sqrt(msd)
+
+
+@functools.partial(jax.jit, static_argnames=('n_atoms_real',))
+def _call_pallas(frames_t, centers_t, g_f, g_c, n_atoms_real):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, F, N = frames_t.shape
+    _, C, _ = centers_t.shape
+
+    grid = (F // TILE_F, C // TILE_C)
+    kernel = functools.partial(_kernel, n_atoms_real=float(n_atoms_real))
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, TILE_F, N), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_C, N), lambda i, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_F, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_C, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_F, TILE_C),
+                               lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * F * C * N + 50 * F * C,
+            bytes_accessed=(3 * F * N + 3 * C * N + F * C) * 4,
+            transcendentals=F * C,
+        ),
+    )(frames_t, centers_t, g_f, g_c)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def qcp_rmsd_matrix_pallas(frames, centers, g_frames=None,
+                           g_centers=None, n_atoms=None):
+    """All-pairs minimum RMSD via the fused kernel.
+
+    Parameters mirror :func:`enspara_tpu.ops.qcp.qcp_rmsd_matrix`;
+    structures must be pre-centered. Pads frames/centers/atoms to tile
+    boundaries internally and slices the result.
+    """
+    frames = jnp.asarray(frames, jnp.float32)
+    centers = jnp.asarray(centers, jnp.float32)
+    F, N = frames.shape[0], frames.shape[1]
+    C = centers.shape[0]
+    if n_atoms is None:
+        n_atoms = N
+    if g_frames is None:
+        g_frames = jnp.sum(frames * frames, axis=(-2, -1))
+    if g_centers is None:
+        g_centers = jnp.sum(centers * centers, axis=(-2, -1))
+
+    Fp = _round_up(F, TILE_F)
+    Cp = _round_up(C, TILE_C)
+    Np = _round_up(N, 128)
+
+    frames_t = jnp.transpose(frames, (2, 0, 1))   # (3, F, N)
+    centers_t = jnp.transpose(centers, (2, 0, 1))
+    frames_t = jnp.pad(frames_t, ((0, 0), (0, Fp - F), (0, Np - N)))
+    centers_t = jnp.pad(centers_t, ((0, 0), (0, Cp - C), (0, Np - N)))
+    # padded structures need positive G so lam0 > 0 (rmsd rows/cols are
+    # sliced away)
+    gf = jnp.pad(jnp.asarray(g_frames, jnp.float32), (0, Fp - F),
+                 constant_values=1.0).reshape(-1, 1)
+    gc = jnp.pad(jnp.asarray(g_centers, jnp.float32), (0, Cp - C),
+                 constant_values=1.0).reshape(-1, 1)
+
+    out = _call_pallas(frames_t, centers_t, gf, gc, int(n_atoms))
+    return out[:F, :C]

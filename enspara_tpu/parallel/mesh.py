@@ -60,21 +60,34 @@ def shard_frames(arr, mesh=None, pad_value=0):
 
     Returns ``(sharded_array, n_valid)``.
     """
+    import jax.numpy as jnp
+
     if mesh is None:
         mesh = frame_mesh()
     d = mesh.shape[FRAME_AXIS]
-    arr = np.asarray(arr)
+    sharding = NamedSharding(mesh, P(FRAME_AXIS))
+
     n = arr.shape[0]
     n_pad = pad_to_multiple(max(n, d), d)
+
+    if isinstance(arr, jax.Array):
+        # already on device: pad/reshard with device ops, never via host
+        if n_pad != n:
+            pad_width = [(0, n_pad - n)] + [(0, 0)] * (arr.ndim - 1)
+            arr = jnp.pad(arr, pad_width, constant_values=pad_value)
+        return jax.device_put(arr, sharding), n
+
+    arr = np.asarray(arr)
     if n_pad != n:
         pad = np.full((n_pad - n,) + arr.shape[1:], pad_value,
                       dtype=arr.dtype)
         arr = np.concatenate([arr, pad])
-    sharding = NamedSharding(mesh, P(FRAME_AXIS))
     return jax.device_put(arr, sharding), n
 
 
 def replicated(arr, mesh=None):
     if mesh is None:
         mesh = frame_mesh()
-    return jax.device_put(np.asarray(arr), NamedSharding(mesh, P()))
+    if not isinstance(arr, jax.Array):
+        arr = np.asarray(arr)
+    return jax.device_put(arr, NamedSharding(mesh, P()))
