@@ -201,21 +201,65 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
 # batched assignment: every frame to its nearest center
 # ---------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=('metric',))
-def _assign_all(data, centers, metric):
-    """Distances of all frames to all centers via a scan over center
-    blocks (bounds peak memory at (n, block)); first-min tie break
-    matches the reference's strict-< update loop."""
-    dist_fn = _METRIC_TO_FRAME[metric]
+def _pairwise_block(data, cblock, metric):
+    """(n, B) distances from all frames to one block of centers, as one
+    batched MXU computation."""
+    if metric == 'rmsd':
+        g_data = jnp.sum(data * data, axis=(-2, -1))
+        g_c = jnp.sum(cblock * cblock, axis=(-2, -1))
+        return qcp.qcp_rmsd_matrix(data, cblock, g_data, g_c)
+    if metric in ('euclidean',):
+        from ..ops.distances import pairwise_euclidean
+        return pairwise_euclidean(data, cblock)
+    if metric in ('manhattan', 'cityblock'):
+        return jnp.sum(jnp.abs(data[:, None, :] - cblock[None, :, :]),
+                       axis=-1)
+    if metric == 'hamming':
+        return jnp.mean((data[:, None, :] != cblock[None, :, :])
+                        .astype(jnp.float32), axis=-1)
+    raise ValueError(metric)
 
-    def to_center(c):
-        return dist_fn(data, c)
 
+@functools.partial(jax.jit, static_argnames=('metric', 'k_real'))
+def _assign_all(data, centers, metric, k_real=None):
+    """Assign every frame to its nearest center: a scan over center
+    blocks carrying the running (min distance, argmin) — peak memory is
+    (n, block) regardless of k, and each block is one batched MXU
+    computation. First-min tie break matches the reference's strict-<
+    update loop."""
+    n = data.shape[0]
     k = centers.shape[0]
-    d_all = jax.lax.map(to_center, centers,
-                        batch_size=min(512, k))  # (k, n)
-    assigs = jnp.argmin(d_all, axis=0).astype(jnp.int32)
-    dists = jnp.min(d_all, axis=0)
+    if k_real is None:
+        k_real = k
+    block = min(512, k)
+    n_blocks = (k + block - 1) // block
+    k_pad = n_blocks * block
+    if k_pad != k:
+        pad = [(0, k_pad - k)] + [(0, 0)] * (centers.ndim - 1)
+        centers = jnp.pad(centers, pad)
+    cblocks = centers.reshape((n_blocks, block) + centers.shape[1:])
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        b_idx, cblock = inp
+        d = _pairwise_block(data, cblock, metric)      # (n, block)
+        # mask padded centers (indices >= k_real)
+        cid = b_idx * block + jnp.arange(block)
+        d = jnp.where(cid[None, :] < k_real, d, jnp.inf)
+        local_arg = jnp.argmin(d, axis=1)
+        local_min = jnp.take_along_axis(
+            d, local_arg[:, None], axis=1)[:, 0]
+        upd = local_min < best_d
+        best_d = jnp.where(upd, local_min, best_d)
+        best_i = jnp.where(upd,
+                           (b_idx * block + local_arg).astype(jnp.int32),
+                           best_i)
+        return (best_d, best_i), None
+
+    init = (jnp.full((n,), jnp.inf, jnp.float32),
+            jnp.zeros((n,), jnp.int32))
+    (dists, assigs), _ = jax.lax.scan(
+        step, init, (jnp.arange(n_blocks), cblocks))
     return assigs, dists
 
 
@@ -235,6 +279,7 @@ def assign_device(X, centers, metric='euclidean', mesh=None):
         if not isinstance(centers_host, jax.Array) else centers_host
     if metric == 'rmsd' and not isinstance(centers, jax.Array):
         centers_r = _center_structures(centers_r)
-    assigs, dists = _assign_all(data_sh, centers_r, metric)
+    assigs, dists = _assign_all(data_sh, centers_r, metric,
+                                k_real=int(centers_r.shape[0]))
     return (np.asarray(assigs)[:n].astype(np.int64),
             np.asarray(dists)[:n].astype(np.float64))

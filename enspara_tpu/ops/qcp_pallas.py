@@ -44,7 +44,8 @@ def _kernel(ft_ref, ct_ref, gf_ref, gc_ref, out_ref, *, n_atoms_real):
             S[i][j] = jax.lax.dot_general(
                 fi, cj,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (TF, TC)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (TF, TC)
 
     Sxx, Sxy, Sxz = S[0]
     Syx, Syy, Syz = S[1]
@@ -105,8 +106,10 @@ def _kernel(ft_ref, ct_ref, gf_ref, gc_ref, out_ref, *, n_atoms_real):
     out_ref[:] = jnp.sqrt(msd)
 
 
-@functools.partial(jax.jit, static_argnames=('n_atoms_real',))
-def _call_pallas(frames_t, centers_t, g_f, g_c, n_atoms_real):
+@functools.partial(jax.jit,
+                   static_argnames=('n_atoms_real', 'interpret'))
+def _call_pallas(frames_t, centers_t, g_f, g_c, n_atoms_real,
+                 interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -140,6 +143,7 @@ def _call_pallas(frames_t, centers_t, g_f, g_c, n_atoms_real):
             bytes_accessed=(3 * F * N + 3 * C * N + F * C) * 4,
             transcendentals=F * C,
         ),
+        interpret=interpret,
     )(frames_t, centers_t, g_f, g_c)
 
 
@@ -148,7 +152,8 @@ def _round_up(x, m):
 
 
 def qcp_rmsd_matrix_pallas(frames, centers, g_frames=None,
-                           g_centers=None, n_atoms=None):
+                           g_centers=None, n_atoms=None,
+                           interpret=None):
     """All-pairs minimum RMSD via the fused kernel.
 
     Parameters mirror :func:`enspara_tpu.ops.qcp.qcp_rmsd_matrix`;
@@ -181,5 +186,8 @@ def qcp_rmsd_matrix_pallas(frames, centers, g_frames=None,
     gc = jnp.pad(jnp.asarray(g_centers, jnp.float32), (0, Cp - C),
                  constant_values=1.0).reshape(-1, 1)
 
-    out = _call_pallas(frames_t, centers_t, gf, gc, int(n_atoms))
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    out = _call_pallas(frames_t, centers_t, gf, gc, int(n_atoms),
+                       interpret=bool(interpret))
     return out[:F, :C]
