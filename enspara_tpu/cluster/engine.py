@@ -263,6 +263,59 @@ def _assign_all(data, centers, metric, k_real=None):
     return assigs, dists
 
 
+@functools.partial(jax.jit, static_argnames=('k_real',))
+def _assign_all_rmsd_pallas(data, centers, k_real):
+    """RMSD nearest-center assignment through the fused Pallas kernel,
+    scanning center blocks with a running min. Single-device path (the
+    kernel is not SPMD-partitioned yet)."""
+    from ..ops.qcp_pallas import _call_pallas, TILE_F, TILE_C
+
+    n, A = data.shape[0], data.shape[1]
+    k = centers.shape[0]
+    block = TILE_C
+    n_blocks = (k + block - 1) // block
+    k_pad = n_blocks * block
+    n_pad = ((n + TILE_F - 1) // TILE_F) * TILE_F
+    A_pad = ((A + 127) // 128) * 128
+
+    g_data = jnp.sum(data * data, axis=(-2, -1))
+    g_c = jnp.sum(centers * centers, axis=(-2, -1))
+
+    data_t = jnp.pad(jnp.transpose(data, (2, 0, 1)),
+                     ((0, 0), (0, n_pad - n), (0, A_pad - A)))
+    centers_t = jnp.pad(jnp.transpose(centers, (2, 0, 1)),
+                        ((0, 0), (0, k_pad - k), (0, A_pad - A)))
+    gf = jnp.pad(g_data, (0, n_pad - n),
+                 constant_values=1.0).reshape(-1, 1)
+    gc = jnp.pad(g_c, (0, k_pad - k),
+                 constant_values=1.0).reshape(-1, 1)
+
+    cblocks = centers_t.reshape(3, n_blocks, block, A_pad) \
+        .transpose(1, 0, 2, 3)                     # (nb, 3, block, A)
+    gc_blocks = gc.reshape(n_blocks, block, 1)
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        b_idx, cb, gcb = inp
+        d = _call_pallas(data_t, cb, gf, gcb, int(A))   # (n_pad, block)
+        cid = b_idx * block + jnp.arange(block)
+        d = jnp.where(cid[None, :] < k_real, d, jnp.inf)
+        local_arg = jnp.argmin(d, axis=1)
+        local_min = jnp.take_along_axis(
+            d, local_arg[:, None], axis=1)[:, 0]
+        upd = local_min < best_d
+        best_d = jnp.where(upd, local_min, best_d)
+        best_i = jnp.where(
+            upd, (b_idx * block + local_arg).astype(jnp.int32), best_i)
+        return (best_d, best_i), None
+
+    init = (jnp.full((n_pad,), jnp.inf, jnp.float32),
+            jnp.zeros((n_pad,), jnp.int32))
+    (dists, assigs), _ = jax.lax.scan(
+        step, init, (jnp.arange(n_blocks), cblocks, gc_blocks))
+    return assigs[:n], dists[:n]
+
+
 def assign_device(X, centers, metric='euclidean', mesh=None):
     """Assign every frame to its nearest center on the mesh — the
     batched device form of the reference's ``assign_to_nearest_center``
@@ -279,7 +332,14 @@ def assign_device(X, centers, metric='euclidean', mesh=None):
         if not isinstance(centers_host, jax.Array) else centers_host
     if metric == 'rmsd' and not isinstance(centers, jax.Array):
         centers_r = _center_structures(centers_r)
-    assigs, dists = _assign_all(data_sh, centers_r, metric,
-                                k_real=int(centers_r.shape[0]))
+    use_pallas = (metric == 'rmsd'
+                  and jax.default_backend() == 'tpu'
+                  and mesh.size == 1)
+    if use_pallas:
+        assigs, dists = _assign_all_rmsd_pallas(
+            data_sh, centers_r, k_real=int(centers_r.shape[0]))
+    else:
+        assigs, dists = _assign_all(data_sh, centers_r, metric,
+                                    k_real=int(centers_r.shape[0]))
     return (np.asarray(assigs)[:n].astype(np.int64),
             np.asarray(dists)[:n].astype(np.float64))
