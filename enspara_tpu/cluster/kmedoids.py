@@ -189,12 +189,28 @@ def _kmedoids_pam_update(X, metric, medoid_inds, assignments, distances,
         new_dist[dst_up_other] = distances[dst_up_other]
 
         # case 3: farther, but the frame was assigned to cid -> must be
-        # re-assigned against ALL medoids (with cid replaced)
+        # re-assigned against ALL medoids (with cid replaced). For the
+        # named metrics this is ONE batched device call over the
+        # ambiguous subset (the reference loops all k medoids on the
+        # host, kmedoids.py:666)
         dst_up_this = (distances <= new_ctr_dist) & (assignments == cid)
         new_medoids = medoid_coords.copy()
         new_medoids[cid] = proposed_center
-        ambig_assigs, ambig_dists = util.assign_to_nearest_center(
-            X[dst_up_this], new_medoids, metric)
+        metric_name = util._metric_name(metric)
+        if metric_name is not None and np.count_nonzero(dst_up_this):
+            from . import engine
+            subset = X[dst_up_this]
+            subset = subset.xyz if hasattr(subset, 'xyz') else \
+                np.asarray(subset)
+            ambig_assigs, ambig_dists = engine.assign_device(
+                subset,
+                np.stack([np.asarray(m.xyz[0])
+                          if hasattr(m, 'xyz') else np.asarray(m)
+                          for m in new_medoids]),
+                metric_name)
+        else:
+            ambig_assigs, ambig_dists = util.assign_to_nearest_center(
+                X[dst_up_this], new_medoids, metric)
         new_assig[dst_up_this] = ambig_assigs
         new_dist[dst_up_this] = ambig_dists
 

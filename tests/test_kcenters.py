@@ -114,3 +114,45 @@ def test_assign_device_rmsd():
     assert_array_equal(a, want_d.argmin(1))
     # fp32 QCP noise floor near rmsd=0 is sqrt(G*eps32/N) ~ 1e-3
     assert_allclose(d, want_d.min(1), rtol=1e-4, atol=1e-3)
+
+
+def test_kcenters_sharded_matches_single_device():
+    """Explicit 1-device vs 8-device mesh equivalence (the TPU analogue
+    of the reference's serial-vs-MPI oracle, SURVEY.md §4)."""
+    import jax
+    from jax.sharding import Mesh
+    from enspara_tpu.cluster.engine import kcenters_device
+    from enspara_tpu.parallel.mesh import FRAME_AXIS
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(203, 6)).astype(np.float32)  # odd n -> padding
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), (FRAME_AXIS,))
+    mesh8 = Mesh(np.array(jax.devices()), (FRAME_AXIS,))
+
+    r1 = kcenters_device(X, 'euclidean', n_clusters=12, mesh=mesh1)
+    r8 = kcenters_device(X, 'euclidean', n_clusters=12, mesh=mesh8)
+
+    assert_array_equal(r1.center_indices, r8.center_indices)
+    assert_array_equal(r1.assignments, r8.assignments)
+    assert_allclose(r1.distances, r8.distances, rtol=1e-6)
+
+
+def test_kcenters_rmsd_sharded_matches_single_device():
+    import jax
+    from jax.sharding import Mesh
+    from enspara_tpu.cluster.engine import kcenters_device
+    from enspara_tpu.parallel.mesh import FRAME_AXIS
+
+    rng = np.random.default_rng(12)
+    X = rng.normal(size=(97, 17, 3)).astype(np.float32)
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), (FRAME_AXIS,))
+    mesh8 = Mesh(np.array(jax.devices()), (FRAME_AXIS,))
+
+    r1 = kcenters_device(X, 'rmsd', n_clusters=7, mesh=mesh1)
+    r8 = kcenters_device(X, 'rmsd', n_clusters=7, mesh=mesh8)
+
+    assert_array_equal(r1.center_indices, r8.center_indices)
+    assert_array_equal(r1.assignments, r8.assignments)
+    assert_allclose(r1.distances, r8.distances, rtol=1e-5, atol=1e-6)
