@@ -1,0 +1,143 @@
+"""Fully-on-device k-medoids (PAM) sweeps.
+
+The host path (cluster/kmedoids.py) dispatches ~3k device calls per
+sweep; here the ENTIRE sweep — proposal sampling, distance kernel,
+3-case update, ambiguous-subset reassignment, cost test — is one jitted
+``lax.fori_loop`` over medoids.
+
+Exactness under static shapes: the reference recomputes nearest medoids
+only for the 'ambiguous' frames (assigned to the replaced medoid whose
+distance increased, kmedoids.py:637-670) — a dynamic-size set. We
+gather those frames into a fixed-size bucket of ``M = bucket_factor *
+n/k`` slots. When the true ambiguous count fits the bucket (tracked in
+``overflow``), the update is exactly PAM; overflow cases fall back to
+keeping the proposal rejected for safety.
+
+Randomness uses jax PRNG (uniform over the proposal cluster's members,
+reproducing the reference's `_propose_new_center_amongst` semantics,
+kmedoids.py:482) — deterministic for a given key and independent of
+mesh shape (SURVEY.md 'hard parts').
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import engine
+
+__all__ = ['kmedoids_sweeps_device']
+
+
+@functools.partial(
+    jax.jit, static_argnames=('metric', 'n_sweeps', 'bucket'))
+def _pam_sweeps(data, valid, d1, a1, medoid_inds, key, metric,
+                n_sweeps, bucket):
+    n = data.shape[0]
+    k = medoid_inds.shape[0]
+    dist_fn = engine._METRIC_TO_FRAME[metric]
+
+    def cost(d):
+        return jnp.sum(jnp.where(valid, d * d, 0.0)) / jnp.sum(valid)
+
+    def one_proposal(cid, state):
+        d1, a1, medoid_inds, key = state
+        key, k_prop = jax.random.split(key)
+
+        members = (a1 == cid) & valid
+        count = jnp.sum(members)
+
+        # uniform member: index of the u-th occurrence
+        u = jax.random.randint(k_prop, (), 0, jnp.maximum(count, 1))
+        order = jnp.cumsum(members) - 1
+        p_idx = jnp.argmax(members & (order == u)).astype(jnp.int32)
+
+        pc = data[p_idx]
+        dnew = dist_fn(data, pc)
+
+        dst_dn = (d1 > dnew) & valid
+        dst_up_this = (d1 <= dnew) & (a1 == cid) & valid
+
+        # fixed-size bucket of ambiguous frames
+        amb_idx = jnp.nonzero(dst_up_this, size=bucket,
+                              fill_value=n - 1)[0]
+        amb_real = dst_up_this[amb_idx]
+        overflow = jnp.sum(dst_up_this) > bucket
+
+        sub = data[amb_idx]                         # (bucket, ...)
+        medoids = data[medoid_inds].at[cid].set(pc)  # (k, ...)
+        d_amb = engine._pairwise_block(sub, medoids, metric)
+        amb_a = jnp.argmin(d_amb, axis=1).astype(jnp.int32)
+        amb_d = jnp.min(d_amb, axis=1)
+
+        new_d = jnp.where(dst_dn, dnew, d1)
+        new_a = jnp.where(dst_dn, cid, a1)
+        new_d = new_d.at[amb_idx].set(
+            jnp.where(amb_real, amb_d, new_d[amb_idx]))
+        new_a = new_a.at[amb_idx].set(
+            jnp.where(amb_real, amb_a, new_a[amb_idx]))
+
+        accept = (cost(new_d) < cost(d1)) & (count > 0) & ~overflow
+        d1 = jnp.where(accept, new_d, d1)
+        a1 = jnp.where(accept, new_a, a1)
+        medoid_inds = medoid_inds.at[cid].set(
+            jnp.where(accept, p_idx, medoid_inds[cid]))
+        return (d1, a1, medoid_inds, key)
+
+    def one_sweep(_, state):
+        return jax.lax.fori_loop(0, k, one_proposal, state)
+
+    d1, a1, medoid_inds, key = jax.lax.fori_loop(
+        0, n_sweeps, one_sweep, (d1, a1, medoid_inds, key))
+    return d1, a1, medoid_inds
+
+
+def kmedoids_sweeps_device(X, metric, assignments, distances,
+                           medoid_inds, n_sweeps=5, bucket_factor=8,
+                           seed=0, mesh=None):
+    """Run ``n_sweeps`` device PAM sweeps from a warm start.
+
+    Parameters
+    ----------
+    X : (n, d) features or (n, n_atoms, 3) coordinates.
+    metric : 'rmsd' | 'euclidean' | 'manhattan' | 'hamming'.
+    assignments, distances : warm-start state (e.g. from k-centers).
+    medoid_inds : (k,) current medoid frame indices.
+    bucket_factor : ambiguous-bucket size in units of n/k.
+    seed : jax PRNG seed (deterministic for a given seed).
+
+    Returns ``(medoid_inds, distances, assignments)`` as numpy arrays.
+    """
+    import jax
+
+    from ..parallel import mesh as pmesh
+
+    if mesh is None:
+        mesh = pmesh.frame_mesh()
+    n = len(X)
+    k = len(medoid_inds)
+    bucket = int(min(n, max(64, bucket_factor * ((n + k - 1) // k))))
+
+    data_sh, _ = engine.prepare_sharded(X, metric, mesh)
+    n_pad = data_sh.shape[0]
+
+    valid = np.zeros(n_pad, dtype=bool)
+    valid[:n] = True
+    d1 = np.full(n_pad, np.inf, np.float32)
+    d1[:n] = distances
+    a1 = np.full(n_pad, -1, np.int32)
+    a1[:n] = assignments
+
+    d1_sh, _ = pmesh.shard_frames(d1, mesh)
+    a1_sh, _ = pmesh.shard_frames(a1, mesh)
+    valid_sh, _ = pmesh.shard_frames(valid, mesh)
+
+    d1_out, a1_out, m_out = _pam_sweeps(
+        data_sh, valid_sh, d1_sh, a1_sh,
+        jnp.asarray(np.asarray(medoid_inds, dtype=np.int32)),
+        jax.random.PRNGKey(seed), metric, int(n_sweeps), bucket)
+
+    return (np.asarray(m_out).astype(np.int64),
+            np.asarray(d1_out)[:n].astype(np.float64),
+            np.asarray(a1_out)[:n].astype(np.int64))

@@ -76,3 +76,31 @@ def hybrid(X, distance_method, n_iters=5, n_clusters=None,
         np.asarray(result.assignments),
         np.asarray(result.distances),
         random_state=random_state)
+
+
+def hybrid_device(X, metric='rmsd', n_iters=5, n_clusters=None,
+                  dist_cutoff=None, seed=0, bucket_factor=8,
+                  mesh=None):
+    """Fully-on-device k-hybrid: the k-centers while_loop seeds a
+    device PAM sweep loop (engine_kmedoids) — zero per-proposal host
+    dispatches. The scale path for khybrid on pods.
+
+    Returns a ClusterResult (centers gathered host-side at the end).
+    """
+    import numpy as np
+    from . import engine
+    from .engine_kmedoids import kmedoids_sweeps_device
+
+    res = engine.kcenters_device(
+        X, metric=metric, n_clusters=n_clusters,
+        dist_cutoff=dist_cutoff, mesh=mesh)
+
+    m, d, a = kmedoids_sweeps_device(
+        X, metric, res.assignments, res.distances,
+        res.center_indices, n_sweeps=n_iters, seed=seed,
+        bucket_factor=bucket_factor, mesh=mesh)
+
+    centers = [np.asarray(X[i]) for i in m]
+    return util.ClusterResult(center_indices=list(m),
+                              assignments=a, distances=d,
+                              centers=centers)

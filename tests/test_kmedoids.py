@@ -83,3 +83,63 @@ def test_kmedoids_rmsd():
     labels = res.assignments
     assert len(np.unique(labels[::2])) == 1
     assert len(np.unique(labels[1::2])) == 1
+
+
+def test_device_pam_sweeps_reduce_cost():
+    from enspara_tpu.cluster.engine_kmedoids import kmedoids_sweeps_device
+
+    rng = np.random.default_rng(10)
+    X = np.concatenate([rng.normal(size=(100, 4)) + off
+                        for off in (0, 6, 12)]).astype(np.float32)
+    seed = kcenters(X, 'euclidean', n_clusters=6)
+    c0 = _msq(seed.distances)
+
+    m, d, a = kmedoids_sweeps_device(
+        X, 'euclidean', seed.assignments, seed.distances,
+        np.asarray(seed.center_indices), n_sweeps=5, seed=0)
+    assert _msq(d) <= c0 + 1e-12
+    # medoids are members with ~zero self distance
+    assert np.all(d[m] < 1e-5)
+    # assignments consistent with medoid set
+    assert set(np.unique(a)) <= set(range(6))
+    # determinism
+    m2, d2, a2 = kmedoids_sweeps_device(
+        X, 'euclidean', seed.assignments, seed.distances,
+        np.asarray(seed.center_indices), n_sweeps=5, seed=0)
+    assert_array_equal(m, m2)
+    assert_array_equal(a, a2)
+
+
+def test_device_pam_sweeps_rmsd():
+    from enspara_tpu.cluster.engine_kmedoids import kmedoids_sweeps_device
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(2, 15, 3)).astype(np.float32)
+    X = np.array([base[i % 2] + rng.normal(size=(15, 3)) * 0.05
+                  for i in range(60)], dtype=np.float32)
+    seed = kcenters(X, 'rmsd', n_clusters=2)
+    m, d, a = kmedoids_sweeps_device(
+        X, 'rmsd', seed.assignments, seed.distances,
+        np.asarray(seed.center_indices), n_sweeps=3, seed=1)
+    assert _msq(d) <= _msq(seed.distances) + 1e-9
+    assert len(np.unique(a[::2])) == 1
+    assert len(np.unique(a[1::2])) == 1
+
+
+def test_hybrid_device_end_to_end():
+    from enspara_tpu.cluster import hybrid_device
+
+    rng = np.random.default_rng(12)
+    X = np.concatenate([rng.normal(size=(80, 3)) + off
+                        for off in (0, 8)]).astype(np.float32)
+    seed = kcenters(X, 'euclidean', n_clusters=2)
+    res = hybrid_device(X, 'euclidean', n_iters=3, n_clusters=2,
+                        seed=0)
+    assert len(res.center_indices) == 2
+    # PAM refinement should not be worse than the kcenters seed and
+    # should land near the per-cluster chi^2_3 mean (~3)
+    assert _msq(res.distances) <= _msq(seed.distances) + 1e-9
+    assert _msq(res.distances) < 6.0
+    labels = res.assignments
+    assert len(np.unique(labels[:80])) == 1
+    assert len(np.unique(labels[80:])) == 1
