@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""North-star pipeline benchmark (BASELINE.md): k-centers-cluster 1M
+frames to 1000 states + top-20 implied timescales, on whatever devices
+are present. Prints a JSON dict of stage timings.
+
+The reference target is <60 s on a v5p-8 (>=100x single-node MPI
+enspara); this script reports per-stage wall time so single-chip runs
+extrapolate.
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_FRAMES = 1_000_000
+N_ATOMS = 64
+N_CLUSTERS = 1000
+LAG = 10
+
+
+def main():
+    from enspara_tpu.util.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    from enspara_tpu.cluster.engine import (kcenters_device,
+                                            prepare_sharded)
+    from enspara_tpu.msm import builders
+    from enspara_tpu.msm.eigen_device import eigenspectrum_reversible
+    from enspara_tpu.msm.transition_matrices import \
+        assigns_to_counts_device
+    from enspara_tpu.parallel import frame_mesh
+
+    timings = {}
+    rng = np.random.default_rng(0)
+
+    t0 = time.perf_counter()
+    base = rng.normal(size=(N_ATOMS, 3)).astype(np.float32)
+    drift = rng.normal(size=(N_FRAMES, 1, 1)).astype(np.float32)
+    noise = rng.normal(size=(N_FRAMES, N_ATOMS, 3)).astype(np.float32)
+    frames = base[None] + 0.3 * drift * base[None] + 0.1 * noise
+    del drift, noise
+    timings['synthesize_data_s'] = round(time.perf_counter() - t0, 2)
+
+    mesh = frame_mesh()
+
+    t0 = time.perf_counter()
+    data_sh, _ = prepare_sharded(frames, 'rmsd', mesh)
+    np.asarray(jax.numpy.sum(data_sh[0]))  # force placement
+    timings['host_to_hbm_s'] = round(time.perf_counter() - t0, 2)
+
+    # compile (cached across runs)
+    t0 = time.perf_counter()
+    kcenters_device(data_sh, metric='rmsd', n_clusters=2,
+                    k_max=N_CLUSTERS, mesh=mesh)
+    timings['compile_s'] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    res = kcenters_device(data_sh, metric='rmsd',
+                          n_clusters=N_CLUSTERS, k_max=N_CLUSTERS,
+                          mesh=mesh)
+    timings['kcenters_1000_s'] = round(time.perf_counter() - t0, 2)
+    assert res.n_found == N_CLUSTERS
+
+    t0 = time.perf_counter()
+    assigns = res.assignments.reshape(100, -1)  # 100 pseudo-trajs
+    counts = np.asarray(assigns_to_counts_device(
+        assigns, np.ones_like(assigns, dtype=bool), LAG, N_CLUSTERS))
+    timings['transition_counts_s'] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    _, T, pi = builders.transpose(counts.astype(np.float64))
+    timings['builder_s'] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    vals, _ = eigenspectrum_reversible(T, pi=pi, n_eigs=21,
+                                       method='eigh')
+    ts = -LAG / np.log(np.clip(vals[1:21], 1e-30, 1 - 1e-12))
+    timings['top20_timescales_s'] = round(time.perf_counter() - t0, 2)
+
+    timings['pipeline_total_s'] = round(sum(
+        v for k, v in timings.items()
+        if k.endswith('_s') and k not in ('synthesize_data_s',
+                                          'compile_s')), 2)
+    timings['n_devices'] = len(jax.devices())
+    timings['pairs_per_sec'] = round(
+        N_FRAMES * N_CLUSTERS / timings['kcenters_1000_s'], 0)
+    print(json.dumps(timings))
+
+
+if __name__ == '__main__':
+    main()

@@ -181,3 +181,31 @@ def test_exposons_from_sasas():
     assert mi.shape == (6, 6)
     assert len(set(labels[:3])) == 1
     assert len(set(labels[3:])) == 1
+
+
+def test_mi_zero_and_nonzero_patterns():
+    """Deterministic alternating patterns (reference:
+    test_mutual_info.py:108-198): independent alternations give zero
+    MI; identical alternations give log(2)."""
+    n = 1000
+    a = np.zeros((n, 2), dtype=int)
+    a[::2, 0] = 1          # feature 0 alternates every frame
+    a[::4, 1] = 1
+    a[1::4, 1] = 1          # feature 1 alternates every other frame
+    mi = mutual_info.mi_matrix([a], [a], [2, 2], [2, 2],
+                               normalize=False)
+    assert abs(mi[0, 1]) < 1e-3          # independent
+    b = np.stack([a[:, 0], a[:, 0]], axis=1)
+    mi2 = mutual_info.mi_matrix([b], [b], [2, 2], [2, 2],
+                                normalize=False)
+    assert_allclose(mi2[0, 1], np.log(2), rtol=1e-6)
+    # channel-capacity normalized: exactly 1
+    mi3 = mutual_info.mi_matrix([b], [b], [2, 2], [2, 2],
+                                normalize=True)
+    assert_allclose(mi3[0, 1], 1.0, rtol=1e-6)
+
+
+def test_check_features_states_validation():
+    with pytest.raises(DataInvalid):
+        mutual_info.check_features_states(
+            [np.zeros((5, 3))], n_states=[2, 2])
