@@ -218,3 +218,31 @@ def test_pockets_synthetic_cavity():
     assert len(out) == 1
     assert out[0] is not None
     assert out[0].top.residue(0).name == 'POK'
+
+
+@pytest.mark.skipif(not HAVE_REF, reason='reference data not present')
+def test_exposons_end_to_end_real_structure():
+    """Full exposons pipeline (SASA kernel -> sidechain condensation ->
+    weighted MI -> AffinityPropagation) on the bundled beta-peptide."""
+    from enspara_tpu.info_theory.exposons import exposons
+
+    pdb = io.load(os.path.join(REF_DATA, 'beta-peptide.pdb'))
+    trj = io.load(os.path.join(REF_DATA, 'beta-peptide.xtc'),
+                  top=pdb.top)[:20]
+    mi, labels = exposons(trj, damping=0.9, threshold=0.02)
+    n_res = pdb.top.n_residues
+    assert mi.shape == (n_res, n_res)
+    assert labels.shape == (n_res,)
+    assert np.allclose(mi, mi.T, atol=1e-10)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason='reference data not present')
+def test_sasa_real_structure_magnitudes():
+    """Per-residue SASA of the beta-peptide lands in the physically
+    expected range (a few nm^2 per residue)."""
+    pdb = io.load(os.path.join(REF_DATA, 'beta-peptide.pdb'))
+    out = sasa.shrake_rupley(pdb, probe_radius=0.14,
+                             n_sphere_points=256, mode='residue')
+    assert out.shape == (1, pdb.top.n_residues)
+    assert (out > 0).all()
+    assert out.sum() < 100  # nm^2, sane total for a small peptide
