@@ -177,6 +177,8 @@ def main(argv=None):
     """(reference: apps/cluster.py:287)"""
     if argv is None:
         argv = sys.argv
+    from ..util.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     args = process_command_line(argv)
 
     lengths, data = util.load_trjs_or_features(args)

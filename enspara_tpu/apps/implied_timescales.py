@@ -103,6 +103,8 @@ def process_units(timestep=None, infer_timestep=None):
 def main(argv=None):
     if argv is None:
         argv = sys.argv
+    from ..util.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     args = process_command_line(argv)
 
     assignments = ra.load(args.assignments)

@@ -69,6 +69,8 @@ def process_command_line(argv):
 def main(argv=None):
     if argv is None:
         argv = sys.argv
+    from ..util.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     args = process_command_line(argv)
 
     tick = time.perf_counter()

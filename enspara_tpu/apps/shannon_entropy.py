@@ -139,6 +139,8 @@ def save_all_entropies(entropies, residues, filename):
 def main(argv=None):
     if argv is None:
         argv = sys.argv
+    from ..util.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     args = process_command_line(argv)
 
     from .. import io as io_mod

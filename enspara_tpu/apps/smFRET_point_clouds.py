@@ -79,6 +79,8 @@ def process_command_line(argv):
 def main(argv=None):
     if argv is None:
         argv = sys.argv
+    from ..util.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     args = process_command_line(argv)
 
     from .. import io as io_mod
