@@ -37,17 +37,26 @@ def main():
     from enspara_tpu.cluster.engine import kcenters_device, prepare_sharded
     from enspara_tpu.parallel import frame_mesh
 
-    rng = np.random.default_rng(42)
-    # correlated random walk so clustering structure is nontrivial
-    base = rng.normal(size=(N_ATOMS, 3)).astype(np.float32)
-    drift = rng.normal(size=(N_FRAMES, 1, 1)).astype(np.float32)
-    noise = rng.normal(size=(N_FRAMES, N_ATOMS, 3)).astype(np.float32)
-    frames = base[None] + 0.3 * drift * base[None] + 0.1 * noise
+    import jax
+    import jax.numpy as jnp
 
     mesh = frame_mesh()
 
-    # one-time host->HBM placement + on-device precentering
-    data_sh, _ = prepare_sharded(frames, 'rmsd', mesh)
+    # synthesize the dataset directly in HBM (no host->device
+    # transfer): a correlated random walk so clustering structure is
+    # nontrivial; precentered for the QCP kernels
+    @jax.jit
+    def synth(key):
+        kb, kd, kn = jax.random.split(key, 3)
+        base = jax.random.normal(kb, (N_ATOMS, 3), jnp.float32)
+        drift = jax.random.normal(kd, (N_FRAMES, 1, 1), jnp.float32)
+        noise = jax.random.normal(kn, (N_FRAMES, N_ATOMS, 3),
+                                  jnp.float32)
+        frames = base[None] + 0.3 * drift * base[None] + 0.1 * noise
+        return frames - jnp.mean(frames, axis=1, keepdims=True)
+
+    data_sh, _ = prepare_sharded(synth(jax.random.PRNGKey(42)),
+                                 'rmsd', mesh)
 
     # compile at the real shapes (tiny k, same static k_max)
     kcenters_device(data_sh, metric='rmsd', n_clusters=2,

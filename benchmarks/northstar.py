@@ -31,23 +31,29 @@ def main():
         assigns_to_counts_device
     from enspara_tpu.parallel import frame_mesh
 
+    import jax.numpy as jnp
+
     timings = {}
-    rng = np.random.default_rng(0)
-
-    t0 = time.perf_counter()
-    base = rng.normal(size=(N_ATOMS, 3)).astype(np.float32)
-    drift = rng.normal(size=(N_FRAMES, 1, 1)).astype(np.float32)
-    noise = rng.normal(size=(N_FRAMES, N_ATOMS, 3)).astype(np.float32)
-    frames = base[None] + 0.3 * drift * base[None] + 0.1 * noise
-    del drift, noise
-    timings['synthesize_data_s'] = round(time.perf_counter() - t0, 2)
-
     mesh = frame_mesh()
 
+    # synthesize in HBM directly (no host->device transfer)
     t0 = time.perf_counter()
-    data_sh, _ = prepare_sharded(frames, 'rmsd', mesh)
-    np.asarray(jax.numpy.sum(data_sh[0]))  # force placement
-    timings['host_to_hbm_s'] = round(time.perf_counter() - t0, 2)
+
+    @jax.jit
+    def synth(key):
+        kb, kd, kn = jax.random.split(key, 3)
+        base = jax.random.normal(kb, (N_ATOMS, 3), jnp.float32)
+        drift = jax.random.normal(kd, (N_FRAMES, 1, 1), jnp.float32)
+        noise = jax.random.normal(kn, (N_FRAMES, N_ATOMS, 3),
+                                  jnp.float32)
+        frames = base[None] + 0.3 * drift * base[None] + 0.1 * noise
+        return frames - jnp.mean(frames, axis=1, keepdims=True)
+
+    data_sh, _ = prepare_sharded(synth(jax.random.PRNGKey(0)),
+                                 'rmsd', mesh)
+    np.asarray(jnp.sum(data_sh[0]))  # force materialization
+    timings['synthesize_on_device_s'] = round(
+        time.perf_counter() - t0, 2)
 
     # compile (cached across runs)
     t0 = time.perf_counter()

@@ -135,10 +135,11 @@ def prepare_sharded(X, metric, mesh=None):
     """
     if mesh is None:
         mesh = pmesh.frame_mesh()
-    was_on_device = isinstance(X, jax.Array)
     data = _prepare_data(X, metric)
     data_sh, n = pmesh.shard_frames(data, mesh)
-    if metric == 'rmsd' and not was_on_device:
+    if metric == 'rmsd':
+        # centering is idempotent, so always apply it on device; this
+        # removes any dependence on whether the caller pre-centered
         data_sh = _center_structures(data_sh)
     return data_sh, n
 
