@@ -331,7 +331,7 @@ def assign_device(X, centers, metric='euclidean', mesh=None):
     centers_host = _prepare_data(centers, metric)
     centers_r = pmesh.replicated(centers_host, mesh) \
         if not isinstance(centers_host, jax.Array) else centers_host
-    if metric == 'rmsd' and not isinstance(centers, jax.Array):
+    if metric == 'rmsd':
         centers_r = _center_structures(centers_r)
     use_pallas = (metric == 'rmsd'
                   and jax.default_backend() == 'tpu'
