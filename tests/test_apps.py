@@ -186,3 +186,37 @@ def test_save_states(tmp_path):
         assert os.path.exists(f)
         t = io.load(f)
         assert t.n_atoms == 22
+
+
+def test_main_dispatcher(tmp_path):
+    from enspara_tpu.apps import main as main_app
+
+    rng = np.random.default_rng(0)
+    assigns = rng.integers(0, 4, size=(2, 100))
+    afile = str(tmp_path / 'assigns.h5')
+    ra.save(afile, ra.RaggedArray(list(assigns)))
+    out = str(tmp_path / 'ts.npy')
+    main_app.main(['enspara', 'implied',
+                   '--assignments', afile,
+                   '--lag-times', '1:6:2',
+                   '--n-eigenvalues', '2',
+                   '--out', out])
+    assert os.path.exists(out)
+
+
+def test_prinz_mle_cpp_speed_sanity():
+    """The C++ MLE kernel handles a 500-state matrix in seconds (the
+    pure-Python mirror would take minutes)."""
+    import time
+    from enspara_tpu.msm.libmsm import _mle_prinz_dense, _get_lib
+    if _get_lib() is None:
+        pytest.skip('native kernel unavailable')
+    rng = np.random.default_rng(0)
+    C = rng.integers(1, 30, size=(500, 500)).astype(float)
+    t0 = time.perf_counter()
+    T, pi = _mle_prinz_dense(C)
+    el = time.perf_counter() - t0
+    assert el < 30
+    assert np.allclose(T.sum(1), 1, atol=1e-10)
+    flux = pi[:, None] * T
+    assert np.allclose(flux, flux.T, atol=1e-8)
