@@ -264,8 +264,8 @@ def _assign_all(data, centers, metric, k_real=None):
     return assigs, dists
 
 
-@functools.partial(jax.jit, static_argnames=('k_real',))
-def _assign_all_rmsd_pallas(data, centers, k_real):
+@functools.partial(jax.jit, static_argnames=('k_real', 'interpret'))
+def _assign_all_rmsd_pallas(data, centers, k_real, interpret=False):
     """RMSD nearest-center assignment through the fused Pallas kernel,
     scanning center blocks with a running min. Single-device path (the
     kernel is not SPMD-partitioned yet)."""
@@ -298,7 +298,8 @@ def _assign_all_rmsd_pallas(data, centers, k_real):
     def step(carry, inp):
         best_d, best_i = carry
         b_idx, cb, gcb = inp
-        d = _call_pallas(data_t, cb, gf, gcb, int(A))   # (n_pad, block)
+        d = _call_pallas(data_t, cb, gf, gcb, int(A),
+                         interpret=interpret)       # (n_pad, block)
         cid = b_idx * block + jnp.arange(block)
         d = jnp.where(cid[None, :] < k_real, d, jnp.inf)
         local_arg = jnp.argmin(d, axis=1)
@@ -315,6 +316,24 @@ def _assign_all_rmsd_pallas(data, centers, k_real):
     (dists, assigs), _ = jax.lax.scan(
         step, init, (jnp.arange(n_blocks), cblocks, gc_blocks))
     return assigs[:n], dists[:n]
+
+
+def _assign_rmsd_pallas_sharded(data_sh, centers_r, k_real, mesh):
+    """Per-shard Pallas assignment under shard_map: frames stay local,
+    centers are replicated, no cross-shard communication needed."""
+    from ..parallel.mesh import P, FRAME_AXIS
+
+    interpret = jax.default_backend() != 'tpu'
+
+    def body(d, c):
+        return _assign_all_rmsd_pallas(d, c, k_real=k_real,
+                                       interpret=interpret)
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(FRAME_AXIS), P()),
+        out_specs=(P(FRAME_AXIS), P(FRAME_AXIS)),
+        check_vma=False))(data_sh, centers_r)
 
 
 def assign_device(X, centers, metric='euclidean', mesh=None):
@@ -334,11 +353,13 @@ def assign_device(X, centers, metric='euclidean', mesh=None):
     if metric == 'rmsd':
         centers_r = _center_structures(centers_r)
     use_pallas = (metric == 'rmsd'
-                  and jax.default_backend() == 'tpu'
-                  and mesh.size == 1)
-    if use_pallas:
+                  and jax.default_backend() == 'tpu')
+    if use_pallas and mesh.size == 1:
         assigs, dists = _assign_all_rmsd_pallas(
             data_sh, centers_r, k_real=int(centers_r.shape[0]))
+    elif use_pallas:
+        assigs, dists = _assign_rmsd_pallas_sharded(
+            data_sh, centers_r, int(centers_r.shape[0]), mesh)
     else:
         assigs, dists = _assign_all(data_sh, centers_r, metric,
                                     k_real=int(centers_r.shape[0]))

@@ -33,3 +33,27 @@ def test_pallas_padding_is_exact():
                                          np.asarray(cc)[j])
                       for j in range(5)] for i in range(17)])
     assert_allclose(pal, want, atol=2e-3)
+
+
+def test_sharded_pallas_assignment_interpret():
+    """The shard_map-wrapped Pallas assignment (interpret mode on the
+    8-device CPU mesh) matches the XLA assignment path."""
+    import jax
+    from enspara_tpu.cluster import engine
+    from enspara_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(160, 20, 3)).astype(np.float32)
+    centers = X[[0, 40, 80, 120]]
+    mesh = pmesh.frame_mesh()
+
+    data_sh, _ = engine.prepare_sharded(X, 'rmsd', mesh)
+    centers_r = engine._center_structures(
+        pmesh.replicated(centers.astype(np.float32), mesh))
+
+    a_p, d_p = engine._assign_rmsd_pallas_sharded(
+        data_sh, centers_r, 4, mesh)
+    a_x, d_x = engine._assign_all(data_sh, centers_r, 'rmsd', k_real=4)
+
+    np.testing.assert_array_equal(np.asarray(a_p), np.asarray(a_x))
+    assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=2e-3)
