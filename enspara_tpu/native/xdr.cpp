@@ -13,6 +13,7 @@
 //   xtc_read(path, natoms, max_frames, xyz, box, time, step) -> n read
 //   xtc_write(path, natoms, n_frames, xyz, box, time, step, precision)
 
+#include <algorithm>
 #include <cstdio>
 #include <cstdint>
 #include <cstring>
@@ -496,22 +497,95 @@ long xtc_write(const char* path, long natoms, long n_frames,
             bitsize = sizeofints(3, sizeint);
         }
 
-        write_be_i32(f, FIRSTIDX);  // smallidx (no runs used)
+        // choose the small-delta quantum from the median consecutive
+        // displacement (the adaptive analogue of gromacs' mindiff scan)
+        std::vector<int> pair_diffs;
+        pair_diffs.reserve(natoms - 1);
+        for (long a = 1; a < natoms; a++) {
+            int m = 0;
+            for (int d = 0; d < 3; d++) {
+                int dd = std::abs(ip[a * 3 + d] - ip[(a - 1) * 3 + d]);
+                if (dd > m) m = dd;
+            }
+            pair_diffs.push_back(m);
+        }
+        std::nth_element(pair_diffs.begin(),
+                         pair_diffs.begin() + pair_diffs.size() / 2,
+                         pair_diffs.end());
+        const int med = pair_diffs[pair_diffs.size() / 2];
+        int smallidx = FIRSTIDX;
+        while (smallidx < LASTIDX - 1
+               && magicints[smallidx] / 2 <= 2 * med) {
+            smallidx++;
+        }
+        const int smallnum = magicints[smallidx] / 2;
+        const unsigned int ss = (unsigned int)magicints[smallidx];
+        const unsigned int sizesmall[3] = {ss, ss, ss};
+
+        write_be_i32(f, smallidx);
+
+        // a small delta must land in [0, sizesmall) after +smallnum
+        auto fits_small = [&](const int* a, const int* b) {
+            for (int d = 0; d < 3; d++) {
+                int diff = a[d] - b[d];
+                if (diff < -smallnum
+                    || diff >= (int)ss - smallnum) return false;
+            }
+            return true;
+        };
 
         BitWriter bw;
-        int thiscoord[3];
-        for (long a = 0; a < natoms; a++) {
+        int tmp3[3];
+        long i = 0;
+        int prevrun = -1;
+        while (i < natoms) {
+            // water trick: if the next atom is near this one, emit the
+            // next atom as the 'big' coordinate and this one as the
+            // first small delta (mirrors the decoder's k==0 swap)
+            bool is_small = (i + 1 < natoms)
+                && fits_small(&ip[(i + 1) * 3], &ip[i * 3]);
+            if (is_small) {
+                for (int d = 0; d < 3; d++) {
+                    std::swap(ip[i * 3 + d], ip[(i + 1) * 3 + d]);
+                }
+            }
+
             for (int d = 0; d < 3; d++) {
-                thiscoord[d] = ip[a * 3 + d] - minint[d];
+                tmp3[d] = ip[i * 3 + d] - minint[d];
             }
             if (bitsize == 0) {
-                bw.bits(thiscoord[0], bitsizeint[0]);
-                bw.bits(thiscoord[1], bitsizeint[1]);
-                bw.bits(thiscoord[2], bitsizeint[2]);
+                bw.bits(tmp3[0], bitsizeint[0]);
+                bw.bits(tmp3[1], bitsizeint[1]);
+                bw.bits(tmp3[2], bitsizeint[2]);
             } else {
-                bw.ints(3, bitsize, sizeint, thiscoord);
+                bw.ints(3, bitsize, sizeint, tmp3);
             }
-            bw.bits(0, 1);  // flag = 0: no run
+            const int* prev = &ip[i * 3];
+            i++;
+
+            int run = 0;
+            int smalls[24 * 3];
+            while (is_small && run < 8 * 3) {
+                for (int d = 0; d < 3; d++) {
+                    smalls[run + d] = ip[i * 3 + d] - prev[d] + smallnum;
+                }
+                prev = &ip[i * 3];
+                run += 3;
+                i++;
+                is_small = (i < natoms)
+                    && fits_small(&ip[i * 3], prev);
+            }
+
+            if (run != prevrun) {
+                prevrun = run;
+                bw.bits(1, 1);
+                bw.bits(run + 1, 5);  // is_smaller = 0 encoding
+            } else {
+                bw.bits(0, 1);
+            }
+            for (int k = 0; k < run; k += 3) {
+                bw.ints(3, smallidx, sizesmall, &smalls[k]);
+            }
         }
         bw.flush();
 
