@@ -68,16 +68,21 @@ def main():
     timings['kcenters_1000_s'] = round(time.perf_counter() - t0, 2)
     assert res.n_found == N_CLUSTERS
 
-    t0 = time.perf_counter()
     assigns = res.assignments.reshape(100, -1)  # 100 pseudo-trajs
+    mask = np.ones_like(assigns, dtype=bool)
     counts = np.asarray(assigns_to_counts_device(
-        assigns, np.ones_like(assigns, dtype=bool), LAG, N_CLUSTERS))
+        assigns, mask, LAG, N_CLUSTERS))  # warm/compile
+    t0 = time.perf_counter()
+    counts = np.asarray(assigns_to_counts_device(
+        assigns, mask, LAG, N_CLUSTERS))
     timings['transition_counts_s'] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
     _, T, pi = builders.transpose(counts.astype(np.float64))
     timings['builder_s'] = round(time.perf_counter() - t0, 2)
 
+    eigenspectrum_reversible(T, pi=pi, n_eigs=21,
+                             method='eigh')  # warm/compile
     t0 = time.perf_counter()
     vals, _ = eigenspectrum_reversible(T, pi=pi, n_eigs=21,
                                        method='eigh')
