@@ -91,7 +91,7 @@ def main():
 
     timings['pipeline_total_s'] = round(sum(
         v for k, v in timings.items()
-        if k.endswith('_s') and k not in ('synthesize_data_s',
+        if k.endswith('_s') and k not in ('synthesize_on_device_s',
                                           'compile_s')), 2)
     timings['n_devices'] = len(jax.devices())
     timings['pairs_per_sec'] = round(
