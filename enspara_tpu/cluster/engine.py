@@ -365,3 +365,107 @@ def assign_device(X, centers, metric='euclidean', mesh=None):
                                     k_real=int(centers_r.shape[0]))
     return (np.asarray(assigs)[:n].astype(np.int64),
             np.asarray(dists)[:n].astype(np.float64))
+
+
+# ---------------------------------------------------------------------
+# fused single-device k-centers loop (Pallas iteration kernel)
+# ---------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=('k_max', 'n_atoms_real',
+                                    'interpret', 'tile'))
+def _kcenters_loop_fused(frames_t, g, dist, assig, n_start, n_clusters,
+                         dist_cutoff, k_max, n_atoms_real,
+                         interpret=False, tile=None):
+    """k-centers while_loop where each iteration is ONE fused Pallas
+    call (ops/qcp_update_pallas): rmsd + min-update + per-block argmax.
+    Single-device path for metric='rmsd'."""
+    from ..ops.qcp_update_pallas import (kcenters_iteration_pallas,
+                                         TILE_N)
+
+    if tile is None:
+        tile = TILE_N
+    A = frames_t.shape[2]
+    ctr_inds = jnp.full((k_max,), -1, jnp.int32)
+
+    gidx0 = jnp.argmax(dist[:, 0]).astype(jnp.int32)
+    md0 = dist[gidx0, 0]
+
+    def cond(state):
+        i, d, a, c, gidx, md = state
+        return (i < n_clusters) & (md > dist_cutoff)
+
+    def step(state):
+        i, d, a, c, gidx, md = state
+        c = c.at[i].set(gidx)
+        center = jax.lax.dynamic_slice(
+            frames_t, (0, gidx, 0), (3, 1, A))
+        cid = jnp.reshape(i, (1, 1)).astype(jnp.int32)
+        d, a, bmax, barg = kcenters_iteration_pallas(
+            frames_t, g, d, a, center, cid, n_atoms_real,
+            interpret=interpret, tile=tile)
+        blk = jnp.argmax(bmax[:, 0])
+        gidx2 = (blk * tile + barg[blk, 0]).astype(jnp.int32)
+        return (i + 1, d, a, c, gidx2, bmax[blk, 0])
+
+    init = (jnp.asarray(n_start, jnp.int32), dist, assig, ctr_inds,
+            gidx0, md0)
+    i, d, a, c, _, _ = jax.lax.while_loop(cond, step, init)
+    return d, a, c, i
+
+
+def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
+                          k_max=None, init_distances=None,
+                          init_assignments=None, n_init_centers=0,
+                          init_center_indices=None, tile=None,
+                          interpret=None):
+    """Single-device fused k-centers for metric='rmsd' (the fast path
+    behind :func:`kcenters_device` on TPU). Same result contract."""
+    from ..ops.qcp_update_pallas import TILE_N
+
+    if tile is None:
+        tile = TILE_N
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+
+    n = len(X)
+    if k_max is None:
+        k_max = int(n_clusters) if n_clusters is not None else n
+    k_max = int(min(k_max, n))
+    n_clusters_eff = np.int32(min(n_clusters or n, k_max))
+    cutoff_eff = np.float32(dist_cutoff if dist_cutoff is not None
+                            else 0.0)
+
+    data = _prepare_data(X, 'rmsd')
+    if not isinstance(data, jax.Array):
+        data = jnp.asarray(data)
+    data = _center_structures(data)
+    A = data.shape[1]
+
+    n_pad = ((n + tile - 1) // tile) * tile
+    A_pad = ((A + 127) // 128) * 128
+
+    g = jnp.pad(jnp.sum(data * data, axis=(1, 2)), (0, n_pad - n),
+                constant_values=1.0).reshape(-1, 1)
+    frames_t = jnp.pad(jnp.transpose(data, (2, 0, 1)),
+                       ((0, 0), (0, n_pad - n), (0, A_pad - A)))
+
+    dist = np.full((n_pad, 1), np.inf, np.float32)
+    assig = np.full((n_pad, 1), -1, np.int32)
+    if init_distances is not None:
+        dist[:n, 0] = init_distances
+        assig[:n, 0] = init_assignments
+    dist[n:] = NEG_INF
+
+    d, a, c, n_found = _kcenters_loop_fused(
+        frames_t, g, jnp.asarray(dist), jnp.asarray(assig),
+        np.int32(n_init_centers), n_clusters_eff, cutoff_eff,
+        k_max, A, interpret=bool(interpret), tile=int(tile))
+
+    dists = np.asarray(d)[:n, 0].astype(np.float64)
+    assigs = np.asarray(a)[:n, 0].astype(np.int64)
+    n_found = int(n_found)
+    ctr_inds = np.asarray(c)[:n_found].astype(np.int64)
+    if init_center_indices is not None:
+        ctr_inds[:n_init_centers] = init_center_indices
+    return KCentersDeviceResult(dists, assigs, ctr_inds, n_found)

@@ -57,3 +57,23 @@ def test_sharded_pallas_assignment_interpret():
 
     np.testing.assert_array_equal(np.asarray(a_p), np.asarray(a_x))
     assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=2e-3)
+
+
+def test_fused_kcenters_matches_global_loop():
+    """The fused Pallas k-centers (interpret mode) bit-matches the
+    global-view XLA loop."""
+    from enspara_tpu.cluster import engine
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(300, 10, 3)).astype(np.float32)
+
+    ref = engine.kcenters_device(X, 'rmsd', n_clusters=8)
+    fused = engine.kcenters_device_fused(X, n_clusters=8, tile=128,
+                                         interpret=True)
+
+    np.testing.assert_array_equal(ref.center_indices,
+                                  fused.center_indices)
+    np.testing.assert_array_equal(ref.assignments, fused.assignments)
+    # near rmsd=0 the fp32 QCP noise floor dominates
+    assert_allclose(fused.distances, ref.distances, rtol=1e-4,
+                    atol=2e-3)
