@@ -401,12 +401,11 @@ def _kcenters_loop_fused(frames_t, g, dist, assig, n_start, n_clusters,
         center = jax.lax.dynamic_slice(
             frames_t, (0, gidx, 0), (3, 1, A))
         cid = jnp.reshape(i, (1, 1)).astype(jnp.int32)
-        d, a, bmax, barg = kcenters_iteration_pallas(
+        d, a = kcenters_iteration_pallas(
             frames_t, g, d, a, center, cid, n_atoms_real,
             interpret=interpret, tile=tile)
-        blk = jnp.argmax(bmax[:, 0])
-        gidx2 = (blk * tile + barg[blk, 0]).astype(jnp.int32)
-        return (i + 1, d, a, c, gidx2, bmax[blk, 0])
+        gidx2 = jnp.argmax(d[:, 0]).astype(jnp.int32)
+        return (i + 1, d, a, c, gidx2, d[gidx2, 0])
 
     init = (jnp.asarray(n_start, jnp.int32), dist, assig, ctr_inds,
             gidx0, md0)

@@ -26,11 +26,10 @@ TILE_N = 2048
 
 
 def _kernel(center_ref, i_ref, ft_ref, g_ref, dist_ref, assig_ref,
-            dist_out, assig_out, bmax_ref, barg_ref, *, n_atoms_real):
+            dist_out, assig_out, *, n_atoms_real):
     """center_ref: (3, 1, A); i_ref: (1, 1) int32 (current center id);
     ft_ref: (3, TILE, A); g_ref/(dist|assig)_ref: (TILE, 1);
-    outputs: updated dist/assig (aliased), per-block (1,1) max and
-    argmax."""
+    outputs: updated dist/assig (aliased into the inputs)."""
     # S components: S[i][j] = sum_a ft[i, n, a] * center[j, a]
     S = [[None] * 3 for _ in range(3)]
     for i in range(3):
@@ -109,12 +108,6 @@ def _kernel(center_ref, i_ref, ft_ref, g_ref, dist_ref, assig_ref,
     dist_out[:] = new_d
     assig_out[:] = new_a
 
-    # per-block farthest point (first-max tie break)
-    col = new_d[:, 0]
-    local_arg = jnp.argmax(col)
-    bmax_ref[0, 0] = col[local_arg]
-    barg_ref[0, 0] = local_arg.astype(jnp.int32)
-
 
 @functools.partial(jax.jit,
                    static_argnames=('n_atoms_real', 'interpret',
@@ -133,7 +126,7 @@ def kcenters_iteration_pallas(frames_t, g, dist, assig, center,
     center : (3, 1, A) the newly selected center, centered.
     center_id : (1, 1) int32 — the id to assign newly-claimed frames.
 
-    Returns ``(dist, assig, block_max, block_arg)``.
+    Returns ``(dist, assig)`` (aliased into the inputs).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -166,16 +159,10 @@ def kcenters_iteration_pallas(frames_t, g, dist, assig, center,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n // TILE, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n // TILE, 1), jnp.int32),
         ],
         input_output_aliases={4: 0, 5: 1},
         interpret=interpret,
