@@ -22,7 +22,7 @@ from . import qcp
 
 __all__ = ['kcenters_iteration_pallas']
 
-TILE_N = 2048
+TILE_N = 1024
 
 
 def _kernel(center_ref, i_ref, ft_ref, g_ref, dist_ref, assig_ref,
@@ -30,17 +30,16 @@ def _kernel(center_ref, i_ref, ft_ref, g_ref, dist_ref, assig_ref,
     """center_ref: (3, 1, A); i_ref: (1, 1) int32 (current center id);
     ft_ref: (3, TILE, A); g_ref/(dist|assig)_ref: (TILE, 1);
     outputs: updated dist/assig (aliased into the inputs)."""
-    # S components: S[i][j] = sum_a ft[i, n, a] * center[j, a]
+    # S components: S[i][j] = sum_a ft[i, n, a] * center[j, a].
+    # One output column per component -> multiply+reduce on the VPU
+    # (an MXU matvec would idle 127/128 of the array).
     S = [[None] * 3 for _ in range(3)]
     for i in range(3):
         fi = ft_ref[i]                                 # (TILE, A)
         for j in range(3):
             cj = center_ref[j]                          # (1, A)
-            S[i][j] = jax.lax.dot_general(
-                fi, cj,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)    # (TILE, 1)
+            S[i][j] = jnp.sum(fi * cj, axis=1,
+                              keepdims=True)            # (TILE, 1)
 
     Sxx, Sxy, Sxz = S[0]
     Syx, Syy, Syz = S[1]
@@ -165,5 +164,7 @@ def kcenters_iteration_pallas(frames_t, g, dist, assig, center,
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(center, center_id, frames_t, g, dist, assig)

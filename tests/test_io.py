@@ -204,3 +204,35 @@ def test_concatenate_trjs():
     assert out.n_frames == 6
     ca_only = concatenate_trjs(trajs, atoms='name CA')
     assert ca_only.n_atoms == 3
+
+
+def test_topology_select_compound_expressions():
+    top = make_topology(6)
+    # parentheses + nested boolean logic
+    sel = top.select('(name CA or name CB) and resid 0 to 2')
+    assert len(sel) == 6
+    sel2 = top.select('not (name CA or name CB)')
+    assert len(sel2) == top.n_atoms - 12
+    sel3 = top.select('resSeq 1 and name N')
+    assert len(sel3) == 1
+    assert top.atom(int(sel3[0])).name == 'N'
+
+
+def test_trajectory_stack():
+    a = make_traj(3, n_res=2, seed=1)
+    b = make_traj(3, n_res=1, seed=2)
+    s = a.stack(b)
+    assert s.n_atoms == a.n_atoms + b.n_atoms
+    assert s.top.n_residues == 3
+    assert_allclose(s.xyz[:, :a.n_atoms], a.xyz)
+    assert_allclose(s.xyz[:, a.n_atoms:], b.xyz)
+
+
+def test_xtc_single_frame_and_time(tmp_path):
+    t = make_traj(1)
+    fn = str(tmp_path / 'one.xtc')
+    io.write_xtc(fn, t)
+    back = io.load(fn, top=t.top)
+    assert back.n_frames == 1
+    frame5 = io.load_frame(fn, 0, top=t.top)
+    assert frame5.n_frames == 1
