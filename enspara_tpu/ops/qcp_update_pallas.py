@@ -1,4 +1,11 @@
-"""Fused k-centers iteration kernel.
+"""Fused k-centers iteration kernel (EXPERIMENTAL — not the default).
+
+Status: correct (interpret-mode parity test) but currently ~3x slower
+than the XLA global-view loop on v5e. Root causes identified for the
+next optimization round: (1, n)-shaped per-frame scalars force T(8,128)
+tiling that physically inflates dist/assig/g reads 128x, and atom
+padding to 128 lanes doubles the frame read when n_atoms <= 64. Fixing
+requires (n/128, 128)-blocked scalar layouts inside the kernel.
 
 One Pallas call per k-centers iteration performs, per frame block:
 RMSD-to-new-center (3 MXU matvecs + VPU Newton), the strict-< min
