@@ -10,6 +10,38 @@ from ..exception import MissingData
 __all__ = ['load_dcd', 'write_dcd']
 
 
+def _vectors_from_cell(a, b, c, alpha, beta, gamma):
+    """Triclinic box vectors (rows) from lengths + angles in degrees,
+    first vector along x, second in the xy plane (GROMACS convention)."""
+    al, be, ga = np.radians([alpha, beta, gamma])
+    v2x = b * np.cos(ga)
+    v2y = b * np.sin(ga)
+    v3x = c * np.cos(be)
+    v3y = c * (np.cos(al) - np.cos(be) * np.cos(ga)) / np.sin(ga)
+    v3z = np.sqrt(max(c * c - v3x * v3x - v3y * v3y, 0.0))
+    return np.array([[a, 0.0, 0.0],
+                     [v2x, v2y, 0.0],
+                     [v3x, v3y, v3z]], np.float32)
+
+
+def _cell_from_vectors(v):
+    """(a, b, c, alpha, beta, gamma[deg]) from (3, 3) row vectors."""
+    a, b, c = (np.linalg.norm(v[i]) for i in range(3))
+
+    def ang(x, y, nx, ny):
+        return np.degrees(np.arccos(
+            np.clip(np.dot(x, y) / (nx * ny), -1.0, 1.0)))
+
+    return (a, b, c, ang(v[1], v[2], b, c), ang(v[0], v[2], a, c),
+            ang(v[0], v[1], a, b))
+
+
+def _angle_deg(x):
+    """DCD cell-record angle: cosines in [-1, 1] (X-PLOR/NAMD) or
+    degrees (CHARMM) — disambiguate the same way VMD's dcdplugin does."""
+    return np.degrees(np.arccos(x)) if -1.0 <= x <= 1.0 else x
+
+
 def _read_record(f):
     head = f.read(4)
     if len(head) < 4:
@@ -66,10 +98,10 @@ def load_dcd(filename, top=None, stride=None, atom_indices=None,
     if cells:
         cv = np.zeros((n_frames, 3, 3), np.float32)
         for i, c in enumerate(cells[:n_frames]):
-            # (a, gamma, b, beta, alpha, c) per CHARMM convention
-            cv[i, 0, 0] = c[0] * 0.1
-            cv[i, 1, 1] = c[2] * 0.1
-            cv[i, 2, 2] = c[5] * 0.1
+            # record order (a, gamma, b, beta, alpha, c) per CHARMM
+            cv[i] = _vectors_from_cell(
+                c[0] * 0.1, c[2] * 0.1, c[5] * 0.1,
+                _angle_deg(c[4]), _angle_deg(c[3]), _angle_deg(c[1]))
         cell_vectors = cv
 
     if frame is not None:
@@ -97,11 +129,13 @@ def _write_record(f, data):
 def write_dcd(filename, traj):
     xyz = np.asarray(traj.xyz, np.float32) * 10.0  # nm -> Angstrom
     n_frames, n_atoms = xyz.shape[:2]
+    cell_vectors = getattr(traj, 'unitcell_vectors', None)
+    has_cell = 1 if cell_vectors is not None else 0
     with open(filename, 'wb') as f:
         header = b'CORD' + struct.pack(
             '<9i', n_frames, 0, 1, n_frames, 0, 0, 0, 3 * n_atoms, 0)
         header += struct.pack('<f', 1.0)       # timestep
-        header += struct.pack('<i', 0)          # no unit cell
+        header += struct.pack('<i', has_cell)
         header += struct.pack('<8i', *([0] * 8))
         header += struct.pack('<2i', 0, 24)     # CHARMM version
         _write_record(f, header)
@@ -109,6 +143,11 @@ def write_dcd(filename, traj):
         _write_record(f, struct.pack('<i', 1) + title)
         _write_record(f, struct.pack('<i', n_atoms))
         for fr in range(n_frames):
+            if has_cell:
+                a, b, c, al, be, ga = _cell_from_vectors(
+                    np.asarray(cell_vectors[fr], np.float64) * 10.0)
+                _write_record(f, struct.pack(
+                    '<6d', a, ga, b, be, al, c))
             for d in range(3):
                 _write_record(f,
                               np.ascontiguousarray(

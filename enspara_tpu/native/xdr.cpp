@@ -4,9 +4,10 @@
 // mdtraj's C extensions (enspara/util/load.py); this is a standalone
 // clean-room implementation of the public XTC bitstream format
 // (big-endian XDR framing + the magic-int quantized delta coding used
-// by GROMACS). The encoder emits conformant streams using only "large"
-// coordinate records (no run-length groups), which every standard
-// decoder accepts.
+// by GROMACS). The encoder emits full run-length groups (water-swap
+// reordering, adaptive small-delta quantum seeded from the median
+// inter-atom displacement), producing lossless streams comparable to
+// or smaller than GROMACS' own output.
 //
 // Exposed C ABI (ctypes):
 //   xtc_scan(path, &n_frames, &n_atoms)       -> 0 on success

@@ -124,6 +124,49 @@ def test_dcd_roundtrip(tmp_path):
     assert_allclose(back.xyz, traj.xyz, atol=1e-6)
 
 
+def test_dcd_triclinic_cell_roundtrip(tmp_path):
+    from enspara_tpu.io.dcd import _vectors_from_cell
+    traj = make_traj(3)
+    vec = _vectors_from_cell(4.0, 5.0, 6.0, 80.0, 95.0, 110.0)
+    traj.unitcell_vectors = np.repeat(vec[None], 3, axis=0)
+    fn = str(tmp_path / 'tri.dcd')
+    io.write_dcd(fn, traj)
+    back = io.load_dcd(fn, top=traj.top)
+    assert back.unitcell_vectors is not None
+    assert_allclose(back.unitcell_vectors, traj.unitcell_vectors,
+                    atol=1e-5)
+    assert_allclose(back.xyz, traj.xyz, atol=1e-6)
+
+
+def test_dcd_cell_cosine_convention(tmp_path):
+    # X-PLOR/NAMD stores cos(angle) in the cell record; the reader
+    # must disambiguate from CHARMM's degrees.
+    import struct
+    from enspara_tpu.io.dcd import _vectors_from_cell
+    traj = make_traj(1)
+    fn = str(tmp_path / 'cos.dcd')
+    io.write_dcd(fn, traj)
+    raw = bytearray(open(fn, 'rb').read())
+    # flip the has-cell flag in the header record (4-byte record
+    # length prefix + offset 44 within the record data)
+    raw[4 + 44:4 + 48] = struct.pack('<i', 1)
+    # splice a cosine-form cell record before the x coordinate record
+    a, b, c = 40.0, 50.0, 60.0
+    cosa, cosb, cosg = (np.cos(np.radians(x)) for x in (80., 95., 110.))
+    cell = struct.pack('<6d', a, cosg, b, cosb, cosa, c)
+    rec = struct.pack('<i', 48) + cell + struct.pack('<i', 48)
+    # records: header, title, natoms, then frames
+    off = 0
+    for _ in range(3):
+        (n,) = struct.unpack('<i', raw[off:off + 4])
+        off += 8 + n
+    raw = raw[:off] + rec + raw[off:]
+    open(fn, 'wb').write(bytes(raw))
+    back = io.load_dcd(fn, top=traj.top)
+    expect = _vectors_from_cell(4.0, 5.0, 6.0, 80.0, 95.0, 110.0)
+    assert_allclose(back.unitcell_vectors[0], expect, atol=1e-5)
+
+
 def test_trajectory_ops():
     traj = make_traj(10)
     assert len(traj) == 10
