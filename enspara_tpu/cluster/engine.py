@@ -29,7 +29,8 @@ from ..ops import qcp
 
 NEG_INF = -jnp.inf
 
-__all__ = ['kcenters_device', 'assign_device', 'KCentersDeviceResult']
+__all__ = ['kcenters_device', 'kcenters_device_fused', 'assign_device',
+           'KCentersDeviceResult']
 
 
 # ---------------------------------------------------------------------
@@ -49,9 +50,11 @@ def _hamming_to(X, frame):
     return jnp.mean((X != frame[None]).astype(jnp.float32), axis=-1)
 
 
-def _rmsd_to(X, frame):
-    """X: (n, N, 3) centered; frame: (N, 3) centered."""
-    g = jnp.sum(X * X, axis=(-2, -1))
+def _rmsd_to(X, frame, g=None):
+    """X: (n, N, 3) centered; frame: (N, 3) centered; g optionally
+    precomputed (hoisted out of iteration loops)."""
+    if g is None:
+        g = jnp.sum(X * X, axis=(-2, -1))
     g_frame = jnp.sum(frame * frame)
     return qcp.qcp_rmsd_vector(X, frame, g, g_frame)
 
@@ -77,7 +80,19 @@ def _kcenters_loop(data, distances, assignments, n_start, n_clusters,
                    dist_cutoff, k_max, metric):
     """Global-view k-centers while_loop. All arrays may be sharded on
     their frame axis; XLA partitions the body automatically."""
-    dist_fn = _METRIC_TO_FRAME[metric]
+    if metric == 'rmsd':
+        # hoist the per-frame G inner products out of the loop
+        g_all = jnp.sum(data * data, axis=(-2, -1))
+
+        def dist_fn(gidx):
+            frame = data[gidx]
+            g_frame = g_all[gidx]
+            return qcp.qcp_rmsd_vector(data, frame, g_all, g_frame)
+    else:
+        to_frame = _METRIC_TO_FRAME[metric]
+
+        def dist_fn(gidx):
+            return to_frame(data, data[gidx])
     ctr_inds = jnp.full((k_max,), -1, jnp.int32)
 
     def cond(state):
@@ -88,8 +103,7 @@ def _kcenters_loop(data, distances, assignments, n_start, n_clusters,
         i, dists, assigs, ctrs = state
         gidx = jnp.argmax(dists)      # first-max tie break, global
         ctrs = ctrs.at[i].set(gidx.astype(jnp.int32))
-        frame = data[gidx]            # cross-shard gather
-        d_new = dist_fn(data, frame)
+        d_new = dist_fn(gidx)         # center fetch: cross-shard gather
         upd = d_new < dists
         dists = jnp.where(upd, d_new, dists)
         assigs = jnp.where(upd, i, assigs)
@@ -164,6 +178,16 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
     n = len(X)
     if n_clusters is None and dist_cutoff is None:
         raise ValueError('Either n_clusters or dist_cutoff is required')
+    if (metric == 'rmsd' and mesh.size == 1
+            and jax.default_backend() == 'tpu'):
+        # single-chip TPU fast path: fused Pallas iteration kernel
+        # (~2x the global-view XLA loop; see ops/qcp_update_pallas)
+        return kcenters_device_fused(
+            X, n_clusters=n_clusters, dist_cutoff=dist_cutoff,
+            k_max=k_max, init_distances=init_distances,
+            init_assignments=init_assignments,
+            n_init_centers=n_init_centers,
+            init_center_indices=init_center_indices)
     if k_max is None:
         k_max = int(n_clusters) if n_clusters is not None else n
     k_max = int(min(k_max, n))
@@ -374,22 +398,27 @@ def assign_device(X, centers, metric='euclidean', mesh=None):
 @functools.partial(jax.jit,
                    static_argnames=('k_max', 'n_atoms_real',
                                     'interpret', 'tile'))
-def _kcenters_loop_fused(frames_t, g, dist, assig, n_start, n_clusters,
+def _kcenters_loop_fused(frames_r, g, dist, assig, n_start, n_clusters,
                          dist_cutoff, k_max, n_atoms_real,
                          interpret=False, tile=None):
     """k-centers while_loop where each iteration is ONE fused Pallas
-    call (ops/qcp_update_pallas): rmsd + min-update + per-block argmax.
-    Single-device path for metric='rmsd'."""
+    call (ops/qcp_update_pallas): rmsd + min update in a single pass
+    over the frames. Single-device path for metric='rmsd'.
+
+    ``frames_r``: (3*A_pad, n) with rows ``i*A_pad + a`` (see the
+    kernel module docstring for why this layout); g/dist/assig: (1, n).
+    """
     from ..ops.qcp_update_pallas import (kcenters_iteration_pallas,
                                          TILE_N)
 
     if tile is None:
         tile = TILE_N
-    A = frames_t.shape[2]
+    rows = frames_r.shape[0]
+    a_pad = rows // 3
     ctr_inds = jnp.full((k_max,), -1, jnp.int32)
 
-    gidx0 = jnp.argmax(dist[:, 0]).astype(jnp.int32)
-    md0 = dist[gidx0, 0]
+    gidx0 = jnp.argmax(dist[0]).astype(jnp.int32)
+    md0 = dist[0, gidx0]
 
     def cond(state):
         i, d, a, c, gidx, md = state
@@ -398,14 +427,16 @@ def _kcenters_loop_fused(frames_t, g, dist, assig, n_start, n_clusters,
     def step(state):
         i, d, a, c, gidx, md = state
         c = c.at[i].set(gidx)
-        center = jax.lax.dynamic_slice(
-            frames_t, (0, gidx, 0), (3, 1, A))
+        # center column -> (A_pad, 3) coordinate matrix
+        col = jax.lax.dynamic_slice(frames_r, (0, gidx), (rows, 1))
+        cvec = col.reshape(3, a_pad).T                 # cvec[a, j]
+        gb = jax.lax.dynamic_slice(g, (0, gidx), (1, 1))
         cid = jnp.reshape(i, (1, 1)).astype(jnp.int32)
         d, a = kcenters_iteration_pallas(
-            frames_t, g, d, a, center, cid, n_atoms_real,
+            frames_r, g, d, a, cvec, gb, cid, n_atoms_real,
             interpret=interpret, tile=tile)
-        gidx2 = jnp.argmax(d[:, 0]).astype(jnp.int32)
-        return (i + 1, d, a, c, gidx2, d[gidx2, 0])
+        gidx2 = jnp.argmax(d[0]).astype(jnp.int32)
+        return (i + 1, d, a, c, gidx2, d[0, gidx2])
 
     init = (jnp.asarray(n_start, jnp.int32), dist, assig, ctr_inds,
             gidx0, md0)
@@ -442,27 +473,29 @@ def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
     A = data.shape[1]
 
     n_pad = ((n + tile - 1) // tile) * tile
-    A_pad = ((A + 127) // 128) * 128
+    A_pad = ((A + 7) // 8) * 8
 
     g = jnp.pad(jnp.sum(data * data, axis=(1, 2)), (0, n_pad - n),
-                constant_values=1.0).reshape(-1, 1)
-    frames_t = jnp.pad(jnp.transpose(data, (2, 0, 1)),
-                       ((0, 0), (0, n_pad - n), (0, A_pad - A)))
+                constant_values=1.0).reshape(1, -1)
+    # (n, A, 3) -> rows i*A_pad + a, frame axis minor: (3*A_pad, n)
+    frames_r = jnp.pad(jnp.transpose(data, (2, 1, 0)),
+                       ((0, 0), (0, A_pad - A), (0, n_pad - n))) \
+        .reshape(3 * A_pad, n_pad)
 
-    dist = np.full((n_pad, 1), np.inf, np.float32)
-    assig = np.full((n_pad, 1), -1, np.int32)
+    dist = np.full((1, n_pad), np.inf, np.float32)
+    assig = np.full((1, n_pad), -1, np.int32)
     if init_distances is not None:
-        dist[:n, 0] = init_distances
-        assig[:n, 0] = init_assignments
-    dist[n:] = NEG_INF
+        dist[0, :n] = init_distances
+        assig[0, :n] = init_assignments
+    dist[0, n:] = NEG_INF
 
     d, a, c, n_found = _kcenters_loop_fused(
-        frames_t, g, jnp.asarray(dist), jnp.asarray(assig),
+        frames_r, g, jnp.asarray(dist), jnp.asarray(assig),
         np.int32(n_init_centers), n_clusters_eff, cutoff_eff,
         k_max, A, interpret=bool(interpret), tile=int(tile))
 
-    dists = np.asarray(d)[:n, 0].astype(np.float64)
-    assigs = np.asarray(a)[:n, 0].astype(np.int64)
+    dists = np.asarray(d)[0, :n].astype(np.float64)
+    assigs = np.asarray(a)[0, :n].astype(np.int64)
     n_found = int(n_found)
     ctr_inds = np.asarray(c)[:n_found].astype(np.int64)
     if init_center_indices is not None:

@@ -69,9 +69,19 @@ def _poly_coeffs_scaled(S, lam0):
     -------
     (c2, c1, c0) : coefficients of u^4 + c2 u^2 + c1 u + c0
     """
-    Sxx, Sxy, Sxz = S[..., 0, 0], S[..., 0, 1], S[..., 0, 2]
-    Syx, Syy, Syz = S[..., 1, 0], S[..., 1, 1], S[..., 1, 2]
-    Szx, Szy, Szz = S[..., 2, 0], S[..., 2, 1], S[..., 2, 2]
+    return _poly_coeffs_scaled_components(
+        (S[..., 0, 0], S[..., 0, 1], S[..., 0, 2],
+         S[..., 1, 0], S[..., 1, 1], S[..., 1, 2],
+         S[..., 2, 0], S[..., 2, 1], S[..., 2, 2]), lam0)
+
+
+def _poly_coeffs_scaled_components(Sc, lam0):
+    """Like :func:`_poly_coeffs_scaled` but takes the nine inner-product
+    components as separate arrays. This lets callers choose a layout
+    where the component axis is NOT minormost — on TPU a (n, 3, 3)
+    array is tile-padded to (n, 4, 128) in HBM (57x physical inflation),
+    so the vector path keeps S as nine dense (n,) arrays instead."""
+    (Sxx, Sxy, Sxz, Syx, Syy, Syz, Szx, Szy, Szz) = Sc
 
     Sxx2, Sxy2, Sxz2 = Sxx * Sxx, Sxy * Sxy, Sxz * Sxz
     Syx2, Syy2, Syz2 = Syx * Syx, Syy * Syy, Syz * Syz
@@ -145,6 +155,16 @@ def _rmsd_from_S(S, ga, gb, n_atoms):
     return jnp.sqrt(msd)
 
 
+def _rmsd_from_S_components(Sc, ga, gb, n_atoms):
+    """Nine (...,) inner-product components + G values -> (...,) RMSD."""
+    lam0 = (ga + gb) * 0.5
+    c2, c1, c0 = _poly_coeffs_scaled_components(Sc, lam0)
+    u = _newton_max_root(c2, c1, c0)
+    lam = u * lam0
+    msd = jnp.maximum(ga + gb - 2.0 * lam, 0.0) / n_atoms
+    return jnp.sqrt(msd)
+
+
 @functools.partial(jax.jit, static_argnames=('n_atoms',))
 def qcp_rmsd_matrix(frames, centers, g_frames, g_centers, n_atoms=None):
     """All-pairs minimum RMSD between two sets of *pre-centered*
@@ -185,10 +205,16 @@ def qcp_rmsd_vector(frames, center, g_frames, g_center, n_atoms=None):
     center = jnp.asarray(center, jnp.float32)
     if n_atoms is None:
         n_atoms = frames.shape[-2]
-    S = jnp.einsum('fni,nj->fij', frames, center,
+    # S laid out (3, 3, F) — frame axis minormost. The natural
+    # (F, 3, 3) output is tile-padded to (F, 4, 128) in HBM (2 GB at
+    # F=1M for 36 MB of data); with F minor the buffer stays dense and
+    # the nine components slice out as plain (F,) vectors.
+    S = jnp.einsum('fni,nj->ijf', frames, center,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
-    return _rmsd_from_S(S, g_frames, g_center, float(n_atoms))
+    Sc = tuple(S[i, j] for i in range(3) for j in range(3))
+    return _rmsd_from_S_components(Sc, g_frames, g_center,
+                                   float(n_atoms))
 
 
 def prepare_structures(xyz, n_atoms_pad=None):

