@@ -26,9 +26,9 @@ import numpy as np
 
 REFERENCE_PAIRS_PER_SEC = 2.4e7  # estimated single-node enspara
 
-N_FRAMES = 200_000
+N_FRAMES = 1_000_000
 N_ATOMS = 64
-N_CLUSTERS = 200
+N_CLUSTERS = 1000
 
 
 def main():
