@@ -13,6 +13,7 @@ and collectives ride ICI/DCN automatically.
 """
 
 import functools
+import os
 
 import jax
 import numpy as np
@@ -22,16 +23,49 @@ FRAME_AXIS = 'frames'
 
 __all__ = ['FRAME_AXIS', 'frame_mesh', 'n_devices', 'pad_to_multiple',
            'shard_frames', 'replicated', 'initialize_distributed',
-           'P', 'Mesh', 'NamedSharding']
+           'install_abort_excepthook', 'P', 'Mesh', 'NamedSharding']
 
 
 def initialize_distributed(**kwargs):
     """Multi-host bootstrap (jax.distributed.initialize). No-op if
-    already initialized or single-host."""
+    already initialized or single-host. Also installs the abort
+    excepthook so a crash on one host kills the whole job (see
+    :func:`install_abort_excepthook`)."""
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError):
         pass
+    install_abort_excepthook()
+
+
+def install_abort_excepthook():
+    """Make an uncaught exception on one process terminate the whole
+    multi-host job instead of deadlocking the others inside a
+    collective.
+
+    The reference installs ``mpiabort_excepthook`` (enspara/mpi/
+    util.py:35, calling ``comm.Abort()``) for exactly this failure
+    mode. With jax.distributed the equivalent is to shut down the
+    distributed client (unblocking the coordinator's barrier logic)
+    and hard-exit; surviving hosts then fail their next collective
+    promptly rather than hanging. No-op on single-process runs.
+    """
+    import sys
+
+    if jax.process_count() <= 1:
+        return
+
+    original = sys.excepthook
+
+    def _abort_hook(exc_type, value, tb):
+        original(exc_type, value, tb)
+        try:
+            jax.distributed.shutdown()
+        except Exception:
+            pass
+        os._exit(1)
+
+    sys.excepthook = _abort_hook
 
 
 def n_devices():
