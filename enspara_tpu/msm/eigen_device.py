@@ -69,7 +69,6 @@ def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto'):
         u = np.asarray(u, dtype=np.float64)[:, ::-1][:, :n_eigs]
     else:
         from jax.experimental.sparse.linalg import lobpcg_standard
-        import jax
 
         T_csr = T.tocsr() if sparse_in else scipy.sparse.csr_matrix(T)
         S = scipy.sparse.diags(sqrt_pi) @ T_csr @ \
@@ -79,16 +78,30 @@ def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto'):
         S_bcoo = jsparse.BCOO.from_scipy_sparse(S.astype(np.float32))
 
         # LOBPCG finds the largest eigenvalues of a PSD operator; shift
-        # by +1 so the spectrum (in [-1, 1]) is positive.
+        # by +1 so the spectrum (in [-1, 1]) is positive. Guard
+        # vectors: convergence error concentrates in the trailing
+        # block, so solve a wider block and discard the extras.
+        k_guard = int(min(n - 1, n_eigs + max(8, n_eigs // 2)))
+
         def matvec(X):
             return S_bcoo @ X + X
 
         rng = np.random.default_rng(0)
-        X0 = jnp.asarray(rng.normal(size=(n, n_eigs)), jnp.float32)
-        theta, U, _ = lobpcg_standard(matvec, X0, m=200)
-        order = np.argsort(-np.asarray(theta))
-        w = np.asarray(theta, dtype=np.float64)[order] - 1.0
-        u = np.asarray(U, dtype=np.float64)[:, order]
+        X0 = jnp.asarray(rng.normal(size=(n, k_guard)), jnp.float32)
+        _, U, _ = lobpcg_standard(matvec, X0, m=200)
+
+        # fp32 LOBPCG stalls near residuals ~1e-3 on clustered MSM
+        # spectra; polish on the host with one fp64 subspace-iteration
+        # step + exact Rayleigh-Ritz over the returned block (cheap:
+        # O(nnz * k) sparse matvecs + a k x k dense eigh).
+        S64 = S.astype(np.float64)
+        V = np.asarray(U, dtype=np.float64)
+        V, _ = np.linalg.qr(S64 @ V + V)
+        H = V.T @ (S64 @ V)
+        w_all, Z = np.linalg.eigh((H + H.T) * 0.5)
+        order = np.argsort(-w_all)[:n_eigs]
+        w = w_all[order]
+        u = V @ Z[:, order]
 
     # left eigenvectors of T: phi_i = sqrt(pi) * u_i
     vecs = sqrt_pi[:, None] * u

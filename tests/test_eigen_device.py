@@ -37,6 +37,41 @@ def test_no_pi_falls_back_to_host():
     assert_allclose(vals, vals_h, atol=1e-12)
 
 
+def test_lobpcg_path_matches_eigh_on_clustered_spectrum():
+    """Block-metastable T: 6 eigenvalues clustered within 2e-4 of each
+    other near 1 — the hard case for iterative solvers. The guarded
+    LOBPCG + fp64 Rayleigh-Ritz refinement must recover the full
+    metastable block to timescale accuracy."""
+    import scipy.sparse
+
+    rng = np.random.default_rng(7)
+    n, nb = 1200, 6
+    C = np.zeros((n, n))
+    labels = rng.integers(0, nb, n)
+    for i in range(n):
+        same = labels == labels[i]
+        C[i, same] = rng.integers(5, 30, same.sum())
+        cross = rng.choice(np.where(~same)[0], 5, replace=False)
+        C[i, cross] = 1
+    _, T, pi = builders.transpose(C)
+
+    ve, Ue = eigenspectrum_reversible(T, pi=pi, n_eigs=6,
+                                      method='eigh')
+    vl, Ul = eigenspectrum_reversible(scipy.sparse.csr_matrix(T),
+                                      pi=pi, n_eigs=6,
+                                      method='lobpcg')
+    # metastable eigenvalues to 1e-5 (timescale-grade accuracy)
+    assert_allclose(vl, ve, atol=1e-5)
+    # eq populations
+    assert_allclose(Ul[:, 0], Ue[:, 0], atol=1e-6)
+    # metastable eigenvectors up to sign (subspace rotation within the
+    # near-degenerate cluster allows modest per-vector tolerance)
+    for k in range(1, 6):
+        a, b = Ue[:, k], Ul[:, k]
+        cos = abs(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.999, 'vector %d cos %.5f' % (k, cos)
+
+
 def test_implied_timescales_device_matches_host():
     rng = np.random.default_rng(1)
     assigns = rng.integers(0, 5, size=(3, 400))
