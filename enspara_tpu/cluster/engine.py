@@ -178,16 +178,17 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
     n = len(X)
     if n_clusters is None and dist_cutoff is None:
         raise ValueError('Either n_clusters or dist_cutoff is required')
-    if (metric == 'rmsd' and mesh.size == 1
-            and jax.default_backend() == 'tpu'):
-        # single-chip TPU fast path: fused Pallas iteration kernel
-        # (~2x the global-view XLA loop; see ops/qcp_update_pallas)
+    if metric == 'rmsd' and jax.default_backend() == 'tpu':
+        # TPU fast path: fused Pallas iteration kernel (~2x the
+        # global-view XLA loop; see ops/qcp_update_pallas). Multi-chip
+        # meshes run it SPMD under shard_map with explicit collectives.
         return kcenters_device_fused(
             X, n_clusters=n_clusters, dist_cutoff=dist_cutoff,
             k_max=k_max, init_distances=init_distances,
             init_assignments=init_assignments,
             n_init_centers=n_init_centers,
-            init_center_indices=init_center_indices)
+            init_center_indices=init_center_indices,
+            mesh=mesh if mesh.size > 1 else None)
     if k_max is None:
         k_max = int(n_clusters) if n_clusters is not None else n
     k_max = int(min(k_max, n))
@@ -444,19 +445,94 @@ def _kcenters_loop_fused(frames_r, g, dist, assig, n_start, n_clusters,
     return d, a, c, i
 
 
+def _kcenters_loop_fused_sharded(frames_r, g, dist, assig, n_start,
+                                 n_clusters, dist_cutoff, k_max,
+                                 n_atoms_real, mesh, interpret, tile):
+    """Multi-chip fused k-centers: each shard runs the Pallas iteration
+    kernel on its local frames; the per-iteration argmax and the
+    center-frame broadcast are explicit mesh collectives — the same
+    choreography the reference hand-writes in MPI
+    (enspara/cluster/kcenters.py:314-378: allgather of local max/argmax
+    + Bcast of the winning frame), here riding ICI.
+
+    Inputs are sharded on their last (frame) axis; ties break toward
+    the smallest global index, matching the serial ``np.argmax``.
+    """
+    from ..ops.qcp_update_pallas import kcenters_iteration_pallas
+
+    def body(frames_l, g_l, dist_l, assig_l):
+        rows, n_local = frames_l.shape
+        a_pad = rows // 3
+        ctr_inds = jnp.full((k_max,), -1, jnp.int32)
+        imax = jnp.iinfo(jnp.int32).max
+
+        def global_best(d):
+            la = jnp.argmax(d[0]).astype(jnp.int32)
+            lv = d[0, la]
+            start = (jax.lax.axis_index(FRAME_AXIS) * n_local) \
+                .astype(jnp.int32)
+            vals = jax.lax.all_gather(lv, FRAME_AXIS)
+            args = jax.lax.all_gather(start + la, FRAME_AXIS)
+            best = jnp.max(vals)
+            gidx = jnp.min(jnp.where(vals == best, args, imax))
+            return best, gidx
+
+        md0, gidx0 = global_best(dist_l)
+
+        def cond(state):
+            i, d, a, ctrs, gidx, md = state
+            return (i < n_clusters) & (md > dist_cutoff)
+
+        def step(state):
+            i, d, a, ctrs, gidx, md = state
+            ctrs = ctrs.at[i].set(gidx)
+            # owner-masked slice + psum = Bcast of the center column
+            start = (jax.lax.axis_index(FRAME_AXIS) * n_local) \
+                .astype(jnp.int32)
+            owned = (gidx >= start) & (gidx < start + n_local)
+            lidx = jnp.clip(gidx - start, 0, n_local - 1)
+            col = jax.lax.dynamic_slice(frames_l, (0, lidx), (rows, 1))
+            col = jax.lax.psum(jnp.where(owned, col, 0.0), FRAME_AXIS)
+            gb_l = jax.lax.dynamic_slice(g_l, (0, lidx), (1, 1))
+            gb = jax.lax.psum(jnp.where(owned, gb_l, 0.0), FRAME_AXIS)
+            cvec = col.reshape(3, a_pad).T
+            cid = jnp.reshape(i, (1, 1)).astype(jnp.int32)
+            d, a = kcenters_iteration_pallas(
+                frames_l, g_l, d, a, cvec, gb, cid, n_atoms_real,
+                interpret=interpret, tile=tile)
+            md2, gidx2 = global_best(d)
+            return (i + 1, d, a, ctrs, gidx2, md2)
+
+        init = (jnp.asarray(n_start, jnp.int32), dist_l, assig_l,
+                ctr_inds, gidx0, md0)
+        i, d, a, ctrs = jax.lax.while_loop(cond, step, init)[:4]
+        return d, a, ctrs, i
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, FRAME_AXIS), P(None, FRAME_AXIS),
+                  P(None, FRAME_AXIS), P(None, FRAME_AXIS)),
+        out_specs=(P(None, FRAME_AXIS), P(None, FRAME_AXIS), P(), P()),
+        check_vma=False))
+    return fn(frames_r, g, dist, assig)
+
+
 def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
                           k_max=None, init_distances=None,
                           init_assignments=None, n_init_centers=0,
                           init_center_indices=None, tile=None,
-                          interpret=None):
-    """Single-device fused k-centers for metric='rmsd' (the fast path
-    behind :func:`kcenters_device` on TPU). Same result contract."""
+                          interpret=None, mesh=None):
+    """Fused k-centers for metric='rmsd' (the fast path behind
+    :func:`kcenters_device` on TPU). Same result contract. With a
+    multi-device ``mesh`` the loop runs SPMD with explicit collectives
+    (:func:`_kcenters_loop_fused_sharded`)."""
     from ..ops.qcp_update_pallas import TILE_N
 
     if tile is None:
         tile = TILE_N
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
+    n_shards = 1 if mesh is None else mesh.size
 
     n = len(X)
     if k_max is None:
@@ -472,7 +548,8 @@ def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
     data = _center_structures(data)
     A = data.shape[1]
 
-    n_pad = ((n + tile - 1) // tile) * tile
+    chunk = tile * n_shards
+    n_pad = ((n + chunk - 1) // chunk) * chunk
     A_pad = ((A + 7) // 8) * 8
 
     g = jnp.pad(jnp.sum(data * data, axis=(1, 2)), (0, n_pad - n),
@@ -489,10 +566,20 @@ def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
         assig[0, :n] = init_assignments
     dist[0, n:] = NEG_INF
 
-    d, a, c, n_found = _kcenters_loop_fused(
-        frames_r, g, jnp.asarray(dist), jnp.asarray(assig),
-        np.int32(n_init_centers), n_clusters_eff, cutoff_eff,
-        k_max, A, interpret=bool(interpret), tile=int(tile))
+    if n_shards > 1:
+        sh = NamedSharding(mesh, P(None, FRAME_AXIS))
+        frames_r = jax.device_put(frames_r, sh)
+        g = jax.device_put(g, sh)
+        d, a, c, n_found = _kcenters_loop_fused_sharded(
+            frames_r, g, jax.device_put(jnp.asarray(dist), sh),
+            jax.device_put(jnp.asarray(assig), sh),
+            np.int32(n_init_centers), n_clusters_eff, cutoff_eff,
+            k_max, A, mesh, bool(interpret), int(tile))
+    else:
+        d, a, c, n_found = _kcenters_loop_fused(
+            frames_r, g, jnp.asarray(dist), jnp.asarray(assig),
+            np.int32(n_init_centers), n_clusters_eff, cutoff_eff,
+            k_max, A, interpret=bool(interpret), tile=int(tile))
 
     dists = np.asarray(d)[0, :n].astype(np.float64)
     assigs = np.asarray(a)[0, :n].astype(np.int64)

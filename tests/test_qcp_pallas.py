@@ -59,6 +59,28 @@ def test_sharded_pallas_assignment_interpret():
     assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=2e-3)
 
 
+def test_fused_kcenters_sharded_matches_single_device():
+    """The SPMD fused loop (8-shard mesh, explicit collectives) finds
+    the same centers/assignments as the 1-device fused loop."""
+    import jax
+    from enspara_tpu.cluster import engine
+    from enspara_tpu.parallel.mesh import frame_mesh
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(600, 10, 3)).astype(np.float32)
+
+    r1 = engine.kcenters_device_fused(X, n_clusters=9, tile=128,
+                                      interpret=True)
+    r8 = engine.kcenters_device_fused(X, n_clusters=9, tile=128,
+                                      interpret=True,
+                                      mesh=frame_mesh())
+    assert len(jax.devices()) == 8
+
+    np.testing.assert_array_equal(r1.center_indices, r8.center_indices)
+    np.testing.assert_array_equal(r1.assignments, r8.assignments)
+    assert_allclose(r8.distances, r1.distances, rtol=1e-4, atol=2e-3)
+
+
 def test_fused_kcenters_matches_global_loop():
     """The fused Pallas k-centers (interpret mode) bit-matches the
     global-view XLA loop."""
