@@ -231,6 +231,11 @@ def _pairwise_block(data, cblock, metric):
     """(n, B) distances from all frames to one block of centers, as one
     batched MXU computation."""
     if metric == 'rmsd':
+        if jax.default_backend() == 'tpu':
+            # fused kernel: the XLA path materializes the (n, B, 3, 3)
+            # S tensor, which tile-pads (3, 3) -> (4, 128)
+            from ..ops.qcp_pallas import qcp_rmsd_matrix_pallas
+            return qcp_rmsd_matrix_pallas(data, cblock)
         g_data = jnp.sum(data * data, axis=(-2, -1))
         g_c = jnp.sum(cblock * cblock, axis=(-2, -1))
         return qcp.qcp_rmsd_matrix(data, cblock, g_data, g_c)

@@ -48,10 +48,12 @@ def _pam_sweeps(data, valid, d1, a1, medoid_inds, key, metric,
         members = (a1 == cid) & valid
         count = jnp.sum(members)
 
-        # uniform member: index of the u-th occurrence
-        u = jax.random.randint(k_prop, (), 0, jnp.maximum(count, 1))
-        order = jnp.cumsum(members) - 1
-        p_idx = jnp.argmax(members & (order == u)).astype(jnp.int32)
+        # uniform member in ONE pass: the argmax of iid uniforms over
+        # the member set is uniform on it (the cumsum/order-u
+        # formulation costs several extra full-array passes)
+        r = jax.random.uniform(k_prop, (n,))
+        p_idx = jnp.argmax(jnp.where(members, r, -1.0)) \
+            .astype(jnp.int32)
 
         pc = data[p_idx]
         dnew = dist_fn(data, pc)
