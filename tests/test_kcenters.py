@@ -2,6 +2,7 @@
 metric, dist_cutoff stopping, init_centers warm start."""
 
 import numpy as np
+import pytest
 from numpy.testing import assert_array_equal, assert_allclose
 from sklearn.datasets import make_blobs
 
@@ -90,6 +91,52 @@ def test_kcenters_estimator_api():
     assert len(est.centers_) == 3
     pred = est.predict(X[:10])
     assert_array_equal(pred.assignments, est.labels_[:10])
+
+
+def test_estimator_predict_new_data():
+    """predict() assigns unseen frames to the fitted centers
+    (reference: test_cluster.py test_predict)."""
+    from sklearn.datasets import make_blobs
+    from enspara_tpu.cluster.kcenters import KCenters
+
+    X, y = make_blobs(n_samples=120, centers=3, cluster_std=0.2,
+                      random_state=3)
+    est = KCenters('euclidean', n_clusters=3).fit(X)
+    X2, y2 = make_blobs(n_samples=60, centers=3, cluster_std=0.2,
+                        random_state=3)
+    res = est.predict(X2)
+    assert res.assignments.shape == (60,)
+    # frames land with their blob-mates
+    for blob in range(3):
+        assert len(np.unique(res.assignments[y2 == blob])) == 1
+    assert np.all(res.distances >= 0)
+
+
+def test_predict_before_fit_raises():
+    from enspara_tpu.cluster.kcenters import KCenters
+    from enspara_tpu.exception import ImproperlyConfigured
+
+    est = KCenters('euclidean', n_clusters=3)
+    with pytest.raises(ImproperlyConfigured):
+        est.predict(np.zeros((5, 2)))
+
+
+def test_cluster_result_partition():
+    """ClusterResult.partition regroups flat results per trajectory
+    (reference: test_cluster_util.py)."""
+    from enspara_tpu.cluster.util import ClusterResult
+
+    res = ClusterResult(
+        assignments=np.arange(10),
+        distances=np.arange(10) * 0.5,
+        center_indices=np.array([0, 5]),
+        centers=None)
+    parts = res.partition([3, 3, 4])
+    assert parts.assignments.lengths.tolist() == [3, 3, 4]
+    np.testing.assert_array_equal(parts.assignments[2],
+                                  np.array([6, 7, 8, 9]))
+    np.testing.assert_array_equal(parts.distances[0],
+                                  np.array([0.0, 0.5, 1.0]))
 
 
 def test_assign_device_matches_host():

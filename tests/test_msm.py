@@ -229,6 +229,26 @@ def test_msm_save_load_roundtrip(tmp_path):
     assert m2 == m
 
 
+def test_msm_pickle_roundtrip():
+    """MSM objects survive pickling (reference: test_msm_obj.py
+    test_msm_roundtrip_pickle)."""
+    import pickle
+
+    m = msm.MSM(lag_time=1, method='transpose', trim=True).fit(ASSIGNS)
+    m2 = pickle.loads(pickle.dumps(m))
+    assert m2 == m
+
+
+def test_mle_does_not_mutate_counts():
+    """The MLE builder must leave the input counts untouched
+    (reference: test_msm_funcs.py test_mle_not_in_place)."""
+    rng = np.random.default_rng(0)
+    C = rng.integers(1, 30, size=(8, 8)).astype(np.float64)
+    C_orig = C.copy()
+    builders.mle(C)
+    assert_allclose(C, C_orig)
+
+
 def test_eigenspectrum_left_right():
     _, T, _ = builders.transpose(NO_TRIM_NORMALIZE_TCOUNTS)
     vals_l, vecs_l = msm.eigenspectrum(T, n_eigs=3, left=True)
