@@ -85,7 +85,114 @@ def test_cluster_app_with_subsample_reassigns(tmp_path):
     assert arr.shape == (2, 501)
 
 
-def test_reassign_app(tmp_path):
+def _feature_files(tmp_path, fmt='npy'):
+    rng = np.random.default_rng(4)
+    files = []
+    for i, n in enumerate((30, 20)):
+        x = np.concatenate([
+            rng.normal(0, 0.1, (n // 2, 5)),
+            rng.normal(3, 0.1, (n - n // 2, 5))]).astype(np.float32)
+        if fmt == 'npy':
+            fn = str(tmp_path / ('feat%d.npy' % i))
+            np.save(fn, x)
+            files.append(fn)
+        else:
+            files.append(x)
+    if fmt == 'h5':
+        # h5 features are ONE RaggedArray file with one row per
+        # trajectory (reference: cluster/util.py:324)
+        fn = str(tmp_path / 'feats.h5')
+        ra.save(fn, ra.RaggedArray(files))
+        return [fn]
+    return files
+
+
+def _run_feature_cluster(tmp_path, files, extra):
+    from enspara_tpu.apps import cluster as cluster_app
+
+    distances = str(tmp_path / 'fd.h5')
+    assignments = str(tmp_path / 'fa.h5')
+    centers = str(tmp_path / 'fc.npy')
+    argv = ['cluster', '--features'] + files + [
+        '--distances', distances,
+        '--assignments', assignments,
+        '--center-features', centers,
+        '--random-state', '0'] + list(extra)
+    cluster_app.main(argv)
+    return distances, assignments, centers
+
+
+def test_feature_cluster_npy_khybrid(tmp_path):
+    """Feature-array clustering from .npy inputs (reference:
+    test_apps_cluster.py test_feature_cluster_number_khybrid_npy_input)."""
+    files = _feature_files(tmp_path, 'npy')
+    _, assignments, centers = _run_feature_cluster(
+        tmp_path, files,
+        ['--algorithm', 'khybrid', '--cluster-number', '2',
+         '--cluster-distance', 'euclidean'])
+    a = ra.load(assignments)
+    flat = np.concatenate([np.asarray(a[i]) for i in range(2)])
+    assert len(np.unique(flat)) == 2
+    # the two gaussian blobs separate perfectly
+    assert len(np.unique(flat[:15])) == 1
+    assert len(np.unique(flat[15:30])) == 1
+    assert flat[0] != flat[16]
+    ctr = np.load(centers)
+    assert ctr.shape == (2, 5)
+
+
+def test_feature_cluster_manhattan(tmp_path):
+    files = _feature_files(tmp_path, 'npy')
+    _, assignments, _ = _run_feature_cluster(
+        tmp_path, files,
+        ['--algorithm', 'kcenters', '--cluster-number', '2',
+         '--cluster-distance', 'manhattan'])
+    a = ra.load(assignments)
+    flat = np.concatenate([np.asarray(a[i]) for i in range(2)])
+    assert len(np.unique(flat)) == 2
+
+
+def test_feature_cluster_radius_h5(tmp_path):
+    """Radius-based stopping from h5 feature input (reference:
+    test_feature_cluster_radius_based_h5_input)."""
+    files = _feature_files(tmp_path, 'h5')
+    _, assignments, _ = _run_feature_cluster(
+        tmp_path, files,
+        ['--algorithm', 'kcenters', '--cluster-radius', '1.0',
+         '--cluster-distance', 'euclidean'])
+    a = ra.load(assignments)
+    flat = np.concatenate([np.asarray(a[i]) for i in range(2)])
+    # radius 1.0 splits the two blobs (separation ~6.7 in L2)
+    assert len(np.unique(flat)) >= 2
+
+
+def test_cluster_iterations_rejected_for_kcenters(tmp_path):
+    """--cluster-iterations with kcenters must be rejected (reference:
+    test_feature_cluster_..._iterations_flag_error)."""
+    from enspara_tpu import exception
+
+    files = _feature_files(tmp_path, 'npy')
+    with pytest.raises(exception.ImproperlyConfigured):
+        _run_feature_cluster(
+            tmp_path, files,
+            ['--algorithm', 'kcenters', '--cluster-number', '2',
+             '--cluster-distance', 'euclidean',
+             '--cluster-iterations', '3'])
+
+
+def test_cluster_app_no_reassign(tmp_path):
+    """--subsample with --no-reassign skips the assignment/distance
+    writes but still writes centers (reference:
+    test_rmsd_cluster_subsample_and_noreassign,
+    expect_reassignment=False)."""
+    distances, assignments, centers, indices = runhelper(
+        tmp_path, algorithm='kcenters',
+        extra_args=['--subsample', '5', '--no-reassign'])
+    assert not os.path.exists(assignments)
+    assert not os.path.exists(distances)
+    assert os.path.exists(centers)
+    inds = np.load(indices)
+    assert inds.shape[1] == 2
     # first run clustering to get centers
     distances, assignments, centers, indices = runhelper(
         tmp_path, algorithm='kcenters')
