@@ -193,6 +193,44 @@ def test_cluster_app_no_reassign(tmp_path):
     assert os.path.exists(centers)
     inds = np.load(indices)
     assert inds.shape[1] == 2
+
+
+def test_cluster_app_multitop_multiselection(tmp_path):
+    """Two trajectory sets with different topologies and per-set atom
+    selections cluster into one shared state space (reference:
+    test_rmsd_cluster_multitop_multiselection)."""
+    from enspara_tpu.apps import cluster as cluster_app
+
+    xtc1 = os.path.join(REF_DATA, 'frame0.xtc')
+    top1 = os.path.join(REF_DATA, 'native.pdb')
+    xtc2 = os.path.join(REF_DATA, 'beta-peptide.xtc')
+    top2 = os.path.join(REF_DATA, 'beta-peptide.pdb')
+
+    distances = str(tmp_path / 'd.h5')
+    assignments = str(tmp_path / 'a.h5')
+    centers = str(tmp_path / 'c.pkl')
+
+    cluster_app.main([
+        'cluster',
+        '--trajectories', xtc1,
+        '--topology', top1,
+        '--atoms', 'name C or name N',
+        '--trajectories', xtc2,
+        '--topology', top2,
+        '--atoms', 'name CA and resid 0 to 3',
+        '--algorithm', 'kcenters',
+        '--cluster-number', '3',
+        '--subsample', '5', '--no-reassign',
+        '--distances', distances,
+        '--assignments', assignments,
+        '--center-features', centers])
+
+    with open(centers, 'rb') as f:
+        ctr = pickle.load(f)
+    assert len(ctr) == 3
+
+
+def test_reassign_app(tmp_path):
     # first run clustering to get centers
     distances, assignments, centers, indices = runhelper(
         tmp_path, algorithm='kcenters')
