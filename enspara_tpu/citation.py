@@ -74,3 +74,29 @@ def citations_used():
 
 def all_articles():
     return dict(_ARTICLES)
+
+
+def load_citation_db():
+    """The citation database (reference: citation/citation.py
+    load_citation_db, which reads articles.json; here the entries are
+    inline)."""
+    return dict(_ARTICLES)
+
+
+def add_citation(key, entry):
+    """Register an additional citation entry under ``key`` (reference:
+    citation/citation.py add_citation)."""
+    _ARTICLES[key] = entry
+
+
+def citation_printer():
+    """Format the bibliography of every method used so far as printable
+    text (reference: citation/citation.py citation_printer)."""
+    used = citations_used()
+    if not used:
+        return 'No cited methods have been used.'
+    lines = ['Please cite the following articles:', '']
+    for key, entry in used.items():
+        lines.append('[%s]' % key)
+        lines.append('  %s' % entry)
+    return '\n'.join(lines)
