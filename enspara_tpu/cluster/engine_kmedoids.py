@@ -31,12 +31,47 @@ __all__ = ['kmedoids_sweeps_device']
 
 
 @functools.partial(
-    jax.jit, static_argnames=('metric', 'n_sweeps', 'bucket'))
+    jax.jit, static_argnames=('metric', 'n_sweeps', 'bucket',
+                              'use_fused'))
 def _pam_sweeps(data, valid, d1, a1, medoid_inds, key, metric,
-                n_sweeps, bucket):
+                n_sweeps, bucket, use_fused=False):
     n = data.shape[0]
     k = medoid_inds.shape[0]
-    dist_fn = engine._METRIC_TO_FRAME[metric]
+
+    if use_fused:
+        # TPU: the proposal-distance pass reuses the fused k-centers
+        # iteration kernel — called with dist=+inf it degenerates to a
+        # pure distance computation over the dense (3*A_pad, n) layout
+        # (one bandwidth-bound pass instead of the XLA conv emitter).
+        from ..ops.qcp_update_pallas import (kcenters_iteration_pallas,
+                                             TILE_N)
+        A = data.shape[1]
+        A_pad = ((A + 7) // 8) * 8
+        n_pad = ((n + TILE_N - 1) // TILE_N) * TILE_N
+        frames_r = jnp.pad(jnp.transpose(data, (2, 1, 0)),
+                           ((0, 0), (0, A_pad - A), (0, n_pad - n))) \
+            .reshape(3 * A_pad, n_pad)
+        g_row = jnp.pad(jnp.sum(data * data, axis=(1, 2)),
+                        (0, n_pad - n),
+                        constant_values=1.0).reshape(1, -1)
+        rows = 3 * A_pad
+        inf_d = jnp.full((1, n_pad), jnp.inf, jnp.float32)
+        zero_a = jnp.zeros((1, n_pad), jnp.int32)
+
+        def dist_fn(_, p_idx):
+            col = jax.lax.dynamic_slice(frames_r, (0, p_idx),
+                                        (rows, 1))
+            cvec = col.reshape(3, A_pad).T
+            gb = jax.lax.dynamic_slice(g_row, (0, p_idx), (1, 1))
+            cid0 = jnp.zeros((1, 1), jnp.int32)
+            dnew, _ = kcenters_iteration_pallas(
+                frames_r, g_row, inf_d, zero_a, cvec, gb, cid0, A)
+            return dnew[0, :n]
+    else:
+        to_frame = engine._METRIC_TO_FRAME[metric]
+
+        def dist_fn(data_, p_idx):
+            return to_frame(data_, data_[p_idx])
 
     def cost(d):
         return jnp.sum(jnp.where(valid, d * d, 0.0)) / jnp.sum(valid)
@@ -59,7 +94,7 @@ def _pam_sweeps(data, valid, d1, a1, medoid_inds, key, metric,
         p_idx = jnp.argmax(prio).astype(jnp.int32)
 
         pc = data[p_idx]
-        dnew = dist_fn(data, pc)
+        dnew = dist_fn(data, p_idx)
 
         dst_dn = (d1 > dnew) & valid
         dst_up_this = (d1 <= dnew) & (a1 == cid) & valid
@@ -147,10 +182,13 @@ def kmedoids_sweeps_device(X, metric, assignments, distances,
     a1_sh, _ = pmesh.shard_frames(a1, mesh)
     valid_sh, _ = pmesh.shard_frames(valid, mesh)
 
+    use_fused = (metric == 'rmsd' and mesh.size == 1
+                 and jax.default_backend() == 'tpu')
     d1_out, a1_out, m_out = _pam_sweeps(
         data_sh, valid_sh, d1_sh, a1_sh,
         jnp.asarray(np.asarray(medoid_inds, dtype=np.int32)),
-        jax.random.PRNGKey(seed), metric, int(n_sweeps), bucket)
+        jax.random.PRNGKey(seed), metric, int(n_sweeps), bucket,
+        use_fused=use_fused)
 
     return (np.asarray(m_out).astype(np.int64),
             np.asarray(d1_out)[:n].astype(np.float64),
