@@ -38,8 +38,16 @@ def matrix_bincount2d(a, b, n_a, n_b):
 
     Returns an (Fa, Fb, n_a, n_b) uint32 (int64 if counts overflow).
     """
-    a = np.asarray(a)
-    b = np.asarray(b)
+    try:
+        import jax
+        is_dev = isinstance(a, jax.Array) or isinstance(b, jax.Array)
+    except ImportError:
+        is_dev = False
+    if not is_dev:
+        # host arrays stay host arrays; device arrays are NOT pulled
+        # back (the one-hot matmul consumes them in place)
+        a = np.asarray(a)
+        b = np.asarray(b)
     assert a.shape[0] == b.shape[0], \
         'Feature arrays a and b must match in length'
     assert a.max() < n_a, 'States indices must be contiguous.'
@@ -61,23 +69,31 @@ def _matrix_bincount2d_device(a, b, n_a, n_b):
 
     T, Fa = a.shape
     Fb = b.shape[1]
+    if T >= 2 ** 31:
+        raise OverflowError('int32 device accumulator would overflow')
 
     @jax.jit
     def chunk_counts(ac, bc):
+        # one-hot values are exactly 0.0/1.0 in bf16 and the MXU
+        # accumulates in fp32 (exact for chunk counts < 2^24), so
+        # DEFAULT matmul precision gives exact integer counts in a
+        # single MXU pass
         A = jax.nn.one_hot(ac, n_a, dtype=jnp.float32)  # (t, Fa, n_a)
         B = jax.nn.one_hot(bc, n_b, dtype=jnp.float32)  # (t, Fb, n_b)
         A2 = A.reshape(ac.shape[0], Fa * n_a)
         B2 = B.reshape(bc.shape[0], Fb * n_b)
-        M = jnp.dot(A2.T, B2, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        return M.reshape(Fa, n_a, Fb, n_b).transpose(0, 2, 1, 3)
+        M = jnp.dot(A2.T, B2, preferred_element_type=jnp.float32)
+        return M.reshape(Fa, n_a, Fb, n_b).transpose(0, 2, 1, 3) \
+            .astype(jnp.int32)
 
-    total = np.zeros((Fa, Fb, n_a, n_b), dtype=np.int64)
+    # accumulate on device (one host pull at the end, not per chunk)
+    total = None
     for start in range(0, T, _CHUNK_T):
         ac = a[start:start + _CHUNK_T]
         bc = b[start:start + _CHUNK_T]
-        total += np.asarray(chunk_counts(ac, bc)).astype(np.int64)
-    return total
+        c = chunk_counts(ac, bc)
+        total = c if total is None else total + c
+    return np.asarray(total).astype(np.int64)
 
 
 def matrix_bincount2d_np(a, b, n_a, n_b):
