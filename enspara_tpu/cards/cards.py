@@ -1,7 +1,7 @@
 """CARDS: Correlation of All Rotameric and Dynamical States.
 (reference: enspara/cards/cards.py)
 
-Pipeline: rotamer featurization (device lax.scan hysteresis) ->
+Pipeline: rotamer featurization (device associative-scan hysteresis) ->
 order/disorder segmentation -> four MI matrices (ss, dd, sd, ds) via
 the one-hot-matmul joint-count kernel.
 """

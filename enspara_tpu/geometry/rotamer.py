@@ -2,7 +2,8 @@
 assignment. (reference: enspara/geometry/rotamer.py)
 
 The sequential per-frame state carry (rotamer.py:84-93) becomes a single
-``lax.scan`` over frames, vectorized across ALL dihedrals at once —
+``lax.associative_scan`` over basin transition maps, vectorized
+across ALL dihedrals at once —
 replacing the reference's per-dihedral Python loop (the CARDS
 featurization hot path, SURVEY.md §3.5).
 """
