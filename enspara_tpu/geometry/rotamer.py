@@ -103,10 +103,17 @@ def rotamers_device(angles, hard_boundaries, buffer_width=15,
     import jax
     import jax.numpy as jnp
 
+    n_basins = len(hard_boundaries) - 1
+    if buffer_width < 0 or buffer_width >= 360. / n_basins:
+        raise DataInvalid('Buffer width (got %s) must be between 0 and '
+                          '360 degrees.' % buffer_width)
+    if hard_boundaries[0] != 0 or hard_boundaries[-1] != 360:
+        raise DataInvalid('hard_boundaries list must start with 0 and '
+                          'end with 360, list was %s.' % hard_boundaries)
+
     angles = np.asarray(angles) if not hasattr(angles, 'devices') \
         else angles
     bounds = jnp.asarray(hard_boundaries, jnp.float32)
-    n_basins = len(hard_boundaries) - 1
     T = angles.shape[0]
 
     lower_tab = bounds[:-1]
