@@ -8,6 +8,8 @@ the one-hot-matmul joint-count kernel.
 
 import logging
 
+import numpy as np
+
 from ..citation import cite
 from ..info_theory import mutual_info
 from . import disorder
@@ -37,6 +39,19 @@ def cards_matrices(feature_trajs, n_feature_states, n_procs=None):
     (reference: cards.py:61)"""
     disordered_trajs, disorder_n_states = \
         disorder.assign_order_disorder(feature_trajs)
+
+    # stage both featurizations onto the device ONCE — the four MI
+    # matrices below reuse them (re-pushing per matrix costs 4x the
+    # host->device traffic)
+    try:
+        import jax
+        import jax.numpy as jnp
+        feature_trajs = [jnp.asarray(np.asarray(t, dtype=np.int32))
+                         for t in feature_trajs]
+        disordered_trajs = [jnp.asarray(np.asarray(t, dtype=np.int32))
+                            for t in disordered_trajs]
+    except ImportError:
+        pass
 
     logger.debug('Calculating structural mutual information')
     structural_mi = mutual_info.mi_matrix(

@@ -30,7 +30,9 @@ def mi_matrix(Xs, Ys, n_x, n_y, normalize=True):
     features. (reference: mutual_info.py:23)"""
     jc = None
     for i, (X, Y) in enumerate(zip(Xs, Ys)):
-        jc_i = joint_counts(np.asarray(X), np.asarray(Y),
+        # device arrays pass through untouched (joint_counts consumes
+        # them in place; forcing np.asarray would pull them to host)
+        jc_i = joint_counts(X, Y,
                             int(np.max(n_x)), int(np.max(n_y)))
         if jc is None:
             jc = jc_i.astype(np.int64)
@@ -52,6 +54,10 @@ def mi_matrix(Xs, Ys, n_x, n_y, normalize=True):
 def joint_counts(X, Y=None, n_x=None, n_y=None):
     """Joint counts of all feature pairs: (Fa, Fb, n_x, n_y).
     (reference: mutual_info.py:212)"""
+    if not hasattr(X, 'shape'):
+        X = np.asarray(X)
+    if Y is not None and not hasattr(Y, 'shape'):
+        Y = np.asarray(Y)
     if len(X.shape) == 1:
         X = X[..., None]
     if Y is not None and len(Y.shape) == 1:
