@@ -47,63 +47,10 @@ def _kernel(ft_ref, ct_ref, gf_ref, gc_ref, out_ref, *, n_atoms_real):
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)  # (TF, TC)
 
-    Sxx, Sxy, Sxz = S[0]
-    Syx, Syy, Syz = S[1]
-    Szx, Szy, Szz = S[2]
-
-    ga = gf_ref[:]                            # (TF, 1)
-    gb = gc_ref[:]                            # (TC, 1)
-    gsum = ga + gb.reshape(1, -1)             # (TF, TC)
-    lam0 = gsum * 0.5
-    inv = 1.0 / jnp.maximum(lam0, 1e-30)
-
-    fnorm2 = (Sxx * Sxx + Sxy * Sxy + Sxz * Sxz
-              + Syx * Syx + Syy * Syy + Syz * Syz
-              + Szx * Szx + Szy * Szy + Szz * Szz)
-    det = (Sxx * (Syy * Szz - Syz * Szy)
-           - Sxy * (Syx * Szz - Syz * Szx)
-           + Sxz * (Syx * Szy - Syy * Szx))
-
-    SxzpSzx = Sxz + Szx
-    SxzmSzx = Sxz - Szx
-    SyzpSzy = Syz + Szy
-    SyzmSzy = Syz - Szy
-    SxypSyx = Sxy + Syx
-    SxymSyx = Sxy - Syx
-    SxxpSyy = Sxx + Syy
-    SxxmSyy = Sxx - Syy
-
-    D = Sxy * Sxy + Sxz * Sxz - Syx * Syx - Szx * Szx
-    D = D * D
-    core = -Sxx * Sxx + Syy * Syy + Szz * Szz + Syz * Syz + Szy * Szy
-    E = (core - 2.0 * (Syy * Szz - Syz * Szy)) \
-        * (core + 2.0 * (Syy * Szz - Syz * Szy))
-    F = (-(SxzpSzx) * (SyzmSzy) + (SxymSyx) * (SxxmSyy - Szz)) \
-        * (-(SxzmSzx) * (SyzpSzy) + (SxymSyx) * (SxxmSyy + Szz))
-    G = (-(SxzpSzx) * (SyzpSzy) - (SxypSyx) * (SxxpSyy - Szz)) \
-        * (-(SxzmSzx) * (SyzmSzy) - (SxypSyx) * (SxxpSyy + Szz))
-    H = ((SxypSyx) * (SyzpSzy) + (SxzpSzx) * (SxxmSyy + Szz)) \
-        * (-(SxymSyx) * (SyzmSzy) + (SxzpSzx) * (SxxpSyy + Szz))
-    II = ((SxypSyx) * (SyzmSzy) + (SxzmSzx) * (SxxmSyy - Szz)) \
-        * (-(SxymSyx) * (SyzpSzy) + (SxzmSzx) * (SxxpSyy - Szz))
-    C0 = D + E + F + G + H + II
-
-    inv2 = inv * inv
-    c2 = (-2.0 * fnorm2) * inv2
-    c1 = (-8.0 * det) * inv2 * inv
-    c0 = C0 * inv2 * inv2
-
-    u = jnp.ones_like(c2)
-    for _ in range(qcp.NEWTON_ITERS):
-        u2 = u * u
-        p = u2 * u2 + c2 * u2 + c1 * u + c0
-        dp = u * (4.0 * u2 + 2.0 * c2) + c1
-        step = p / jnp.where(jnp.abs(dp) < 1e-12, 1e-12, dp)
-        u = u - jnp.clip(step, -0.5, 0.5)
-    u = jnp.clip(u, 0.0, 1.0)
-
-    msd = jnp.maximum(gsum - 2.0 * u * lam0, 0.0) / n_atoms_real
-    out_ref[:] = jnp.sqrt(msd)
+    gsum = gf_ref[:] + gc_ref[:].reshape(1, -1)        # (TF, TC)
+    Sc = tuple(S[i][j] for i in range(3) for j in range(3))
+    out_ref[:] = qcp.rmsd_from_S_components_unrolled(
+        Sc, gsum, n_atoms_real)
 
 
 @functools.partial(jax.jit,
