@@ -24,7 +24,8 @@ from .. import exception
 from ..ra import RaggedArray
 
 __all__ = ['TrimMapping', 'assigns_to_counts', 'eigenspectrum',
-           'trim_disconnected', 'eq_probs', 'assigns_to_counts_device']
+           'trim_disconnected', 'eq_probs', 'assigns_to_counts_device',
+           'assigns_to_counts_sharded']
 
 
 class TrimMapping:
@@ -186,6 +187,42 @@ def assigns_to_counts_device(assigns_padded, mask, lag_time, n_states,
     counts = jnp.bincount(flat_idx.reshape(-1),
                           length=n_states ** 2 + 1)[:-1]
     return counts.reshape(n_states, n_states)
+
+
+def assigns_to_counts_sharded(assigns_padded, mask, lag_time, n_states,
+                              sliding_window=True, mesh=None):
+    """Transition counting with trajectories sharded over the device
+    mesh: each shard counts its local rows, a psum over the mesh
+    produces the replicated global count matrix. Lag pairs never cross
+    trajectory rows, so trajectory-axis sharding needs no halo
+    (SURVEY.md §5: masked lag-counting on sharded sequence data).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ..parallel import mesh as pmesh
+    from ..parallel.mesh import FRAME_AXIS, P
+
+    if mesh is None:
+        mesh = pmesh.frame_mesh()
+    a = np.asarray(assigns_padded)
+    m = np.asarray(mask, dtype=bool)
+    n_traj = a.shape[0]
+    pad = (-n_traj) % mesh.size
+    if pad:
+        a = np.concatenate([a, np.zeros((pad,) + a.shape[1:],
+                                        a.dtype)])
+        m = np.concatenate([m, np.zeros((pad,) + m.shape[1:], bool)])
+
+    def body(a_l, m_l):
+        c = assigns_to_counts_device(a_l, m_l, lag_time, n_states,
+                                     sliding_window=sliding_window)
+        return jax.lax.psum(c, FRAME_AXIS)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(FRAME_AXIS), P(FRAME_AXIS)),
+        out_specs=P(), check_vma=False))
+    return fn(jnp.asarray(a, jnp.int32), jnp.asarray(m))
 
 
 def eigenspectrum(T, n_eigs=None, left=True, maxiter=100000, tol=1E-30):

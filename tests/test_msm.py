@@ -309,3 +309,23 @@ def test_counts_device_matches_host_gapfree():
     dev2 = np.asarray(msm.assigns_to_counts_device(
         assigns, mask2, lag_time=3, n_states=6))
     assert_array_equal(host2, dev2)
+
+
+def test_assigns_to_counts_sharded_matches_host():
+    """Trajectory-sharded counting over the 8-device mesh equals the
+    host counts on gap-free data (and needs no halo)."""
+    from enspara_tpu.msm.transition_matrices import (
+        assigns_to_counts, assigns_to_counts_sharded)
+    from enspara_tpu.parallel import frame_mesh
+
+    rng = np.random.default_rng(3)
+    assigns = rng.integers(0, 7, size=(13, 211))   # 13 rows: pad test
+    mask = np.ones_like(assigns, dtype=bool)
+    mask[:, 200:] = False                           # ragged tails
+
+    host = assigns_to_counts(
+        [row[:200] for row in assigns], max_n_states=7,
+        lag_time=3).toarray()
+    dev = np.asarray(assigns_to_counts_sharded(
+        assigns, mask, 3, 7, mesh=frame_mesh()))
+    assert_array_equal(dev, host)
