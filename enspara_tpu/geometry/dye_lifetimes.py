@@ -24,6 +24,7 @@ logger = logging.getLogger(__name__)
 
 __all__ = ['FRET_rate', 'calc_dye_radiative_rates',
            'calc_energy_transfer_prob', 'resolve_excitation',
+           'resolve_excitations_device',
            'make_dye_msm', 'calc_lifetimes',
            'sample_lifetimes_guarenteed_photon',
            'remake_prot_MSM_from_lifetimes', 'run_mc',
@@ -170,6 +171,123 @@ def resolve_excitation(d_name, a_name, d_tprobs, a_tprobs, d_eqs, a_eqs,
     return [steps, d_state, np.array(dtrj), np.array(atrj)]
 
 
+def _pair_rate_tables(d_name, a_name, d_centers, a_centers, dye_params,
+                      dye_lagtime, dyelibrary):
+    """(n_d, n_a, 4) outcome-probability table for every (donor state,
+    acceptor state) pair — the vectorized form of the per-step
+    ``calc_k2_r`` -> ``calc_R0`` -> ``FRET_rate`` ->
+    ``calc_energy_transfer_prob`` chain in :func:`resolve_excitation`.
+    """
+    J, Qd, Td = dye_params
+    krad, k_non_rad = calc_dye_radiative_rates(Qd, Td)
+
+    dc = r0c.assemble_dye_r_mu(d_centers, d_name, dyelibrary)
+    ac = r0c.assemble_dye_r_mu(a_centers, a_name, dyelibrary)
+    Dc, Ddo, Dv = dc[:, 0:3], dc[:, 3:6], dc[:, 6:9]
+    Ac, Ado, Av = ac[:, 0:3], ac[:, 3:6], ac[:, 6:9]
+
+    r = np.linalg.norm(Dc[:, None] - Ac[None], axis=-1)   # (n_d, n_a)
+    rvec = Ddo[:, None] - Ado[None]                       # (n_d, n_a, 3)
+    nr = np.linalg.norm(rvec, axis=-1)
+    nD = np.linalg.norm(Dv, axis=-1)
+    nA = np.linalg.norm(Av, axis=-1)
+    cos_T = (Av @ Dv.T).T / (nD[:, None] * nA[None])      # (n_d, n_a)
+    cos_D = np.einsum('dai,di->da', rvec, Dv) / (nr * nD[:, None])
+    cos_A = np.einsum('dai,ai->da', rvec, Av) / (nr * nA[None])
+    k2 = (cos_T - 3 * cos_D * cos_A) ** 2
+
+    R0 = r0c.calc_R0(k2, Qd, J)
+    kRET = FRET_rate(r, R0, Td)
+
+    dt = dye_lagtime
+    p_rad = 1 - np.exp(-krad * dt)
+    p_nonrad = 1 - np.exp(-k_non_rad * dt)
+    p_RET = 1 - np.exp(-kRET * dt)
+    p_remain = 1 - p_rad - p_nonrad - p_RET
+    probs = np.stack([np.broadcast_to(p_rad, r.shape),
+                      np.broadcast_to(p_nonrad, r.shape),
+                      p_RET, p_remain], axis=-1)
+    # clamp the calc_energy_transfer_prob renormalization case
+    neg = probs[..., 3] < 0
+    probs[..., 3] = np.where(neg, 0.0, probs[..., 3])
+    probs /= probs.sum(axis=-1, keepdims=True)
+    return probs
+
+
+def resolve_excitations_device(d_name, a_name, d_tprobs, a_tprobs,
+                               d_eqs, a_eqs, d_centers, a_centers,
+                               dye_params, dye_lagtime, dyelibrary=None,
+                               n_samples=1000, rng_seed=0,
+                               max_steps=None):
+    """All-photon Monte Carlo on device: every excitation advances in
+    lockstep through one ``lax.while_loop`` — per step a (n_d, n_a)
+    table lookup of outcome probabilities plus categorical draws for
+    the outcome and both dye-MSM moves. Replaces the reference's
+    per-photon Python loop (dye_lifetimes.py:258) when thousands of
+    photons are sampled; statistically identical but NOT bit-matched
+    (jax PRNG vs numpy Generator).
+
+    Returns ``(steps (n,), outcomes (n,) str)`` matching
+    :func:`resolve_excitation` semantics (steps counts the emission
+    step; outcome is the decay channel).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if dyelibrary is None:
+        dyelibrary = r0c.load_library()
+    J, Qd, Td = dye_params
+    if max_steps is None:
+        # 30 donor lifetimes: residual survival < 1e-13
+        max_steps = int(np.ceil(
+            30.0 * float(np.ravel(Td)[0]) / dye_lagtime)) + 1
+
+    probs = _pair_rate_tables(d_name, a_name, d_centers, a_centers,
+                              dye_params, dye_lagtime, dyelibrary)
+    logp = jnp.log(jnp.asarray(np.maximum(probs, 1e-300), jnp.float32))
+    logp_d = jnp.log(jnp.asarray(
+        np.maximum(np.asarray(d_tprobs), 1e-300), jnp.float32))
+    logp_a = jnp.log(jnp.asarray(
+        np.maximum(np.asarray(a_tprobs), 1e-300), jnp.float32))
+    log_deq = jnp.log(jnp.asarray(
+        np.maximum(np.asarray(d_eqs), 1e-300), jnp.float32))
+    log_aeq = jnp.log(jnp.asarray(
+        np.maximum(np.asarray(a_eqs), 1e-300), jnp.float32))
+
+    key = jax.random.PRNGKey(rng_seed)
+    kd, ka, kloop = jax.random.split(key, 3)
+    d0 = jax.random.categorical(kd, log_deq, shape=(n_samples,))
+    a0 = jax.random.categorical(ka, log_aeq, shape=(n_samples,))
+
+    def cond(state):
+        step, d, a, alive, steps, outcome, k = state
+        return jnp.any(alive) & (step < max_steps)
+
+    def body(state):
+        step, d, a, alive, steps, outcome, k = state
+        k, k1, k2_, k3 = jax.random.split(k, 4)
+        # outcome indices: 0 rad, 1 nonrad, 2 RET, 3 stay excited
+        o = jax.random.categorical(k1, logp[d, a], axis=-1)
+        resolved = alive & (o != 3)
+        outcome = jnp.where(resolved, o, outcome)
+        steps = steps + alive.astype(jnp.int32)
+        alive = alive & (o == 3)
+        d_next = jax.random.categorical(k2_, logp_d[d], axis=-1)
+        a_next = jax.random.categorical(k3, logp_a[a], axis=-1)
+        d = jnp.where(alive, d_next, d)
+        a = jnp.where(alive, a_next, a)
+        return (step + 1, d, a, alive, steps, outcome, k)
+
+    init = (jnp.int32(0), d0, a0,
+            jnp.ones(n_samples, bool),
+            jnp.zeros(n_samples, jnp.int32),
+            jnp.full(n_samples, 3, jnp.int32), kloop)
+    _, _, _, _, steps, outcome, _ = jax.lax.while_loop(cond, body, init)
+
+    return (np.asarray(steps),
+            _OUTCOMES[np.asarray(outcome)])
+
+
 def make_dye_msm(centers, t_counts, pdb, resseq, dyename, dyelibrary,
                  center_n=None, outdir='./', save_dye_xtc=False):
     """Align a dye to a residue, drop clashed states, rebuild the dye
@@ -258,6 +376,12 @@ def calc_lifetimes(pdb_center_num, d_centers, d_tcounts, a_centers,
                     outdir, center_n, dyenames[1], resSeqs[1]), atrj)
         lifetimes = events[:, 0]
         outcomes = events[:, 1]
+    elif dye_treatment == 'Monte-carlo-device':
+        lifetimes, outcomes = resolve_excitations_device(
+            dyenames[0], dyenames[1], d_tprobs, a_tprobs,
+            d_mod_eqs, a_mod_eqs, d_centers, a_centers, dye_params,
+            dye_lagtime, dyelibrary, n_samples=n_samples,
+            rng_seed=rng_seed if rng_seed is not None else 0)
     elif dye_treatment == 'static':
         events = np.array(explicit_static_dyes(
             dyenames[0], dyenames[1], d_mod_eqs, a_mod_eqs, d_centers,

@@ -137,6 +137,42 @@ def test_mc_statistics(fret_system):
                              'energy_transfer'}
 
 
+def test_mc_device_matches_host_statistics(fret_system):
+    """The lockstep device MC reproduces the host per-photon MC's
+    outcome distribution and mean lifetime (different PRNGs, same
+    physics)."""
+    from enspara_tpu.geometry import dye_lifetimes
+
+    d_tp, d_eq, _ = dye_lifetimes.make_dye_msm(
+        fret_system['donor'], fret_system['d_tcounts'],
+        fret_system['prot'][0], 1, DONOR, fret_system['lib'])
+    a_tp, a_eq, _ = dye_lifetimes.make_dye_msm(
+        fret_system['acceptor'], fret_system['a_tcounts'],
+        fret_system['prot'][0], 40, ACCEPTOR, fret_system['lib'])
+
+    host = [dye_lifetimes.resolve_excitation(
+        DONOR, ACCEPTOR, d_tp, a_tp, d_eq, a_eq,
+        fret_system['donor'], fret_system['acceptor'],
+        fret_system['params'], 0.002, fret_system['lib'], rng_seed=i)
+        for i in range(500)]
+    h_steps = np.array([e[0] for e in host])
+    h_out = np.array([e[1] for e in host])
+
+    d_steps, d_out = dye_lifetimes.resolve_excitations_device(
+        DONOR, ACCEPTOR, d_tp, a_tp, d_eq, a_eq,
+        fret_system['donor'], fret_system['acceptor'],
+        fret_system['params'], 0.002, fret_system['lib'],
+        n_samples=500, rng_seed=7)
+
+    assert len(d_steps) == 500
+    assert not (d_out == 'excited').any()
+    # mean lifetime within 15% (MC noise at n=500)
+    assert abs(d_steps.mean() - h_steps.mean()) < 0.15 * h_steps.mean()
+    # outcome channel fractions within 10 percentage points
+    for ch in ('radiative', 'non_radiative', 'energy_transfer'):
+        assert abs((d_out == ch).mean() - (h_out == ch).mean()) < 0.10
+
+
 def test_calc_lifetimes_and_burst(fret_system, tmp_path):
     from enspara_tpu.geometry import dye_lifetimes
 
