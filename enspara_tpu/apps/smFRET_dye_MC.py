@@ -60,7 +60,11 @@ def process_command_line(argv):
     p.add_argument('--save_dmsm', default=False, action='store_true')
     p.add_argument('--output_dir', action=readable_dir, default='./')
     p.add_argument('--dye_treatment', default='Monte-carlo',
-                   choices=['Monte-carlo', 'static', 'isotropic'])
+                   choices=['Monte-carlo', 'Monte-carlo-device',
+                            'static', 'isotropic'],
+                   help="'Monte-carlo-device' runs all photons in one "
+                        'lockstep device while_loop (statistically '
+                        'identical, far faster for many samples)')
     p.add_argument('--rng_seed', type=int, default=None)
 
     rbp = subparsers.add_parser(
