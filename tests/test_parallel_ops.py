@@ -1,0 +1,64 @@
+"""In-jit collective vocabulary tests (parallel/ops.py) — the mesh
+replacements for the reference's MPI op set, exercised under shard_map
+on the 8-device CPU mesh (mirrors enspara/test/test_mpi_ops.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_allclose, assert_array_equal
+
+from enspara_tpu.parallel import frame_mesh
+from enspara_tpu.parallel.mesh import FRAME_AXIS, P
+from enspara_tpu.parallel.ops import (striped_max, striped_mean,
+                                      global_argmax, distribute_frame)
+
+
+def _run_sharded(fn, *arrays, out_specs=P()):
+    mesh = frame_mesh()
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=tuple(P(FRAME_AXIS) for _ in arrays),
+        out_specs=out_specs, check_vma=False))(*arrays)
+
+
+def test_striped_max():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64,)).astype(np.float32)
+    out = _run_sharded(lambda xl: striped_max(xl), x)
+    assert_allclose(np.asarray(out), x.max())
+
+
+def test_striped_mean():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(64,)).astype(np.float32)
+    out = _run_sharded(lambda xl: striped_mean(xl), x)
+    assert_allclose(np.asarray(out), x.mean(), rtol=1e-6)
+
+
+def test_striped_mean_weighted():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(64,)).astype(np.float32)
+    w = (rng.random(64) > 0.3).astype(np.float32)
+    out = _run_sharded(lambda xl, wl: striped_mean(xl, wl), x, w)
+    assert_allclose(np.asarray(out), (x * w).sum() / w.sum(),
+                    rtol=1e-6)
+
+
+def test_global_argmax_first_max_tie_break():
+    x = np.zeros(64, np.float32)
+    x[13] = 5.0
+    x[44] = 5.0        # tie: np.argmax picks 13
+    val, idx = _run_sharded(
+        lambda xl: global_argmax(xl), x,
+        out_specs=(P(), P()))
+    assert float(val) == 5.0
+    assert int(idx) == np.argmax(x) == 13
+
+
+def test_distribute_frame():
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(64, 5, 3)).astype(np.float32)
+    # fetch a row owned by a non-zero shard
+    out = _run_sharded(
+        lambda dl: distribute_frame(dl, jnp.int32(41)), data)
+    assert_array_equal(np.asarray(out), data[41])
