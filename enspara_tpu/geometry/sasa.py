@@ -37,7 +37,7 @@ def _radii_from_top(top):
 
 @cite('shrake-rupley')
 def shrake_rupley(traj, probe_radius=0.14, n_sphere_points=960,
-                  mode='atom', atom_block=64):
+                  mode='atom', atom_block=64, mesh=None):
     """Per-atom (or per-residue) SASA in nm^2 for every frame.
 
     Parameters
@@ -47,6 +47,8 @@ def shrake_rupley(traj, probe_radius=0.14, n_sphere_points=960,
     probe_radius : float, nm (0.14 = water; exposons use 0.28).
     n_sphere_points : test points per atom (quality/cost knob).
     mode : 'atom' or 'residue'.
+    mesh : optional multi-device mesh; frames shard across it
+        (embarrassingly parallel, no collectives).
 
     Returns
     -------
@@ -63,7 +65,8 @@ def shrake_rupley(traj, probe_radius=0.14, n_sphere_points=960,
     xyz = np.asarray(xyz, dtype=np.float32)
     radii = np.asarray(radii, dtype=np.float32)
     out = _sasa_device(xyz, radii, float(probe_radius),
-                       int(n_sphere_points), int(atom_block))
+                       int(n_sphere_points), int(atom_block),
+                       mesh=mesh)
     out = np.asarray(out)
 
     if mode == 'residue':
@@ -127,10 +130,28 @@ def _compiled_sasa(n_atoms, n_points, atom_block):
     return sasa_all
 
 
-def _sasa_device(xyz, radii, probe_radius, n_points, atom_block):
+def _sasa_device(xyz, radii, probe_radius, n_points, atom_block,
+                 mesh=None):
     fn = _compiled_sasa(xyz.shape[1], n_points,
                         min(atom_block, xyz.shape[1]))
-    return fn(xyz, radii + probe_radius)
+    rad = radii + probe_radius
+    if mesh is not None and mesh.size > 1:
+        # frames are embarrassingly parallel: shard them over the mesh
+        import jax
+        import numpy as np_
+        from ..parallel.mesh import FRAME_AXIS, P
+
+        n = xyz.shape[0]
+        pad = (-n) % mesh.size
+        if pad:
+            xyz = np_.concatenate(
+                [xyz, np_.zeros((pad,) + xyz.shape[1:], xyz.dtype)])
+        out = jax.jit(jax.shard_map(
+            lambda x: fn(x, rad), mesh=mesh,
+            in_specs=P(FRAME_AXIS), out_specs=P(FRAME_AXIS),
+            check_vma=False))(xyz)
+        return out[:n]
+    return fn(xyz, rad)
 
 
 def shrake_rupley_np(xyz, radii, probe_radius=0.14, n_sphere_points=960):

@@ -246,3 +246,16 @@ def test_sasa_real_structure_magnitudes():
     assert out.shape == (1, pdb.top.n_residues)
     assert (out > 0).all()
     assert out.sum() < 100  # nm^2, sane total for a small peptide
+
+
+def test_sasa_sharded_matches_single_device():
+    from enspara_tpu.geometry.sasa import shrake_rupley
+    from enspara_tpu.parallel import frame_mesh
+
+    rng = np.random.default_rng(5)
+    xyz = (rng.normal(size=(19, 12, 3)) * 0.3).astype(np.float32)
+    radii = np.full(12, 0.15, np.float32)
+    single = shrake_rupley((xyz, radii), probe_radius=0.28)
+    sharded = shrake_rupley((xyz, radii), probe_radius=0.28,
+                            mesh=frame_mesh())
+    assert_allclose(sharded, single, rtol=1e-6)
