@@ -25,7 +25,7 @@ __all__ = ['exposons', 'exposons_from_sasas', 'condense_sidechain_sasas',
 
 @cite('exposons')
 def exposons(trj, damping, weights=None, probe_radius=0.28,
-             threshold=0.02):
+             threshold=0.02, mesh=None):
     """Compute exposons for a trajectory (enspara_tpu.io.Trajectory).
     (reference: exposons.py:16)
 
@@ -38,7 +38,8 @@ def exposons(trj, damping, weights=None, probe_radius=0.28,
     else:
         weights = np.array(weights) / sum(weights)
 
-    sasas = shrake_rupley(trj, probe_radius=probe_radius, mode='atom')
+    sasas = shrake_rupley(trj, probe_radius=probe_radius, mode='atom',
+                          mesh=mesh)
     sasas = condense_sidechain_sasas(sasas, trj.top)
     return exposons_from_sasas(sasas, damping, weights, threshold)
 
