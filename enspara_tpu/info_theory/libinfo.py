@@ -13,9 +13,13 @@ mutual_info.py:149-153.) Counts are accumulated chunk-wise in fp32
 the reference's 2^32-timepoint cap (libinfo.pyx:56).
 """
 
+import logging
+
 import numpy as np
 
 __all__ = ['bincount2d', 'matrix_bincount2d', 'matrix_bincount2d_np']
+
+logger = logging.getLogger(__name__)
 
 _CHUNK_T = 1 << 22  # 4M timepoints per device chunk (fp32-exact counts)
 
@@ -56,7 +60,10 @@ def matrix_bincount2d(a, b, n_a, n_b):
     try:
         jc = _matrix_bincount2d_device(a, b, int(n_a), int(n_b))
     except Exception:
-        jc = matrix_bincount2d_np(a, b, int(n_a), int(n_b))
+        logger.warning('device joint-count path failed; falling back '
+                       'to the host bincount loop', exc_info=True)
+        jc = matrix_bincount2d_np(np.asarray(a), np.asarray(b),
+                                  int(n_a), int(n_b))
 
     if jc.max() < 2 ** 32:
         return jc.astype(np.uint32)
