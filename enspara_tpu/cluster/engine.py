@@ -533,13 +533,18 @@ def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
     (:func:`_kcenters_loop_fused_sharded`)."""
     from ..ops.qcp_update_pallas import TILE_N
 
-    if tile is None:
-        tile = TILE_N
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     n_shards = 1 if mesh is None else mesh.size
 
     n = len(X)
+    if tile is None:
+        # fit two double-buffered (3*A_pad, tile) frame blocks in
+        # ~64 MB of VMEM; large structures shrink the tile
+        A_dim = X.shape[1] if hasattr(X, 'shape') else np.shape(X)[1]
+        A_pad_est = ((int(A_dim) + 7) // 8) * 8
+        cap = (64 * 1024 * 1024) // (2 * 4 * 3 * A_pad_est)
+        tile = int(min(TILE_N, max(256, (cap // 128) * 128)))
     if k_max is None:
         k_max = int(n_clusters) if n_clusters is not None else n
     k_max = int(min(k_max, n))
