@@ -259,3 +259,28 @@ def test_sasa_sharded_matches_single_device():
     sharded = shrake_rupley((xyz, radii), probe_radius=0.28,
                             mesh=frame_mesh())
     assert_allclose(sharded, single, rtol=1e-6)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir('/root/reference/enspara/test/geometry_data'),
+    reason='reference geometry data not present')
+def test_all_rotamers_reference_protein():
+    """The dihedral inventory on the reference's real protein matches
+    its expected state counts (reference: test_rotamer.py
+    test_rotamer_assignment: 18 two-state phi/psi + 21 three-state
+    chi), and assignments are consistent under trajectory splitting."""
+    G = '/root/reference/enspara/test/geometry_data'
+    top = io.load(G + '/PROT_only.pdb')
+    trj = io.load(G + '/trj0.xtc', top=top.top)
+
+    states, inds, n_states = rotamer.all_rotamers(trj)
+    assert_array_equal(n_states, np.array([2] * 18 + [3] * 21))
+    assert states.dtype.kind == 'i'
+    assert states.shape == (trj.n_frames, 39)
+
+    # split-consistency (reference: test_rotamer_assignment_split)
+    pivot = trj.n_frames // 2
+    s1, i1, n1 = rotamer.all_rotamers(trj[:pivot])
+    assert_array_equal(states[:pivot], s1)
+    assert_array_equal(inds, i1)
+    assert_array_equal(n_states, n1)
