@@ -214,13 +214,15 @@ def qcp_rmsd_matrix(frames, centers, g_frames, g_centers, n_atoms=None):
     centers = jnp.asarray(centers, jnp.float32)
     if n_atoms is None:
         n_atoms = frames.shape[-2]
-    # S[f, c, i, j] = sum_n frames[f, n, i] * centers[c, n, j]
-    # -> one (F*3, N) x (N, C*3) matmul.
-    S = jnp.einsum('fni,cnj->fcij', frames, centers,
+    # S[i, j, f, c] = sum_n frames[f, n, i] * centers[c, n, j] — the
+    # (i, j) axes lead so the buffer stays dense on TPU (an (F, C, 3,
+    # 3) output tile-pads (3, 3) -> (4, 128), 57x the bytes).
+    S = jnp.einsum('fni,cnj->ijfc', frames, centers,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
-    return _rmsd_from_S(S, g_frames[:, None], g_centers[None, :],
-                        float(n_atoms))
+    Sc = tuple(S[i, j] for i in range(3) for j in range(3))
+    return _rmsd_from_S_components(Sc, g_frames[:, None],
+                                   g_centers[None, :], float(n_atoms))
 
 
 @functools.partial(jax.jit, static_argnames=('n_atoms',))
