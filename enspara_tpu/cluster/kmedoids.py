@@ -18,6 +18,14 @@ from sklearn.utils import check_random_state
 from ..exception import ImproperlyConfigured, DataInvalid
 from . import util
 
+
+def _tpu_present():
+    try:
+        import jax
+        return jax.default_backend() == 'tpu'
+    except Exception:
+        return False
+
 logger = logging.getLogger(__name__)
 
 __all__ = ['KMedoids', 'kmedoids']
@@ -106,8 +114,40 @@ def _inputs_tree(X, metric, n_clusters, assignments, distances,
 
 def _kmedoids_iterations(X, metric, n_iters, cluster_center_inds,
                          assignments, distances, proposals=None,
-                         random_state=None):
-    """(reference: kmedoids.py:410)"""
+                         random_state=None, backend='auto'):
+    """(reference: kmedoids.py:410)
+
+    ``backend='auto'`` runs the sweeps fully on device
+    (engine_kmedoids.kmedoids_sweeps_device — one jit for ALL sweeps,
+    no per-proposal dispatches) when a TPU is present, the metric is a
+    named device metric, and no explicit proposals were given; the
+    host path (bit-matched to the reference's PAM choreography) is
+    used otherwise or with ``backend='host'``. The two paths draw
+    proposals from different PRNGs, so they are statistically — not
+    bitwise — equivalent.
+    """
+    if backend not in ('auto', 'host', 'device'):
+        raise DataInvalid("backend must be 'auto', 'host' or "
+                          "'device', got %r" % (backend,))
+    metric_name = util._metric_name(metric)
+    use_device = (backend == 'device'
+                  or (backend == 'auto' and proposals is None
+                      and metric_name is not None
+                      and _tpu_present()))
+    if use_device and metric_name is not None:
+        from .engine_kmedoids import kmedoids_sweeps_device
+        from sklearn.utils import check_random_state
+
+        rs = check_random_state(random_state)
+        m, d, a = kmedoids_sweeps_device(
+            X, metric_name, np.asarray(assignments),
+            np.asarray(distances, dtype=np.float64),
+            np.asarray(cluster_center_inds),
+            n_sweeps=n_iters, seed=int(rs.randint(2 ** 31)))
+        return util.ClusterResult(
+            center_indices=list(m), assignments=a, distances=d,
+            centers=[np.asarray(X[i]) for i in m])
+
     result = None
     for i in range(n_iters):
         cluster_center_inds, distances, assignments, centers = \
