@@ -279,3 +279,29 @@ def test_xtc_single_frame_and_time(tmp_path):
     assert back.n_frames == 1
     frame5 = io.load_frame(fn, 0, top=t.top)
     assert frame5.n_frames == 1
+
+
+def test_xtc_fuzz_roundtrip(tmp_path):
+    """Property-style roundtrips of the C++ XTC codec: odd atom
+    counts, extreme magnitudes, tight clusters (small-delta runs), and
+    single/large frame counts all survive within the quantization."""
+    rng = np.random.default_rng(11)
+    cases = [
+        (1, 7, 1.0),            # single frame, odd atoms
+        (13, 3, 100.0),         # large coordinates
+        (5, 129, 0.001),        # tiny spread -> long small-delta runs
+        (64, 31, 5.0),
+    ]
+    for i, (F, A, scale) in enumerate(cases):
+        top = make_topology(max(1, A // 5 + 1))
+        n_atoms = top.n_atoms
+        xyz = (rng.normal(size=(F, n_atoms, 3)) * scale) \
+            .astype(np.float32)
+        traj = io.Trajectory(xyz, top)
+        fn = str(tmp_path / ('fuzz%d.xtc' % i))
+        io.write_xtc(fn, traj)
+        back = io.load_xtc(fn, top=top)
+        assert back.n_frames == F
+        # xtc quantizes at 1/precision (default 1000/nm)
+        tol = max(6e-4, 6e-4 * scale / 1.0) if scale > 1 else 6e-4
+        assert_allclose(back.xyz, xyz, atol=tol)
