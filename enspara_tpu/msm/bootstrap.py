@@ -55,12 +55,60 @@ def _chunk_assignments(assignments, chunk_by):
 
 
 def MSMs(assignments, lag_time, method, n_trials, max_n_states=None,
-         n_procs=1, chunk_by=None, random_state=None, **kwargs):
-    """Bootstrap an ensemble of MSMs. (reference: bootstrap.py:51)"""
+         n_procs=1, chunk_by=None, random_state=None, fast=True,
+         **kwargs):
+    """Bootstrap an ensemble of MSMs. (reference: bootstrap.py:51)
+
+    With ``fast=True`` (default) per-trajectory transition counts are
+    computed ONCE and each replicate's counts are the
+    multiplicity-weighted sum — exactly equal to re-counting the
+    resampled rows (counts are additive over trajectories) but O(rows)
+    instead of O(frames) per trial. ``fast=False`` re-counts per trial
+    (the reference's shape of work).
+    """
     if chunk_by is not None:
         assignments = _chunk_assignments(assignments, chunk_by)
-    return bootstrap(
-        msm_mod.MSM.from_assignments, assignments,
-        lag_time=lag_time, method=method, n_trials=n_trials,
-        max_n_states=max_n_states, n_procs=n_procs,
-        random_state=random_state, **kwargs)
+    if not fast:
+        return bootstrap(
+            msm_mod.MSM.from_assignments, assignments,
+            lag_time=lag_time, method=method, n_trials=n_trials,
+            max_n_states=max_n_states, n_procs=n_procs,
+            random_state=random_state, **kwargs)
+
+    from .transition_matrices import assigns_to_counts
+
+    rows = [np.asarray(assignments[i]) for i in range(len(assignments))]
+    row_max = np.array([int(r[r != -1].max()) if (r != -1).any()
+                        else -1 for r in rows])
+    n_states_global = (int(max_n_states) if max_n_states is not None
+                       else int(row_max.max()) + 1)
+    sliding = kwargs.pop('sliding_window', True)
+    per_row = [assigns_to_counts(
+        r.reshape(1, -1), lag_time=lag_time,
+        max_n_states=n_states_global,
+        sliding_window=sliding).tocsr() for r in rows]
+
+    rng = np.random.default_rng(random_state)
+    n_rows = len(rows)
+    samplings = [rng.choice(n_rows, n_rows) for _ in range(n_trials)]
+
+    def one(iis):
+        mult = np.bincount(iis, minlength=n_rows)
+        C = None
+        for i in np.nonzero(mult)[0]:
+            term = per_row[i] * int(mult[i])
+            C = term if C is None else C + term
+        if max_n_states is None:
+            # match per-trial shape semantics of the naive path: each
+            # trial sizes its matrix by its own sampled rows
+            k = int(row_max[iis].max()) + 1
+            C = C[:k, :k]
+        m = msm_mod.MSM(lag_time=lag_time, method=method,
+                        max_n_states=max_n_states,
+                        sliding_window=sliding, **kwargs)
+        return m.fit_from_counts(C.tocoo())
+
+    if n_procs and n_procs > 1:
+        with ThreadPoolExecutor(max_workers=n_procs) as ex:
+            return list(ex.map(one, samplings))
+    return [one(iis) for iis in samplings]

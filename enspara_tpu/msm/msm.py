@@ -51,7 +51,13 @@ class MSM(object):
             max_n_states=self.max_n_states,
             lag_time=self.lag_time,
             sliding_window=self.sliding_window)
+        return self.fit_from_counts(tcounts)
 
+    def fit_from_counts(self, tcounts):
+        """Trim + build from a precomputed transition-count matrix —
+        counts are additive over trajectories, so callers that already
+        hold per-trajectory counts (e.g. bootstrap resampling) can
+        skip the re-count."""
         if self.trim:
             original_state_count = tcounts.shape[0]
             self.mapping_, tcounts = trim_disconnected(tcounts)

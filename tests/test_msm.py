@@ -329,3 +329,17 @@ def test_assigns_to_counts_sharded_matches_host():
     dev = np.asarray(assigns_to_counts_sharded(
         assigns, mask, 3, 7, mesh=frame_mesh()))
     assert_array_equal(dev, host)
+
+
+def test_bootstrap_fast_equals_naive():
+    """The additive-counts bootstrap path produces MSMs exactly equal
+    to re-counting the resampled rows, for the same resampling RNG."""
+    from enspara_tpu.msm.bootstrap import MSMs
+
+    fast = MSMs(ASSIGNS, lag_time=1, method='transpose', n_trials=4,
+                random_state=42, fast=True)
+    slow = MSMs(ASSIGNS, lag_time=1, method='transpose', n_trials=4,
+                random_state=42, fast=False)
+    assert len(fast) == len(slow) == 4
+    for mf, ms in zip(fast, slow):
+        assert mf == ms
