@@ -37,7 +37,10 @@ def sound_trajectory(trj, stride=1, frame=None):
     else:
         n_frames = io_traj.load(trj).n_frames
     if frame is not None:
-        n_frames = max(n_frames - frame, 0)
+        # a trajectory loaded with frame=k contributes exactly one
+        # frame (reference: util/load.py:120-126 treats 'frame' files
+        # as length 1)
+        return 1 if frame < n_frames else 0
     return math.ceil(n_frames / stride)
 
 

@@ -305,3 +305,37 @@ def test_xtc_fuzz_roundtrip(tmp_path):
         # xtc quantizes at 1/precision (default 1000/nm)
         tol = max(6e-4, 6e-4 * scale / 1.0) if scale > 1 else 6e-4
         assert_allclose(back.xyz, xyz, atol=tol)
+
+
+def test_load_as_concatenated_generator_and_frame(tmp_path):
+    """Generator filename input and per-file frame kwarg (reference:
+    test_ra.py test_load_as_concatenated_generator / _frame_kwarg)."""
+    trajs = [make_traj(n, seed=n) for n in (4, 6)]
+    files = []
+    for i, t in enumerate(trajs):
+        fn = str(tmp_path / ('g%d.xtc' % i))
+        io.write_xtc(fn, t)
+        files.append(fn)
+
+    # generator input
+    lengths, xyz = load_as_concatenated(
+        (f for f in files), top=trajs[0].top)
+    assert lengths == [4, 6]
+
+    # per-file args with frame selection
+    lengths, xyz = load_as_concatenated(
+        files, args=[{'top': trajs[0].top, 'frame': 1},
+                     {'top': trajs[1].top, 'frame': 3}])
+    assert lengths == [1, 1]
+    assert_allclose(xyz[0], trajs[0].xyz[1], atol=6e-4)
+    assert_allclose(xyz[1], trajs[1].xyz[3], atol=6e-4)
+
+
+def test_load_as_concatenated_args_kwargs_conflict(tmp_path):
+    from enspara_tpu.exception import ImproperlyConfigured
+
+    t = make_traj(3)
+    fn = str(tmp_path / 'x.xtc')
+    io.write_xtc(fn, t)
+    with pytest.raises(ImproperlyConfigured):
+        load_as_concatenated([fn], args=[{'top': t.top}], top=t.top)
