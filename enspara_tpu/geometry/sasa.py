@@ -37,7 +37,8 @@ def _radii_from_top(top):
 
 @cite('shrake-rupley')
 def shrake_rupley(traj, probe_radius=0.14, n_sphere_points=960,
-                  mode='atom', atom_block=64, mesh=None):
+                  mode='atom', atom_block=64, mesh=None,
+                  n_neighbors='auto'):
     """Per-atom (or per-residue) SASA in nm^2 for every frame.
 
     Parameters
@@ -49,6 +50,13 @@ def shrake_rupley(traj, probe_radius=0.14, n_sphere_points=960,
     mode : 'atom' or 'residue'.
     mesh : optional multi-device mesh; frames shard across it
         (embarrassingly parallel, no collectives).
+    n_neighbors : 'auto', int, or None. Only atoms with
+        ``|x_i - x_j| < (r_i + p) + (r_j + p)`` can occlude atom i's
+        shell, so the occlusion test runs over each atom's K nearest
+        candidates instead of all A atoms. 'auto' measures the exact
+        max neighbor count on device (cheap: one (A, A) distance pass)
+        and sizes K to cover it — the result is EXACT, not
+        approximate. None forces the dense all-pairs path.
 
     Returns
     -------
@@ -66,7 +74,7 @@ def shrake_rupley(traj, probe_radius=0.14, n_sphere_points=960,
     radii = np.asarray(radii, dtype=np.float32)
     out = _sasa_device(xyz, radii, float(probe_radius),
                        int(n_sphere_points), int(atom_block),
-                       mesh=mesh)
+                       mesh=mesh, n_neighbors=n_neighbors)
     out = np.asarray(out)
 
     if mode == 'residue':
@@ -130,11 +138,127 @@ def _compiled_sasa(n_atoms, n_points, atom_block):
     return sasa_all
 
 
+@functools.lru_cache(maxsize=8)
+def _compiled_neighbor_count(n_atoms, atom_block):
+    """Exact max-over-(frame, atom) count of potential occluders:
+    j != i with |x_i - x_j| < r_i + r_j (inflated radii)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_blocks = (n_atoms + atom_block - 1) // atom_block
+    pad = n_blocks * atom_block - n_atoms
+
+    def per_frame(coords, rad_inflated):
+        coords_p = jnp.pad(coords, ((0, pad), (0, 0)))
+        rad_p = jnp.pad(rad_inflated, (0, pad))
+
+        def block(b):
+            sl = jax.lax.dynamic_slice_in_dim(coords_p, b * atom_block,
+                                              atom_block)
+            rads = jax.lax.dynamic_slice_in_dim(rad_p, b * atom_block,
+                                                atom_block)
+            d2 = jnp.sum((sl[:, None, :] - coords[None, :, :]) ** 2,
+                         axis=-1)                       # (blk, A)
+            thresh = (rads[:, None] + rad_inflated[None, :]) ** 2
+            own = (jnp.arange(n_atoms)[None, :]
+                   == (b * atom_block
+                       + jnp.arange(atom_block))[:, None])
+            rel = (d2 < thresh) & ~own
+            return jnp.max(jnp.sum(rel, axis=-1))
+
+        return jnp.max(jax.lax.map(block, jnp.arange(n_blocks)))
+
+    @jax.jit
+    def max_count(xyz, rad_inflated):
+        return jnp.max(jax.lax.map(
+            lambda c: per_frame(c, rad_inflated), xyz))
+
+    return max_count
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_sasa_nl(n_atoms, n_points, atom_block, n_neighbors):
+    """Neighbor-list Shrake-Rupley: occlusion tested against each
+    atom's K nearest cutoff-satisfying candidates only. Exact whenever
+    K >= the true max neighbor count (callers guarantee this via
+    _compiled_neighbor_count)."""
+    import jax
+    import jax.numpy as jnp
+
+    pts = sphere_points(n_points)
+    n_blocks = (n_atoms + atom_block - 1) // atom_block
+    pad = n_blocks * atom_block - n_atoms
+
+    def per_frame(coords, rad_inflated):
+        coords_p = jnp.pad(coords, ((0, pad), (0, 0)))
+        rad_p = jnp.pad(rad_inflated, (0, pad))
+
+        def block(b):
+            sl = jax.lax.dynamic_slice_in_dim(coords_p, b * atom_block,
+                                              atom_block)
+            rads = jax.lax.dynamic_slice_in_dim(rad_p, b * atom_block,
+                                                atom_block)
+            d2 = jnp.sum((sl[:, None, :] - coords[None, :, :]) ** 2,
+                         axis=-1)                       # (blk, A)
+            thresh = (rads[:, None] + rad_inflated[None, :]) ** 2
+            own = (jnp.arange(n_atoms)[None, :]
+                   == (b * atom_block
+                       + jnp.arange(atom_block))[:, None])
+            rel = (d2 < thresh) & ~own
+            score = jnp.where(rel, -d2, -jnp.inf)
+            vals, idx = jax.lax.top_k(score, n_neighbors)  # (blk, K)
+            ncoords = coords[idx]                       # (blk, K, 3)
+            # invalid slots (beyond the true neighbor count) get
+            # radius 0: d2 >= 0 can never be < 0, so they never cover
+            nrad = jnp.where(jnp.isfinite(vals),
+                             rad_inflated[idx], 0.0)    # (blk, K)
+            shell = sl[:, None, :] + rads[:, None, None] * pts[None]
+            d2p = jnp.sum(
+                (shell[:, :, None, :] - ncoords[:, None, :, :]) ** 2,
+                axis=-1)                                # (blk, P, K)
+            occluded = jnp.any(d2p < (nrad[:, None, :] ** 2), axis=-1)
+            frac = 1.0 - jnp.mean(occluded, axis=-1)
+            return frac * 4.0 * jnp.pi * rads * rads
+
+        fracs = jax.lax.map(block, jnp.arange(n_blocks))
+        return fracs.reshape(-1)[:n_atoms]
+
+    @jax.jit
+    def sasa_all(xyz, rad_inflated):
+        return jax.lax.map(
+            lambda c: per_frame(c, rad_inflated), xyz)
+
+    return sasa_all
+
+
+def _pick_n_neighbors(xyz, rad, n_atoms, atom_block, n_neighbors):
+    """Resolve the n_neighbors knob to a compiled kernel choice.
+    Returns K (int) for the neighbor-list path or None for dense."""
+    if n_neighbors is None:
+        return None
+    if n_neighbors == 'auto':
+        count_fn = _compiled_neighbor_count(n_atoms,
+                                            min(atom_block, n_atoms))
+        need = int(count_fn(xyz, rad))
+    else:
+        need = int(n_neighbors)
+    k = max(8, -(-need // 8) * 8)   # round up to a multiple of 8
+    if k >= n_atoms or k > 0.75 * n_atoms:
+        return None                 # dense path is cheaper
+    return k
+
+
 def _sasa_device(xyz, radii, probe_radius, n_points, atom_block,
-                 mesh=None):
-    fn = _compiled_sasa(xyz.shape[1], n_points,
-                        min(atom_block, xyz.shape[1]))
+                 mesh=None, n_neighbors='auto'):
     rad = radii + probe_radius
+    k = _pick_n_neighbors(xyz, rad, xyz.shape[1], atom_block,
+                          n_neighbors)
+    if k is not None:
+        fn = _compiled_sasa_nl(xyz.shape[1], n_points,
+                               min(atom_block, xyz.shape[1]), k)
+    else:
+        fn = _compiled_sasa(xyz.shape[1], n_points,
+                            min(atom_block, xyz.shape[1]))
     if mesh is not None and mesh.size > 1:
         # frames are embarrassingly parallel: shard them over the mesh
         import jax

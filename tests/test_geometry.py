@@ -124,6 +124,28 @@ def test_sasa_matches_numpy_oracle():
     assert_allclose(dev, oracle, rtol=1e-4, atol=1e-5)
 
 
+def test_sasa_neighbor_list_exact():
+    # a spread-out cloud where auto-K genuinely engages (K << A),
+    # checked against the dense all-pairs path bit-for-bit
+    rng = np.random.default_rng(7)
+    A = 512
+    R = (3 * A / (4 * np.pi * 116)) ** (1 / 3)  # protein density
+    pts = rng.normal(size=(A, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    pts *= rng.random((A, 1)) ** (1 / 3) * R
+    xyz = np.repeat(pts[None], 2, axis=0).astype(np.float32)
+    xyz += rng.normal(scale=0.01, size=xyz.shape).astype(np.float32)
+    radii = rng.uniform(0.12, 0.19, A).astype(np.float32)
+
+    k = sasa._pick_n_neighbors(xyz, radii + 0.14, A, 64, 'auto')
+    assert k is not None and k < A  # NL path actually exercised
+    dense = sasa.shrake_rupley((xyz, radii), probe_radius=0.14,
+                               n_sphere_points=120, n_neighbors=None)
+    nl = sasa.shrake_rupley((xyz, radii), probe_radius=0.14,
+                            n_sphere_points=120, n_neighbors='auto')
+    assert_allclose(nl, dense, rtol=1e-5, atol=1e-6)
+
+
 def _ala_traj(n_frames=4, n_res=5, seed=4):
     from enspara_tpu.io.topology import Topology
     top = Topology()
