@@ -2,16 +2,25 @@
 
 The host path (cluster/kmedoids.py) dispatches ~3k device calls per
 sweep; here the ENTIRE sweep — proposal sampling, distance kernel,
-3-case update, ambiguous-subset reassignment, cost test — is one jitted
-``lax.fori_loop`` over medoids.
+cost test, cache maintenance — is one jitted ``lax.fori_loop`` over
+medoids.
 
-Exactness under static shapes: the reference recomputes nearest medoids
-only for the 'ambiguous' frames (assigned to the replaced medoid whose
-distance increased, kmedoids.py:637-670) — a dynamic-size set. We
-gather those frames into a fixed-size bucket of ``M = bucket_factor *
-n/k`` slots. When the true ambiguous count fits the bucket (tracked in
-``overflow``), the update is exactly PAM; overflow cases fall back to
-keeping the proposal rejected for safety.
+FastPAM-style second-nearest cache: alongside the nearest-medoid state
+``(d1, a1)`` we carry the exact second-nearest ``(d2, a2)``. A
+proposal replacing medoid ``cid`` with candidate ``c`` then costs ONE
+distance pass plus elementwise selects — for members of ``cid`` the
+new nearest is ``min(d2, dnew)`` (their second-nearest is by
+definition another medoid), for everyone else ``min(d1, dnew)``. The
+reference's 'ambiguous subset' reassignment (kmedoids.py:637-670) and
+its fixed-size bucket are needed only to REPAIR the cache on ACCEPTED
+proposals: the points whose new second-nearest cannot be derived from
+the cached pair (``a1==cid`` or ``a2==cid``, with ``dnew > d2``) are
+gathered into a ``M = bucket_factor * n/k``-slot bucket and re-ranked
+against all k medoids. When the true repair count fits the bucket
+(tracked in ``overflow``), the update is exactly PAM; overflow cases
+fall back to keeping the proposal rejected for safety. Since PAM
+acceptance decays across sweeps, the amortized per-proposal cost
+approaches the distance pass alone.
 
 Randomness uses jax PRNG (uniform over the proposal cluster's members,
 reproducing the reference's `_propose_new_center_amongst` semantics,
@@ -73,11 +82,28 @@ def _pam_sweeps(data, valid, d1, a1, medoid_inds, key, metric,
         def dist_fn(data_, p_idx):
             return to_frame(data_, data_[p_idx])
 
+    n_valid = jnp.sum(valid)
+
     def cost(d):
-        return jnp.sum(jnp.where(valid, d * d, 0.0)) / jnp.sum(valid)
+        return jnp.sum(jnp.where(valid, d * d, 0.0)) / n_valid
+
+    # ---- build the exact second-nearest cache (d2, a2) from the
+    # warm-start (d1, a1): one distance pass per medoid, running min
+    # over all medoids other than each point's own.
+    def init_body(cid, st):
+        d2x, a2x = st
+        dx = dist_fn(data, medoid_inds[cid])
+        better = (dx < d2x) & (a1 != cid) & valid
+        return (jnp.where(better, dx, d2x),
+                jnp.where(better, cid, a2x))
+
+    d2, a2 = jax.lax.fori_loop(
+        0, k, init_body,
+        (jnp.full(n, jnp.inf, jnp.float32),
+         jnp.full(n, -1, jnp.int32)))
 
     def one_proposal(cid, state):
-        d1, a1, medoid_inds, rbits = state
+        d1, a1, d2, a2, medoid_inds, rbits, cost_cur = state
 
         members = (a1 == cid) & valid
         count = jnp.sum(members)
@@ -93,52 +119,102 @@ def _pam_sweeps(data, valid, d1, a1, medoid_inds, key, metric,
         prio = jnp.where(members, mixed | jnp.uint32(1), jnp.uint32(0))
         p_idx = jnp.argmax(prio).astype(jnp.int32)
 
-        pc = data[p_idx]
         dnew = dist_fn(data, p_idx)
 
-        dst_dn = (d1 > dnew) & valid
-        dst_up_this = (d1 <= dnew) & (a1 == cid) & valid
+        # post-swap nearest distance straight from the cache: members'
+        # second-nearest is by definition a different medoid
+        cand_d1 = jnp.where(members, jnp.minimum(d2, dnew),
+                            jnp.minimum(d1, dnew))
+        new_cost = cost(cand_d1)
 
-        # fixed-size bucket of ambiguous frames. top_k on the mask is
-        # ~3x faster than jnp.nonzero(size=...) on TPU (no cumsum) and
-        # its tie-break is the lowest index, so the bucket holds the
-        # first `bucket` ambiguous frames; unused slots are filtered
-        # by amb_real below.
-        amb_idx = jax.lax.top_k(dst_up_this.astype(jnp.float32),
-                                bucket)[1].astype(jnp.int32)
-        amb_real = dst_up_this[amb_idx]
-        overflow = jnp.sum(dst_up_this) > bucket
+        # cache-repair set: the swap displaced one of the point's two
+        # cached medoids AND the candidate doesn't slot in below d2,
+        # so the new second-nearest needs a full k-way re-rank
+        uncertain = (((a1 == cid) | (a2 == cid)) & (dnew > d2)
+                     & valid)
+        overflow = jnp.sum(uncertain) > bucket
 
-        sub = data[amb_idx]                         # (bucket, ...)
-        medoids = data[medoid_inds].at[cid].set(pc)  # (k, ...)
-        d_amb = engine._pairwise_block(sub, medoids, metric)
-        amb_a = jnp.argmin(d_amb, axis=1).astype(jnp.int32)
-        amb_d = jnp.min(d_amb, axis=1)
+        accept = (new_cost < cost_cur) & (count > 0) & ~overflow
 
-        new_d = jnp.where(dst_dn, dnew, d1)
-        new_a = jnp.where(dst_dn, cid, a1)
-        new_d = new_d.at[amb_idx].set(
-            jnp.where(amb_real, amb_d, new_d[amb_idx]))
-        new_a = new_a.at[amb_idx].set(
-            jnp.where(amb_real, amb_a, new_a[amb_idx]))
+        def do_accept(op):
+            d1, a1, d2, a2, medoid_inds = op
+            in1 = dnew < d1
+            in2 = dnew < d2
+            caseB = a1 == cid            # nearest displaced
+            caseC = a2 == cid            # second-nearest displaced
+            # case A (neither displaced): insert dnew into (d1, d2)
+            A_d1 = jnp.where(in1, dnew, d1)
+            A_a1 = jnp.where(in1, cid, a1)
+            A_d2 = jnp.where(in1, d1, jnp.where(in2, dnew, d2))
+            A_a2 = jnp.where(in1, a1, jnp.where(in2, cid, a2))
+            # case B: survivor pair = (d2, a2); insert dnew. Exact
+            # when dnew <= d2; dnew > d2 is in the repair bucket.
+            B_d1 = jnp.minimum(dnew, d2)
+            B_a1 = jnp.where(in2, cid, a2)
+            B_d2 = jnp.maximum(dnew, d2)
+            B_a2 = jnp.where(in2, a2, cid)
+            # case C: survivor pair = (d1, a1); insert dnew. dnew <=
+            # d2 <= (true third) makes the pair exact; else bucket.
+            C_d1 = jnp.minimum(dnew, d1)
+            C_a1 = jnp.where(in1, cid, a1)
+            C_d2 = jnp.maximum(dnew, d1)
+            C_a2 = jnp.where(in1, a1, cid)
 
-        accept = (cost(new_d) < cost(d1)) & (count > 0) & ~overflow
-        d1 = jnp.where(accept, new_d, d1)
-        a1 = jnp.where(accept, new_a, a1)
-        medoid_inds = medoid_inds.at[cid].set(
-            jnp.where(accept, p_idx, medoid_inds[cid]))
-        return (d1, a1, medoid_inds, rbits)
+            nd1 = jnp.where(caseB, B_d1, jnp.where(caseC, C_d1, A_d1))
+            na1 = jnp.where(caseB, B_a1, jnp.where(caseC, C_a1, A_a1))
+            nd2 = jnp.where(caseB, B_d2, jnp.where(caseC, C_d2, A_d2))
+            na2 = jnp.where(caseB, B_a2, jnp.where(caseC, C_a2, A_a2))
+            nd1 = jnp.where(valid, nd1, jnp.inf)
+            na1 = jnp.where(valid, na1, -1)
+            nd2 = jnp.where(valid, nd2, jnp.inf)
+            na2 = jnp.where(valid, na2, -1)
+
+            # repair bucket: top_k on the mask is ~3x faster than
+            # jnp.nonzero(size=...) on TPU (no cumsum); tie-break is
+            # the lowest index, unused slots filtered by amb_real
+            amb_idx = jax.lax.top_k(uncertain.astype(jnp.float32),
+                                    bucket)[1].astype(jnp.int32)
+            amb_real = uncertain[amb_idx]
+            sub = data[amb_idx]                          # (bucket, ..)
+            medoids = data[medoid_inds].at[cid].set(data[p_idx])
+            d_amb = engine._pairwise_block(sub, medoids, metric)
+            b_a1 = jnp.argmin(d_amb, axis=1).astype(jnp.int32)
+            b_d1 = jnp.min(d_amb, axis=1)
+            hide = (jnp.arange(k)[None, :] == b_a1[:, None])
+            d_amb2 = jnp.where(hide, jnp.inf, d_amb)
+            b_a2 = jnp.argmin(d_amb2, axis=1).astype(jnp.int32)
+            b_d2 = jnp.min(d_amb2, axis=1)
+
+            nd1 = nd1.at[amb_idx].set(
+                jnp.where(amb_real, b_d1, nd1[amb_idx]))
+            na1 = na1.at[amb_idx].set(
+                jnp.where(amb_real, b_a1, na1[amb_idx]))
+            nd2 = nd2.at[amb_idx].set(
+                jnp.where(amb_real, b_d2, nd2[amb_idx]))
+            na2 = na2.at[amb_idx].set(
+                jnp.where(amb_real, b_a2, na2[amb_idx]))
+
+            medoid_inds = medoid_inds.at[cid].set(p_idx)
+            return (nd1, na1, nd2, na2, medoid_inds)
+
+        d1, a1, d2, a2, medoid_inds = jax.lax.cond(
+            accept, do_accept, lambda op: op,
+            (d1, a1, d2, a2, medoid_inds))
+        cost_cur = jnp.where(accept, new_cost, cost_cur)
+        return (d1, a1, d2, a2, medoid_inds, rbits, cost_cur)
 
     def one_sweep(s, state):
-        d1, a1, medoid_inds = state
+        d1, a1, d2, a2, medoid_inds, cost_cur = state
         rbits = jax.random.bits(jax.random.fold_in(key, s), (n,),
                                 jnp.uint32)
-        d1, a1, medoid_inds, _ = jax.lax.fori_loop(
-            0, k, one_proposal, (d1, a1, medoid_inds, rbits))
-        return (d1, a1, medoid_inds)
+        d1, a1, d2, a2, medoid_inds, _, cost_cur = jax.lax.fori_loop(
+            0, k, one_proposal,
+            (d1, a1, d2, a2, medoid_inds, rbits, cost_cur))
+        return (d1, a1, d2, a2, medoid_inds, cost_cur)
 
-    d1, a1, medoid_inds = jax.lax.fori_loop(
-        0, n_sweeps, one_sweep, (d1, a1, medoid_inds))
+    d1, a1, d2, a2, medoid_inds, _ = jax.lax.fori_loop(
+        0, n_sweeps, one_sweep,
+        (d1, a1, d2, a2, medoid_inds, cost(d1)))
     return d1, a1, medoid_inds
 
 

@@ -1,5 +1,5 @@
 import numpy as np
-from numpy.testing import assert_array_equal
+from numpy.testing import assert_array_equal, assert_allclose
 from sklearn.datasets import make_blobs
 
 from enspara_tpu.cluster import (kmedoids, hybrid, KHybrid, KMedoids,
@@ -108,6 +108,25 @@ def test_device_pam_sweeps_reduce_cost():
         np.asarray(seed.center_indices), n_sweeps=5, seed=0)
     assert_array_equal(m, m2)
     assert_array_equal(a, a2)
+
+
+def test_device_pam_cache_consistency():
+    # after many sweeps with accepts, the carried (d1, a1) state must
+    # still equal a brute-force nearest-medoid recompute — this is the
+    # invariant the FastPAM second-nearest cache has to preserve
+    from enspara_tpu.cluster.engine_kmedoids import kmedoids_sweeps_device
+
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(300, 5)).astype(np.float32)  # no structure:
+    # high acceptance churn stresses the cache-repair path
+    seed = kcenters(X, 'euclidean', n_clusters=12)
+    m, d, a = kmedoids_sweeps_device(
+        X, 'euclidean', seed.assignments, seed.distances,
+        np.asarray(seed.center_indices), n_sweeps=8, seed=3)
+    full = np.linalg.norm(X[:, None, :] - X[m][None, :, :], axis=-1)
+    assert_allclose(d, full.min(axis=1), rtol=1e-5, atol=1e-5)
+    assert_allclose(full[np.arange(len(X)), a], full.min(axis=1),
+                    rtol=1e-5, atol=1e-5)
 
 
 def test_device_pam_sweeps_rmsd():
