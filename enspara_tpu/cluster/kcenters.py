@@ -26,7 +26,7 @@ from . import engine
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['KCenters', 'kcenters']
+__all__ = ['KCenters', 'kcenters', 'kcenters_mpi']
 
 
 class KCenters(util.MolecularClusterMixin):
@@ -111,6 +111,15 @@ def kcenters(traj, distance_method, n_clusters=None, dist_cutoff=None,
                               init_centers, mesh)
     return _kcenters_host(traj, util._get_distance_method(distance_method),
                           n_clusters, dist_cutoff, init_centers)
+
+
+def kcenters_mpi(traj, distance_method, **kwargs):
+    """Name-compat with the reference's MPI entry point
+    (cluster/kcenters.py:103). Here data parallelism comes from the
+    device mesh rather than MPI ranks: pass ``mesh=`` to shard frames,
+    or rely on the default mesh over all local devices."""
+    kwargs.pop('mpi_mode', None)
+    return kcenters(traj, distance_method, **kwargs)
 
 
 def _kcenters_fast(X, metric, n_clusters, dist_cutoff, init_centers,

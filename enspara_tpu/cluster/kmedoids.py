@@ -28,7 +28,41 @@ def _tpu_present():
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['KMedoids', 'kmedoids']
+__all__ = ['KMedoids', 'kmedoids', 'ctr_ids_mpi']
+
+
+def ctr_ids_mpi(cluster_center_inds, lengths):
+    """Map center indices to the reference's MPI-compatible
+    ``(owner_rank, local_index)`` format (reference:
+    cluster/kmedoids.py:365), with trajectories striped over processes
+    round-robin. With one process (the usual single-controller case)
+    every center is owned by rank 0 and the local index equals the
+    concatenated global index.
+    """
+    from .. import ra as ra_mod
+    from ..parallel.ops import _proc_info
+
+    _, size = _proc_info()
+    lengths = np.asarray(lengths)
+    global_inds = ra_mod.RaggedArray(
+        np.arange(int(lengths.sum())), lengths=lengths)
+
+    out = []
+    for ind in cluster_center_inds:
+        if hasattr(ind, '__len__'):
+            traj_id, frame_id = int(ind[0]), int(ind[1])
+        else:
+            traj_id, frame_id = ra_mod.where(
+                global_inds == int(ind))
+            traj_id, frame_id = int(traj_id[0]), int(frame_id[0])
+        rank = traj_id % size
+        local = global_inds[rank::size]
+        local_concat = np.concatenate(
+            [np.asarray(r).reshape(-1) for r in local])
+        local_fid = int(np.flatnonzero(
+            local_concat == int(global_inds[traj_id, frame_id]))[0])
+        out.append((rank, local_fid))
+    return out
 
 
 class KMedoids(util.MolecularClusterMixin):

@@ -180,6 +180,19 @@ from ..util.log import timed
 from ..util.parallel import auto_nprocs
 
 
+def expand_files(pgroups):
+    """Expand glob patterns in nested file-group lists, sorting each
+    expansion (reference: cluster/util.py:315)."""
+    from glob import glob
+
+    expanded = []
+    for pgroup in pgroups:
+        expanded.append([])
+        for p in pgroup:
+            expanded[-1].extend(sorted(glob(p)))
+    return expanded
+
+
 def load_features(features, stride):
     """Load feature arrays: one .h5 RaggedArray file or many .npy files.
     (reference: cluster/util.py:324)"""

@@ -15,7 +15,7 @@ from . import dihedrals as dih
 
 __all__ = ['dihedral_angles', 'all_rotamers', 'phi_rotamers',
            'psi_rotamers', 'chi_rotamers', '_rotamers',
-           'rotamers_device']
+           'rotamers_device', 'get_gates', 'is_buffered_transition']
 
 
 def dihedral_angles(traj, dihedral_type):
@@ -76,6 +76,23 @@ def _is_buffered_transition(cur_state, new_angle, hard_boundaries,
     if upper > lower:
         return not (lower <= new_angle <= upper)
     return False
+
+
+def get_gates(cur_state, hard_boundaries, buffer_width):
+    """Gate angles a dihedral must exit to leave its buffered basin —
+    public name-compat with the reference (rotamer.py:163). Returns
+    ``(lower_bound, upper_bound)``; a wrap-around basin has
+    ``upper < lower``."""
+    return _gates(cur_state, hard_boundaries, buffer_width)
+
+
+def is_buffered_transition(cur_state, new_angle, hard_boundaries,
+                           buffer_width):
+    """Whether moving to ``new_angle`` is a real (buffer-crossing)
+    transition out of basin ``cur_state`` — public name-compat with
+    the reference (rotamer.py:98)."""
+    return _is_buffered_transition(cur_state, new_angle,
+                                   hard_boundaries, buffer_width)
 
 
 def rotamers_device(angles, hard_boundaries, buffer_width=15,

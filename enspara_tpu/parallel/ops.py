@@ -18,7 +18,19 @@ assemble_striped_array            plain ``jax.device_get`` — arrays are
 
 These helpers are called *inside* ``shard_map`` bodies; each operates on
 the local shard and returns replicated results.
+
+A second, host-level vocabulary mirrors the reference's mpi.ops API by
+name for users porting scripts (``striped_array_max``,
+``striped_array_mean``, ``assemble_striped_array``,
+``assemble_striped_ragged_array``, ``convert_local_indices``,
+``randind``): these operate on each *process's* stripe (item i lives on
+process i % n_processes, the same convention as
+:mod:`enspara_tpu.parallel.io`) and degrade to exact single-process
+semantics when there is one process — the analogue of the reference's
+DummyComm fallback (enspara/mpi/util.py:6).
 """
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +38,10 @@ import jax.numpy as jnp
 from .mesh import FRAME_AXIS
 
 __all__ = ['striped_max', 'striped_mean', 'global_argmax',
-           'distribute_frame', 'local_shard_bounds']
+           'distribute_frame', 'local_shard_bounds',
+           'striped_array_max', 'striped_array_mean',
+           'assemble_striped_array', 'assemble_striped_ragged_array',
+           'convert_local_indices', 'randind']
 
 
 def local_shard_bounds(n_local, axis=FRAME_AXIS):
@@ -91,3 +106,149 @@ def distribute_frame(data_local, global_index, axis=FRAME_AXIS):
     contrib = jnp.where(owned, row.astype(jnp.float32),
                         jnp.zeros_like(row, jnp.float32))
     return jax.lax.psum(contrib, axis)
+
+
+# ---------------------------------------------------------------------
+# host-level striped compat (reference mpi/ops.py API, process-striped)
+# ---------------------------------------------------------------------
+
+def _proc_info():
+    try:
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def _allgather_obj(obj):
+    """Gather a numpy array (possibly different length per process)
+    from every process. Lengths are agreed first, then each process's
+    stripe is broadcast in turn — the analogue of the reference's
+    round-robin bcast loop (mpi/ops.py:74-75)."""
+    rank, size = _proc_info()
+    obj = np.asarray(obj)
+    if size == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+    lengths = multihost_utils.process_allgather(np.asarray(len(obj)))
+    out = []
+    for r in range(size):
+        shape = (int(lengths[r]),) + obj.shape[1:]
+        send = obj if r == rank else np.zeros(shape, obj.dtype)
+        out.append(multihost_utils.broadcast_one_to_all(
+            send, is_source=(r == rank)))
+    return out
+
+
+def striped_array_max(local_array):
+    """Global max of a process-striped array (reference:
+    mpi/ops.py:128)."""
+    _, size = _proc_info()
+    local_max = np.max(local_array)
+    if size == 1:
+        return local_max
+    from jax.experimental import multihost_utils
+    return float(multihost_utils.process_allgather(
+        np.asarray(local_max)).max())
+
+
+def striped_array_mean(local_array):
+    """Global mean of a process-striped array: sums and counts are
+    reduced separately, then divided (reference: mpi/ops.py:143)."""
+    _, size = _proc_info()
+    local_sum = np.sum(local_array)
+    local_len = len(local_array)
+    if size == 1:
+        return local_sum / local_len
+    from jax.experimental import multihost_utils
+    sums = multihost_utils.process_allgather(np.asarray(local_sum))
+    lens = multihost_utils.process_allgather(np.asarray(local_len))
+    return float(sums.sum() / lens.sum())
+
+
+def assemble_striped_array(local_arr):
+    """Assemble a striped array (element i lives on process i % size;
+    reference: mpi/ops.py:42). Single-process: the identity."""
+    rank, size = _proc_info()
+    if size == 1:
+        return local_arr
+    stripes = _allgather_obj(local_arr)
+    total = sum(len(s) for s in stripes)
+    out = np.zeros((total,) + np.asarray(local_arr).shape[1:],
+                   dtype=np.asarray(local_arr).dtype)
+    for r, stripe in enumerate(stripes):
+        out[r::size] = stripe
+    return out
+
+
+def assemble_striped_ragged_array(local_array, global_lengths):
+    """Assemble a ragged array whose ROWS are striped across processes
+    (row i on process i % size), given every row's global length
+    (reference: mpi/ops.py:82). Returns the flat concatenated data."""
+    from .. import ra as ra_mod
+
+    rank, size = _proc_info()
+    global_lengths = np.asarray(global_lengths)
+    if size == 1:
+        return np.asarray(local_array)
+
+    out = ra_mod.RaggedArray(
+        np.zeros(int(global_lengths.sum())) - 1, lengths=global_lengths)
+    stripes = _allgather_obj(local_array)
+    for r, stripe in enumerate(stripes):
+        rows = ra_mod.RaggedArray(stripe,
+                                  lengths=global_lengths[r::size])
+        out[r::size] = rows
+    return out._data.astype(np.asarray(local_array).dtype)
+
+
+def convert_local_indices(local_ctr_inds, global_lengths):
+    """Convert (owner_rank, local_frame) pairs to global frame indices
+    given the global per-trajectory lengths (reference:
+    mpi/ops.py:14). Pure index math, no communication."""
+    from .. import ra as ra_mod
+
+    _, size = _proc_info()
+    global_lengths = np.asarray(global_lengths)
+    origin = ra_mod.RaggedArray(
+        np.arange(int(global_lengths.sum())), lengths=global_lengths)
+
+    out = []
+    for rank, local_fid in local_ctr_inds:
+        out.append(origin[int(rank)::size].flatten()[int(local_fid)])
+    return out
+
+
+def randind(local_array, random_state=None):
+    """Uniform random element of a process-striped array, returned as
+    ``(owner_rank, local_index)`` (reference: mpi/ops.py:215). The
+    index is drawn on process 0 and broadcast, so all processes agree.
+    """
+    from sklearn.utils import check_random_state
+
+    from .. import ra as ra_mod
+    from ..exception import DataInvalid
+
+    rank, size = _proc_info()
+    random_state = check_random_state(random_state)
+
+    if size == 1:
+        n = len(local_array)
+        if n < 1:
+            raise DataInvalid('Random choice requires a non-empty '
+                              'array.')
+        return (0, random_state.randint(n))
+
+    from jax.experimental import multihost_utils
+    n_states = multihost_utils.process_allgather(
+        np.asarray(len(local_array)))
+    if n_states.sum() < 1:
+        raise DataInvalid('Random choice requires a non-empty array. '
+                          'Got shapes: %s' % n_states)
+    global_index = multihost_utils.broadcast_one_to_all(
+        np.asarray(random_state.randint(int(n_states.sum()))))
+
+    concat = np.concatenate(
+        [np.arange(int(n_states.sum()))[r::size] for r in range(size)])
+    owners = ra_mod.RaggedArray(concat, lengths=list(n_states))
+    owner_rank, local_index = ra_mod.where(owners == int(global_index))
+    return (int(owner_rank[0]), int(local_index[0]))

@@ -19,7 +19,24 @@ from ..io import trajectory as io_traj
 from .parallel import auto_nprocs
 
 __all__ = ['sound_trajectory', 'load_as_concatenated',
-           'concatenate_trjs']
+           'concatenate_trjs', 'shared_array_like_trj']
+
+
+def shared_array_like_trj(lengths, example_trj):
+    """Preallocate the xyz buffer for a concatenated trajectory of
+    ``sum(lengths)`` frames shaped like ``example_trj`` (reference:
+    util/load.py:206). The reference needs a ``multiprocessing.Array``
+    because its loader workers are processes; ours are threads sharing
+    the interpreter, so a plain float32 ndarray serves the same role.
+    """
+    shape = example_trj.xyz.shape
+    full_shape = (int(np.sum(lengths)), shape[1], shape[2])
+    try:
+        return np.zeros(full_shape, dtype=np.float32)
+    except MemoryError:
+        raise exception.InsufficientResourceError(
+            "Couldn't allocate array of %.2f GB while loading "
+            "trajectories." % (np.prod(full_shape) * 4 / 1024 ** 3))
 
 
 def sound_trajectory(trj, stride=1, frame=None):
