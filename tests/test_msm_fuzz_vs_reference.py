@@ -86,7 +86,9 @@ def test_builders_fuzz(ref, builder, prior):
     from enspara_tpu.msm import builders as ours_b
 
     ref_b = ref.msm.builders
-    rng = np.random.default_rng(hash((builder, prior)) % (2 ** 31))
+    import zlib
+    rng = np.random.default_rng(
+        zlib.crc32(repr((builder, prior)).encode()))
     for trial in range(6):
         # the reference's pure-python Prinz MLE asserts exact fp row
         # sums and assumes well-connected counts; feed it the dense
@@ -118,7 +120,10 @@ def test_builders_fuzz(ref, builder, prior):
             what = '%s prior=%s trial=%d wrap=%s' % (
                 builder, prior, trial, wrap)
             assert_allclose(ot, tt, rtol=1e-8, atol=1e-10, err_msg=what)
-            assert_allclose(np.asarray(oe), np.asarray(te),
+            # the reference returns (n, 1) eq-probs for sparse inputs
+            # (np.matrix sum artifact); compare flattened
+            assert_allclose(np.asarray(oe).ravel(),
+                            np.asarray(te).ravel(),
                             rtol=1e-6, atol=1e-9, err_msg=what)
 
 
