@@ -133,13 +133,20 @@ def _kcenters_fast(X, metric, n_clusters, dist_cutoff, init_centers,
         init_assignments, init_distances = engine.assign_device(
             X, np.stack(init_center_data), metric, mesh=mesh)
         n_init = len(init_center_data)
+        # recover the init centers' frame indices the way the
+        # reference does (kcenters.py:195-206): the min-distance frame
+        # of each init cluster. Only usable when every init center
+        # actually owns frames.
         init_ctr_inds = util.find_cluster_centers(
             init_assignments, init_distances)
+        if len(init_ctr_inds) != n_init:
+            init_ctr_inds = None
 
     res = engine.kcenters_device(
         X, metric=metric, n_clusters=n_clusters, dist_cutoff=dist_cutoff,
         init_distances=init_distances, init_assignments=init_assignments,
-        n_init_centers=n_init, mesh=mesh)
+        n_init_centers=n_init, init_center_indices=init_ctr_inds,
+        mesh=mesh)
 
     ctr_inds = list(res.center_indices)
     if n_init:

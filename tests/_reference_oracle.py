@@ -58,6 +58,36 @@ def load_reference():
         li.bincount2d = bincount2d
         li.matrix_bincount2d = matrix_bincount2d
         sys.modules['enspara.info_theory.libinfo'] = li
+    if 'enspara.geometry.libdist' not in sys.modules:
+        import numpy as np
+
+        ld = types.ModuleType('enspara.geometry.libdist')
+
+        def _with_out(vals, out):
+            # float64-out contract of libdist.pyx:44-72
+            if out is None:
+                return vals.astype(np.float64)
+            out[:] = vals
+            return out
+
+        def euclidean(X, y, out=None):
+            v = np.sqrt(((np.asarray(X, np.float64)
+                          - np.asarray(y, np.float64)) ** 2).sum(-1))
+            return _with_out(v, out)
+
+        def manhattan(X, y, out=None):
+            v = np.abs(np.asarray(X, np.float64)
+                       - np.asarray(y, np.float64)).sum(-1)
+            return _with_out(v, out)
+
+        def hamming(X, y, out=None):
+            v = (np.asarray(X) != np.asarray(y)).mean(-1)
+            return _with_out(v, out)
+
+        ld.euclidean = euclidean
+        ld.manhattan = manhattan
+        ld.hamming = hamming
+        sys.modules['enspara.geometry.libdist'] = ld
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     import enspara
