@@ -88,17 +88,31 @@ def _pam_sweeps(data, valid, d1, a1, medoid_inds, key, metric,
         return jnp.sum(jnp.where(valid, d * d, 0.0)) / n_valid
 
     # ---- build the exact second-nearest cache (d2, a2) from the
-    # warm-start (d1, a1): one distance pass per medoid, running min
+    # warm-start (d1, a1): chunked (n, C) pairwise blocks through the
+    # fused matrix kernel (k/C launches instead of k), running min
     # over all medoids other than each point's own.
-    def init_body(cid, st):
+    C_CHUNK = int(min(64, k))
+    n_chunks = (k + C_CHUNK - 1) // C_CHUNK
+    pad_k = n_chunks * C_CHUNK - k
+    minds_pad = jnp.pad(medoid_inds, (0, pad_k))
+
+    def init_chunk(ci, st):
         d2x, a2x = st
-        dx = dist_fn(data, medoid_inds[cid])
-        better = (dx < d2x) & (a1 != cid) & valid
-        return (jnp.where(better, dx, d2x),
-                jnp.where(better, cid, a2x))
+        idx = jax.lax.dynamic_slice_in_dim(minds_pad, ci * C_CHUNK,
+                                           C_CHUNK)
+        D = engine._pairwise_block(data, data[idx], metric)  # (n, C)
+        cids = ci * C_CHUNK + jnp.arange(C_CHUNK, dtype=jnp.int32)
+        invalid_col = (cids[None, :] == a1[:, None]) \
+            | (cids[None, :] >= k)
+        D = jnp.where(invalid_col, jnp.inf, D)
+        carg = jnp.argmin(D, axis=1)
+        cmin = jnp.min(D, axis=1)
+        better = (cmin < d2x) & valid
+        return (jnp.where(better, cmin, d2x),
+                jnp.where(better, cids[carg], a2x))
 
     d2, a2 = jax.lax.fori_loop(
-        0, k, init_body,
+        0, n_chunks, init_chunk,
         (jnp.full(n, jnp.inf, jnp.float32),
          jnp.full(n, -1, jnp.int32)))
 
