@@ -1,10 +1,15 @@
 """Committor probabilities and mean first passage times.
 (reference: enspara/tpt/core.py)
 
-Dense problems solve on device (jnp.linalg.solve); sparse inputs use the
-scipy host path (absorbing-state linear solves are graph-shaped work).
+Linear solves run as dense fp32 LU on device (one MXU factorization)
+refined to fp64 accuracy with cheap sparse host residuals — direct
+SuperLU factorization of MSM graphs suffers catastrophic fill-in
+(ring + shortcut topologies take minutes at 10k states where the MXU
+takes well under a second). Systems too big to densify fall back to
+the scipy host path.
 """
 
+import logging
 import warnings
 
 import numpy as np
@@ -14,7 +19,61 @@ import scipy.sparse.linalg
 from ..citation import cite
 from ..msm.transition_matrices import eq_probs
 
+logger = logging.getLogger(__name__)
+
 __all__ = ['committors', 'mfpts']
+
+# densify absorbing-state solves on device up to this many states
+# (n^2 fp32 = 1 GB at 16k; past that, host sparse LU)
+_DENSE_SOLVE_MAX_STATES = 16384
+
+
+def _device_solve_profitable():
+    """The dense LU path pays off on accelerators (10k-state factor +
+    solve ~0.25 s on one v5e vs ~70 s SuperLU with fill-in); on the
+    CPU backend XLA's LU loses to SuperLU, so keep the host path."""
+    try:
+        import jax
+        return jax.default_backend() != 'cpu'
+    except Exception:
+        return False
+
+
+def _refined_solve(A_dense32, B, A_exact=None, max_refine=10,
+                   rtol=1e-10):
+    """Solve A x = B via one device fp32 LU factorization plus fp64
+    iterative refinement: r = B - A x is computed in fp64 against
+    ``A_exact`` (sparse or dense), and the correction reuses the LU.
+    Returns fp64 x with ~fp64 accuracy for the well-conditioned
+    M-matrix systems TPT produces, or None if refinement stalls
+    (caller falls back to a host sparse solve)."""
+    import jax
+    import jax.scipy.linalg as jsl
+
+    if A_exact is None:
+        A_exact = A_dense32
+    B = np.asarray(B, dtype=np.float64)
+    b1d = B.ndim == 1
+    Bm = B[:, None] if b1d else B
+
+    lu, piv = jax.jit(jsl.lu_factor)(A_dense32.astype(np.float32))
+    solve = jax.jit(jsl.lu_solve)
+
+    x = np.asarray(solve((lu, piv),
+                         Bm.astype(np.float32))).astype(np.float64)
+    bnorm = max(np.abs(Bm).max(), 1e-300)
+    prev = np.inf
+    for _ in range(max_refine):
+        r = Bm - A_exact @ x
+        rnorm = np.abs(r).max()
+        if rnorm <= rtol * bnorm:
+            return x[:, 0] if b1d else x
+        if rnorm >= prev * 0.5:     # stalled: fp32 LU too inaccurate
+            return None
+        prev = rnorm
+        dx = np.asarray(solve((lu, piv), r.astype(np.float32)))
+        x = x + dx
+    return None
 
 
 def _I_m_Q(tprob, absorbing_states, n_states=None):
@@ -44,7 +103,7 @@ def committors(tprob, sources, sinks):
 
     if is_sparse:
         tprob_lil = tprob.tolil()
-        R = tprob_lil[:, sinks]
+        R = np.asarray(tprob_lil[:, sinks].todense(), dtype=np.float64)
         R[sinks] = 1.0
         R[sources] = 0.0
 
@@ -52,11 +111,22 @@ def committors(tprob, sources, sinks):
         I_m_Q[:, all_absorbing] = 0.0
         I_m_Q[all_absorbing, :] = 0.0
         I_m_Q[all_absorbing, all_absorbing] = 1.0
-        with warnings.catch_warnings():
-            warnings.simplefilter('ignore')
-            B = scipy.sparse.linalg.spsolve(I_m_Q.tocsr(), R.tocsc())
-        if scipy.sparse.issparse(B):
-            B = B.toarray()
+        I_m_Q = I_m_Q.tocsr()
+
+        B = None
+        if (n_states <= _DENSE_SOLVE_MAX_STATES
+                and _device_solve_profitable()):
+            B = _refined_solve(I_m_Q.toarray(), R, A_exact=I_m_Q)
+            if B is None:
+                logger.info('fp32 refinement stalled; falling back '
+                            'to host sparse LU')
+        if B is None:
+            with warnings.catch_warnings():
+                warnings.simplefilter('ignore')
+                B = scipy.sparse.linalg.spsolve(
+                    I_m_Q, scipy.sparse.csc_matrix(R))
+            if scipy.sparse.issparse(B):
+                B = B.toarray()
         q = np.asarray(B).reshape(n_states, sinks.shape[0]).sum(axis=1)
     else:
         dense = np.asarray(tprob, dtype=float)
@@ -64,11 +134,10 @@ def committors(tprob, sources, sinks):
         R[sinks] = 1.0
         R[sources] = 0.0
         I_m_Q = _I_m_Q(dense, all_absorbing, n_states=n_states)
-        if n_states >= 64:
-            import jax.numpy as jnp
-            B = np.asarray(jnp.linalg.solve(
-                jnp.asarray(I_m_Q), jnp.asarray(R)))
-        else:
+        B = None
+        if n_states >= 64 and _device_solve_profitable():
+            B = _refined_solve(I_m_Q, R)
+        if B is None:
             B = np.linalg.solve(I_m_Q, R)
         q = B.reshape(n_states, sinks.shape[0]).sum(axis=1)
 
@@ -94,4 +163,8 @@ def mfpts(tprob, sinks=None, populations=None, lagtime=1.):
     I_m_Q = _I_m_Q(tprob, sinks, n_states=n_states)
     c = np.ones(n_states)
     c[sinks] = 0
+    if n_states >= 64 and _device_solve_profitable():
+        x = _refined_solve(I_m_Q, c)
+        if x is not None:
+            return lagtime * x
     return lagtime * np.linalg.solve(I_m_Q, c)

@@ -5,7 +5,8 @@ import warnings
 
 import numpy as np
 import scipy.sparse
-from numpy.testing import assert_array_equal, assert_array_almost_equal
+from numpy.testing import (assert_array_equal, assert_array_almost_equal,
+                           assert_allclose)
 
 from enspara_tpu.tpt import (committors, mfpts, reactive_fluxes,
                              net_fluxes, reactive_populations, paths,
@@ -164,3 +165,53 @@ def test_paths_from_tpt_pipeline():
     assert len(p) >= 1
     assert np.all(f > 0)
     assert all(pp[0] == 0 and pp[-1] == n - 1 for pp in p)
+
+
+def test_refined_solve_matches_direct():
+    # fp32 LU + fp64 refinement reaches direct-solve accuracy on a
+    # sparse M-matrix system (the committors/mfpts workhorse)
+    import scipy.sparse
+
+    from enspara_tpu.tpt import core
+
+    rng = np.random.default_rng(5)
+    n = 400
+    A = scipy.sparse.random(n, n, density=0.02, random_state=7)
+    A = scipy.sparse.eye(n) + 0.5 * A / np.abs(A).sum(axis=1).max()
+    A = A.tocsr()
+    b = rng.normal(size=(n, 2))
+    x = core._refined_solve(A.toarray(), b, A_exact=A)
+    assert x is not None
+    x_ref = scipy.sparse.linalg.spsolve(A.tocsc(),
+                                        scipy.sparse.csc_matrix(b))
+    x_ref = np.asarray(x_ref.todense())
+    assert_allclose(x, x_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_committors_sparse_matches_dense_10k_style():
+    # ring + shortcuts topology (SuperLU's worst case) at small n:
+    # the sparse input path must agree with the dense solve
+    import scipy.sparse
+
+    n = 300
+    rng = np.random.default_rng(9)
+    rows, cols, vals = [], [], []
+    for off in (-1, 0, 1):
+        idx = np.arange(n)
+        rows.append(idx)
+        cols.append((idx + off) % n)
+        vals.append(np.full(n, 0.3 if off else 0.4))
+    m = 3 * n
+    rows.append(rng.integers(0, n, m))
+    cols.append(rng.integers(0, n, m))
+    vals.append(np.full(m, 0.01))
+    C = scipy.sparse.coo_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n)).tocsr()
+    T = scipy.sparse.diags(1.0 / np.asarray(C.sum(1)).ravel()) @ C
+
+    q_sparse = committors(T, [0], [n // 2])
+    q_dense = committors(T.toarray(), [0], [n // 2])
+    assert_allclose(q_sparse, q_dense, rtol=1e-6, atol=1e-9)
+    assert q_sparse.min() >= 0 and q_sparse.max() <= 1 + 1e-12
