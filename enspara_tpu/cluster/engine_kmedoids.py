@@ -2,13 +2,12 @@
 
 The host path (cluster/kmedoids.py) dispatches ~3k device calls per
 sweep; here the ENTIRE sweep — proposal sampling, distance kernel,
-cost test, cache maintenance — is one jitted ``lax.fori_loop`` over
-medoids.
+cost test, cache maintenance — is one jitted loop.
 
 FastPAM-style second-nearest cache: alongside the nearest-medoid state
 ``(d1, a1)`` we carry the exact second-nearest ``(d2, a2)``. A
 proposal replacing medoid ``cid`` with candidate ``c`` then costs ONE
-distance pass plus elementwise selects — for members of ``cid`` the
+distance column plus elementwise selects — for members of ``cid`` the
 new nearest is ``min(d2, dnew)`` (their second-nearest is by
 definition another medoid), for everyone else ``min(d1, dnew)``. The
 reference's 'ambiguous subset' reassignment (kmedoids.py:637-670) and
@@ -18,9 +17,30 @@ the cached pair (``a1==cid`` or ``a2==cid``, with ``dnew > d2``) are
 gathered into a ``M = bucket_factor * n/k``-slot bucket and re-ranked
 against all k medoids. When the true repair count fits the bucket
 (tracked in ``overflow``), the update is exactly PAM; overflow cases
-fall back to keeping the proposal rejected for safety. Since PAM
-acceptance decays across sweeps, the amortized per-proposal cost
-approaches the distance pass alone.
+fall back to keeping the proposal rejected for safety.
+
+Batched proposals (FastPAM2-flavored): proposals for ``batch``
+consecutive medoids are sampled together from the batch-start
+memberships, their distance columns computed as ONE ``(n, batch)``
+pairwise block (the frame data is read once per batch instead of once
+per proposal — the dominant cost at large n), and their post-swap
+costs SCREENED for the whole batch in a few (batch, n) passes.
+Proposals the batch-start screen already rules out are skipped with
+two scalar reads; survivors are verified EXACTLY against the live
+cache before committing, so every accepted swap is a true PAM
+improving swap. Cache repairs are decoupled from accepts: an accept
+only marks the points whose (d2, a2) became upper bounds as stale
+(d1/a1 stay exact through the pure elementwise update), and the
+bucketed k-way re-rank runs on demand — when a proposal's cluster
+contains stale members (case B would inherit an inexact d2), when the
+stale set would outgrow the bucket, and at batch end — amortizing one
+repair over ~bucket_factor accepts. The only divergences from
+one-at-a-time PAM are the proposal distribution (a candidate is a
+uniform member of its cluster as of the batch start rather than the
+instant of proposal) and the pruning of proposals the batch-start
+screen rejected (skipping candidates never breaks PAM). Distances to
+a candidate are static, so the precomputed columns stay exact
+regardless of earlier accepts.
 
 Randomness uses jax PRNG (uniform over the proposal cluster's members,
 reproducing the reference's `_propose_new_center_amongst` semantics,
@@ -40,47 +60,13 @@ __all__ = ['kmedoids_sweeps_device']
 
 
 @functools.partial(
-    jax.jit, static_argnames=('metric', 'n_sweeps', 'bucket',
-                              'use_fused'))
+    jax.jit, static_argnames=('metric', 'n_sweeps', 'bucket', 'batch'))
 def _pam_sweeps(data, valid, d1, a1, medoid_inds, key, metric,
-                n_sweeps, bucket, use_fused=False):
+                n_sweeps, bucket, batch=64):
     n = data.shape[0]
     k = medoid_inds.shape[0]
-
-    if use_fused:
-        # TPU: the proposal-distance pass reuses the fused k-centers
-        # iteration kernel — called with dist=+inf it degenerates to a
-        # pure distance computation over the dense (3*A_pad, n) layout
-        # (one bandwidth-bound pass instead of the XLA conv emitter).
-        from ..ops.qcp_update_pallas import (kcenters_iteration_pallas,
-                                             TILE_N)
-        A = data.shape[1]
-        A_pad = ((A + 7) // 8) * 8
-        n_pad = ((n + TILE_N - 1) // TILE_N) * TILE_N
-        frames_r = jnp.pad(jnp.transpose(data, (2, 1, 0)),
-                           ((0, 0), (0, A_pad - A), (0, n_pad - n))) \
-            .reshape(3 * A_pad, n_pad)
-        g_row = jnp.pad(jnp.sum(data * data, axis=(1, 2)),
-                        (0, n_pad - n),
-                        constant_values=1.0).reshape(1, -1)
-        rows = 3 * A_pad
-        inf_d = jnp.full((1, n_pad), jnp.inf, jnp.float32)
-        zero_a = jnp.zeros((1, n_pad), jnp.int32)
-
-        def dist_fn(_, p_idx):
-            col = jax.lax.dynamic_slice(frames_r, (0, p_idx),
-                                        (rows, 1))
-            cvec = col.reshape(3, A_pad).T
-            gb = jax.lax.dynamic_slice(g_row, (0, p_idx), (1, 1))
-            cid0 = jnp.zeros((1, 1), jnp.int32)
-            dnew, _ = kcenters_iteration_pallas(
-                frames_r, g_row, inf_d, zero_a, cvec, gb, cid0, A)
-            return dnew[0, :n]
-    else:
-        to_frame = engine._METRIC_TO_FRAME[metric]
-
-        def dist_fn(data_, p_idx):
-            return to_frame(data_, data_[p_idx])
+    B = int(min(batch, k))
+    n_batches = (k + B - 1) // B
 
     n_valid = jnp.sum(valid)
 
@@ -116,105 +102,186 @@ def _pam_sweeps(data, valid, d1, a1, medoid_inds, key, metric,
         (jnp.full(n, jnp.inf, jnp.float32),
          jnp.full(n, -1, jnp.int32)))
 
-    def one_proposal(cid, state):
+    def _repair(op):
+        """ONE k-way re-rank restores (d2, a2) exactness for every
+        point whose cache went stale since the last repair. d1/a1 are
+        exact throughout and are NOT touched (the re-rank would
+        re-introduce matmul-form kernel noise). top_k on the mask is
+        ~3x faster than jnp.nonzero(size=...) on TPU (no cumsum);
+        tie-break is the lowest index, unused slots filtered by
+        amb_real."""
+        d1, a1, d2, a2, medoid_inds, stale = op
+        amb_idx = jax.lax.top_k(stale.astype(jnp.float32),
+                                bucket)[1].astype(jnp.int32)
+        amb_real = stale[amb_idx]
+        sub = data[amb_idx]                              # (bucket, ..)
+        medoids = data[medoid_inds]
+        d_amb = engine._pairwise_block(sub, medoids, metric)
+        # self-distance clamp for bucketed medoid points
+        d_amb = jnp.where(
+            amb_idx[:, None] == medoid_inds[None, :], 0.0, d_amb)
+        # second-nearest = min outside each point's own (exact)
+        # nearest medoid
+        hide = (jnp.arange(k)[None, :] == a1[amb_idx][:, None])
+        d_amb2 = jnp.where(hide, jnp.inf, d_amb)
+        b_a2 = jnp.argmin(d_amb2, axis=1).astype(jnp.int32)
+        b_d2 = jnp.min(d_amb2, axis=1)
+
+        d2r = d2.at[amb_idx].set(jnp.where(amb_real, b_d2,
+                                           d2[amb_idx]))
+        a2r = a2.at[amb_idx].set(jnp.where(amb_real, b_a2,
+                                           a2[amb_idx]))
+        return (d1, a1, d2r, a2r, medoid_inds,
+                jnp.zeros_like(stale))
+
+    def one_batch(bi, state):
         d1, a1, d2, a2, medoid_inds, rbits, cost_cur = state
+        cids = (bi * B
+                + jnp.arange(B, dtype=jnp.int32))    # some may be >= k
 
-        members = (a1 == cid) & valid
-        count = jnp.sum(members)
-
-        # uniform member in ONE pass: the argmax of iid random
-        # priorities over the member set is uniform on it. The random
-        # bits are drawn once per sweep (threefry over 1M elements
-        # costs ~5 ms) and remixed per proposal with a Weyl/murmur
-        # step; |1 keeps every member's priority above the 0 sentinel.
-        mixed = rbits ^ (jnp.uint32(0x9E3779B9) *
-                         cid.astype(jnp.uint32))
+        # uniform member per cluster, all B clusters in one (B, n)
+        # pass: the argmax of iid random priorities over each member
+        # set is uniform on it. The random bits are drawn once per
+        # sweep (threefry over 1M elements costs ~5 ms) and remixed
+        # per cluster with a Weyl/murmur step; |1 keeps every member's
+        # priority above the 0 sentinel. sampled_ok = the cluster
+        # actually had members when sampled — a cluster empty at batch
+        # start can GAIN members from an earlier in-batch accept, and
+        # its sentinel argmax=0 must never be treated as a real
+        # candidate (frame 0 may even be another cluster's medoid).
+        member0 = (a1[None, :] == cids[:, None]) & valid[None, :]
+        mixed = rbits[None, :] ^ (jnp.uint32(0x9E3779B9)
+                                  * cids[:, None].astype(jnp.uint32))
         mixed = mixed * jnp.uint32(0x85EBCA6B)
-        prio = jnp.where(members, mixed | jnp.uint32(1), jnp.uint32(0))
-        p_idx = jnp.argmax(prio).astype(jnp.int32)
+        prio = jnp.where(member0, mixed | jnp.uint32(1), jnp.uint32(0))
+        p_idxs = jnp.argmax(prio, axis=1).astype(jnp.int32)
+        sampled_ok = jnp.max(prio, axis=1) > 0
 
-        dnew = dist_fn(data, p_idx)
+        # ONE batched distance pass for the whole proposal block, then
+        # ONE transpose to (B, n) so each proposal's distances are a
+        # contiguous (1, n) row slice — slicing a column out of (n, B)
+        # inside the proposal loop would touch every (8, 128) tile of
+        # the block per proposal. Matmul-form metrics (euclidean, QCP)
+        # carry ~1e-3 fp32 noise on self-distances; a candidate's
+        # distance to itself is 0 by definition, and accepted medoids
+        # must report d1 == 0.
+        D = engine._pairwise_block(data, data[p_idxs], metric)  # (n, B)
+        Dt = D.T
+        Dt = Dt.at[jnp.arange(B), p_idxs].set(0.0)
 
-        # post-swap nearest distance straight from the cache: members'
-        # second-nearest is by definition a different medoid
-        cand_d1 = jnp.where(members, jnp.minimum(d2, dnew),
-                            jnp.minimum(d1, dnew))
-        new_cost = cost(cand_d1)
+        # batch-start screen: exact post-swap cost for ALL B proposals
+        # in a few (B, n) passes. After in-batch accepts it becomes a
+        # HEURISTIC pre-filter (clear losers at batch start are
+        # skipped; survivors are verified exactly below).
+        cand0 = jnp.where(member0,
+                          jnp.minimum(d2[None, :], Dt),
+                          jnp.minimum(d1[None, :], Dt))
+        est0 = jnp.sum(jnp.where(valid[None, :], cand0 * cand0, 0.0),
+                       axis=1) / n_valid
 
-        # cache-repair set: the swap displaced one of the point's two
-        # cached medoids AND the candidate doesn't slot in below d2,
-        # so the new second-nearest needs a full k-way re-rank
-        uncertain = (((a1 == cid) | (a2 == cid)) & (dnew > d2)
-                     & valid)
-        overflow = jnp.sum(uncertain) > bucket
+        def one_proposal(b, st):
+            d1, a1, d2, a2, medoid_inds, cost_cur, stale = st
+            cid = cids[b]
+            p_idx = p_idxs[b]
 
-        accept = (new_cost < cost_cur) & (count > 0) & ~overflow
+            # cheap scalar pre-filter; cost_cur only decreases, so a
+            # proposal whose batch-start exact cost already loses can
+            # never win later in the batch... it CAN become improving
+            # after memberships shift, but skipping proposals never
+            # breaks PAM — it only prunes the candidate sequence
+            trial = (est0[b] < cost_cur) & sampled_ok[b] & (cid < k)
 
-        def do_accept(op):
-            d1, a1, d2, a2, medoid_inds = op
-            in1 = dnew < d1
-            in2 = dnew < d2
-            caseB = a1 == cid            # nearest displaced
-            caseC = a2 == cid            # second-nearest displaced
-            # case A (neither displaced): insert dnew into (d1, d2)
-            A_d1 = jnp.where(in1, dnew, d1)
-            A_a1 = jnp.where(in1, cid, a1)
-            A_d2 = jnp.where(in1, d1, jnp.where(in2, dnew, d2))
-            A_a2 = jnp.where(in1, a1, jnp.where(in2, cid, a2))
-            # case B: survivor pair = (d2, a2); insert dnew. Exact
-            # when dnew <= d2; dnew > d2 is in the repair bucket.
-            B_d1 = jnp.minimum(dnew, d2)
-            B_a1 = jnp.where(in2, cid, a2)
-            B_d2 = jnp.maximum(dnew, d2)
-            B_a2 = jnp.where(in2, a2, cid)
-            # case C: survivor pair = (d1, a1); insert dnew. dnew <=
-            # d2 <= (true third) makes the pair exact; else bucket.
-            C_d1 = jnp.minimum(dnew, d1)
-            C_a1 = jnp.where(in1, cid, a1)
-            C_d2 = jnp.maximum(dnew, d1)
-            C_a2 = jnp.where(in1, a1, cid)
+            def do_try(op):
+                d1, a1, d2, a2, medoid_inds, cost_cur, stale = op
+                dnew = jax.lax.dynamic_slice_in_dim(Dt, b, 1,
+                                                    axis=0)[0]
+                members = (a1 == cid) & valid
 
-            nd1 = jnp.where(caseB, B_d1, jnp.where(caseC, C_d1, A_d1))
-            na1 = jnp.where(caseB, B_a1, jnp.where(caseC, C_a1, A_a1))
-            nd2 = jnp.where(caseB, B_d2, jnp.where(caseC, C_d2, A_d2))
-            na2 = jnp.where(caseB, B_a2, jnp.where(caseC, C_a2, A_a2))
-            nd1 = jnp.where(valid, nd1, jnp.inf)
-            na1 = jnp.where(valid, na1, -1)
-            nd2 = jnp.where(valid, nd2, jnp.inf)
-            na2 = jnp.where(valid, na2, -1)
+                # repair ON DEMAND: a stale member's d2 would make the
+                # post-swap d1 inexact (case B inherits d2), and an
+                # over-budget stale set could not be repaired later —
+                # in either case run the k-way re-rank NOW (restoring
+                # exact d2/a2 for all stale points) and evaluate the
+                # proposal against the repaired cache. Amortized cost:
+                # the stale set grows by ~n/k per accept, so repairs
+                # fire every ~bucket_factor accepts.
+                unc_bound = ((members | (a2 == cid)) & (dnew > d2)
+                             & valid)
+                needs_repair = (jnp.any(members & stale)
+                                | (jnp.sum(stale | unc_bound) > bucket))
+                d1, a1, d2, a2, medoid_inds, stale = jax.lax.cond(
+                    needs_repair, _repair, lambda o: o,
+                    (d1, a1, d2, a2, medoid_inds, stale))
 
-            # repair bucket: top_k on the mask is ~3x faster than
-            # jnp.nonzero(size=...) on TPU (no cumsum); tie-break is
-            # the lowest index, unused slots filtered by amb_real
-            amb_idx = jax.lax.top_k(uncertain.astype(jnp.float32),
-                                    bucket)[1].astype(jnp.int32)
-            amb_real = uncertain[amb_idx]
-            sub = data[amb_idx]                          # (bucket, ..)
-            medoids = data[medoid_inds].at[cid].set(data[p_idx])
-            d_amb = engine._pairwise_block(sub, medoids, metric)
-            b_a1 = jnp.argmin(d_amb, axis=1).astype(jnp.int32)
-            b_d1 = jnp.min(d_amb, axis=1)
-            hide = (jnp.arange(k)[None, :] == b_a1[:, None])
-            d_amb2 = jnp.where(hide, jnp.inf, d_amb)
-            b_a2 = jnp.argmin(d_amb2, axis=1).astype(jnp.int32)
-            b_d2 = jnp.min(d_amb2, axis=1)
+                # exact post-swap nearest distance straight from the
+                # cache: members' second-nearest is by definition
+                # another medoid; the same array doubles as the new d1
+                # on commit
+                cand_d1 = jnp.where(members, jnp.minimum(d2, dnew),
+                                    jnp.minimum(d1, dnew))
+                new_cost = cost(cand_d1)
 
-            nd1 = nd1.at[amb_idx].set(
-                jnp.where(amb_real, b_d1, nd1[amb_idx]))
-            na1 = na1.at[amb_idx].set(
-                jnp.where(amb_real, b_a1, na1[amb_idx]))
-            nd2 = nd2.at[amb_idx].set(
-                jnp.where(amb_real, b_d2, nd2[amb_idx]))
-            na2 = na2.at[amb_idx].set(
-                jnp.where(amb_real, b_a2, na2[amb_idx]))
+                # points whose (d2, a2) can no longer be derived from
+                # the cached pair: deferred to the next on-demand or
+                # batch-end re-rank
+                uncertain = ((members | (a2 == cid)) & (dnew > d2)
+                             & valid)
+                new_stale = stale | uncertain
+                n_stale = jnp.sum(new_stale)
 
-            medoid_inds = medoid_inds.at[cid].set(p_idx)
-            return (nd1, na1, nd2, na2, medoid_inds)
+                good = (new_cost < cost_cur) & (n_stale <= bucket)
 
-        d1, a1, d2, a2, medoid_inds = jax.lax.cond(
-            accept, do_accept, lambda op: op,
-            (d1, a1, d2, a2, medoid_inds))
-        cost_cur = jnp.where(accept, new_cost, cost_cur)
+                def commit(op2):
+                    d1, a1, d2, a2, medoid_inds, _, _ = op2
+                    in1 = dnew < d1
+                    in2 = dnew < d2
+                    caseB = a1 == cid        # nearest displaced
+                    caseC = a2 == cid        # second-nearest displaced
+                    # new d1/a1 are exact in every case (case B's
+                    # min(d2, dnew) relies on the unsafe gate above);
+                    # new d2/a2 are exact unless flagged uncertain, in
+                    # which case they are upper bounds until repair
+                    na1 = jnp.where(
+                        caseB, jnp.where(in2, cid, a2),
+                        jnp.where(in1, cid, a1))
+                    nd2 = jnp.where(
+                        caseB, jnp.maximum(dnew, d2),
+                        jnp.where(caseC, jnp.maximum(dnew, d1),
+                                  jnp.where(in1, d1,
+                                            jnp.where(in2, dnew, d2))))
+                    na2 = jnp.where(
+                        caseB, jnp.where(in2, a2, cid),
+                        jnp.where(caseC, jnp.where(in1, a1, cid),
+                                  jnp.where(in1, a1,
+                                            jnp.where(in2, cid, a2))))
+                    nd1 = jnp.where(valid, cand_d1, jnp.inf)
+                    na1 = jnp.where(valid, na1, -1)
+                    nd2 = jnp.where(valid, nd2, jnp.inf)
+                    na2 = jnp.where(valid, na2, -1)
+                    return (nd1, na1, nd2, na2,
+                            medoid_inds.at[cid].set(p_idx), new_cost,
+                            new_stale)
+
+                # operand must be the POST-repair state: commit's
+                # caseB/caseC/in2 and the reject fallback both read it,
+                # and evaluating them against the pre-repair cache
+                # would mix stale (d2, a2) into an accepted update
+                return jax.lax.cond(
+                    good, commit, lambda o: o,
+                    (d1, a1, d2, a2, medoid_inds, cost_cur, stale))
+
+            return jax.lax.cond(trial, do_try, lambda o: o, st)
+
+        stale0 = jnp.zeros(n, bool)
+        d1, a1, d2, a2, medoid_inds, cost_cur, stale = jax.lax.fori_loop(
+            0, B, one_proposal,
+            (d1, a1, d2, a2, medoid_inds, cost_cur, stale0))
+
+        # ---- batch-end repair: clears leftover staleness so the next
+        # batch's screen and samples start from an exact cache
+        d1, a1, d2, a2, medoid_inds, _ = jax.lax.cond(
+            jnp.any(stale), _repair, lambda op: op,
+            (d1, a1, d2, a2, medoid_inds, stale))
         return (d1, a1, d2, a2, medoid_inds, rbits, cost_cur)
 
     def one_sweep(s, state):
@@ -222,7 +289,7 @@ def _pam_sweeps(data, valid, d1, a1, medoid_inds, key, metric,
         rbits = jax.random.bits(jax.random.fold_in(key, s), (n,),
                                 jnp.uint32)
         d1, a1, d2, a2, medoid_inds, _, cost_cur = jax.lax.fori_loop(
-            0, k, one_proposal,
+            0, n_batches, one_batch,
             (d1, a1, d2, a2, medoid_inds, rbits, cost_cur))
         return (d1, a1, d2, a2, medoid_inds, cost_cur)
 
@@ -234,7 +301,7 @@ def _pam_sweeps(data, valid, d1, a1, medoid_inds, key, metric,
 
 def kmedoids_sweeps_device(X, metric, assignments, distances,
                            medoid_inds, n_sweeps=5, bucket_factor=8,
-                           seed=0, mesh=None):
+                           seed=0, mesh=None, proposal_batch=64):
     """Run ``n_sweeps`` device PAM sweeps from a warm start.
 
     Parameters
@@ -245,11 +312,12 @@ def kmedoids_sweeps_device(X, metric, assignments, distances,
     medoid_inds : (k,) current medoid frame indices.
     bucket_factor : ambiguous-bucket size in units of n/k.
     seed : jax PRNG seed (deterministic for a given seed).
+    proposal_batch : proposals evaluated per batched distance pass
+        (the ``(n, batch)`` block is materialized: at 1M frames the
+        default 64 costs 256 MB of HBM).
 
     Returns ``(medoid_inds, distances, assignments)`` as numpy arrays.
     """
-    import jax
-
     from ..parallel import mesh as pmesh
 
     if mesh is None:
@@ -272,13 +340,11 @@ def kmedoids_sweeps_device(X, metric, assignments, distances,
     a1_sh, _ = pmesh.shard_frames(a1, mesh)
     valid_sh, _ = pmesh.shard_frames(valid, mesh)
 
-    use_fused = (metric == 'rmsd' and mesh.size == 1
-                 and jax.default_backend() == 'tpu')
     d1_out, a1_out, m_out = _pam_sweeps(
         data_sh, valid_sh, d1_sh, a1_sh,
         jnp.asarray(np.asarray(medoid_inds, dtype=np.int32)),
         jax.random.PRNGKey(seed), metric, int(n_sweeps), bucket,
-        use_fused=use_fused)
+        batch=int(proposal_batch))
 
     return (np.asarray(m_out).astype(np.int64),
             np.asarray(d1_out)[:n].astype(np.float64),
