@@ -450,6 +450,50 @@ def _kcenters_loop_fused(frames_r, g, dist, assig, n_start, n_clusters,
     return d, a, c, i
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('k_max', 'n_atoms_real',
+                                    'interpret', 'tile', 'chunk_g'))
+def _kcenters_loop_megafused(frames_r, g, dist, assig, n_start,
+                             n_clusters, dist_cutoff, k_max,
+                             n_atoms_real, interpret=False, tile=None,
+                             chunk_g=64):
+    """k-centers loop where each while_loop step runs ``chunk_g``
+    WHOLE iterations inside one pallas call
+    (ops/kcenters_chunk_pallas): the per-center argmax, center-column
+    gather, distance kernel and min-update all live in the kernel, so
+    the per-center fixed cost (launch + separate argmax pass) is paid
+    once per chunk instead of once per center."""
+    from ..ops.kcenters_chunk_pallas import kcenters_chunk_pallas
+
+    G = int(min(chunk_g, k_max))
+    ctr_pad = jnp.full((k_max + G,), -1, jnp.int32)
+    gidx0 = jnp.argmax(dist[0]).astype(jnp.int32)
+    md0 = dist[0, gidx0]
+    ntot = jnp.full((1, 1), n_clusters, jnp.int32)
+    cut = jnp.full((1, 1), dist_cutoff, jnp.float32)
+
+    def cond(state):
+        i, d, a, c, gidx, md = state
+        return (i < n_clusters) & (md > dist_cutoff)
+
+    def step(state):
+        i, d, a, c, gidx, md = state
+        d, a, ctrs, g2, m2 = kcenters_chunk_pallas(
+            frames_r, g, d, a,
+            jnp.reshape(gidx, (1, 1)).astype(jnp.int32),
+            jnp.reshape(md, (1, 1)).astype(jnp.float32),
+            jnp.reshape(i, (1, 1)).astype(jnp.int32), ntot, cut,
+            G, n_atoms_real, interpret=interpret, tile=tile)
+        placed = jnp.sum(ctrs[:, 0] != -1).astype(jnp.int32)
+        c = jax.lax.dynamic_update_slice(c, ctrs[:, 0], (i,))
+        return (i + placed, d, a, c, g2[0, 0], m2[0, 0])
+
+    init = (jnp.asarray(n_start, jnp.int32), dist, assig, ctr_pad,
+            gidx0, md0)
+    i, d, a, c = jax.lax.while_loop(cond, step, init)[:4]
+    return d, a, c[:k_max], i
+
+
 def _kcenters_loop_fused_sharded(frames_r, g, dist, assig, n_start,
                                  n_clusters, dist_cutoff, k_max,
                                  n_atoms_real, mesh, interpret, tile):
@@ -585,6 +629,14 @@ def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
             jax.device_put(jnp.asarray(assig), sh),
             np.int32(n_init_centers), n_clusters_eff, cutoff_eff,
             k_max, A, mesh, bool(interpret), int(tile))
+    elif (n_pad * 8 + 16 * 3 * A_pad * int(tile)) <= 96 * 1024 * 1024:
+        # mega-kernel keeps the (1, n) dist+assig state in VMEM
+        # scratch for the whole launch; gate on it fitting alongside
+        # the double-buffered frame blocks
+        d, a, c, n_found = _kcenters_loop_megafused(
+            frames_r, g, jnp.asarray(dist), jnp.asarray(assig),
+            np.int32(n_init_centers), n_clusters_eff, cutoff_eff,
+            k_max, A, interpret=bool(interpret), tile=int(tile))
     else:
         d, a, c, n_found = _kcenters_loop_fused(
             frames_r, g, jnp.asarray(dist), jnp.asarray(assig),

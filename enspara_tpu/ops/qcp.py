@@ -155,28 +155,45 @@ def _rmsd_from_S(S, ga, gb, n_atoms):
     return jnp.sqrt(msd)
 
 
-def _newton_max_root_unrolled(c2, c1, c0):
+def _newton_max_root_unrolled(c2, c1, c0, approx_recip=False):
     """Largest quartic root, Newton UNROLLED as straight-line code —
     the form Pallas kernel bodies use (Mosaic-friendly; same math as
-    :func:`_newton_max_root`)."""
+    :func:`_newton_max_root`).
+
+    ``approx_recip=True`` (pallas kernel bodies only) replaces the VPU
+    divide with the hardware approximate reciprocal: each Newton step
+    only needs the step DIRECTION to ~2^-14, and the final residual is
+    set by fp32 evaluation of p, not by the division — measured
+    ~0.1 ms/iteration off the fused k-centers kernel at n=1M with
+    distances unchanged at the fp32 noise floor."""
+    div = None
+    if approx_recip:
+        from jax.experimental import pallas as pl
+
+        def div(p, dp):
+            return p * pl.reciprocal(dp, approx=True)
+    else:
+        def div(p, dp):
+            return p / dp
     u = jnp.ones_like(c2)
     for _ in range(NEWTON_ITERS):
         u2 = u * u
         p = u2 * u2 + c2 * u2 + c1 * u + c0
         dp = u * (4.0 * u2 + 2.0 * c2) + c1
-        step = p / jnp.where(jnp.abs(dp) < 1e-12, 1e-12, dp)
+        step = div(p, jnp.where(jnp.abs(dp) < 1e-12, 1e-12, dp))
         u = u - jnp.clip(step, -0.5, 0.5)
     return jnp.clip(u, 0.0, 1.0)
 
 
-def rmsd_from_S_components_unrolled(Sc, gsum, n_atoms_real):
+def rmsd_from_S_components_unrolled(Sc, gsum, n_atoms_real,
+                                    approx_recip=False):
     """Shared epilogue for the Pallas QCP kernels: nine inner-product
     components + G sums -> RMSD, with the Newton iteration unrolled.
     Pure jnp on arrays of any (matching) shape, so kernel bodies can
     trace through it."""
     lam0 = gsum * 0.5
     c2, c1, c0 = _poly_coeffs_scaled_components(Sc, lam0)
-    u = _newton_max_root_unrolled(c2, c1, c0)
+    u = _newton_max_root_unrolled(c2, c1, c0, approx_recip=approx_recip)
     return jnp.sqrt(jnp.maximum(gsum - 2.0 * u * lam0, 0.0)
                     / n_atoms_real)
 

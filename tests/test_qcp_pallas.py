@@ -99,3 +99,56 @@ def test_fused_kcenters_matches_global_loop():
     # near rmsd=0 the fp32 QCP noise floor dominates
     assert_allclose(fused.distances, ref.distances, rtol=1e-4,
                     atol=2e-3)
+
+
+def test_megafused_kcenters_multichunk_and_cutoff():
+    """The multi-iteration chunk kernel (G=64 centers per launch) must
+    carry the argmax across chunk boundaries and stop mid-chunk on the
+    distance cutoff exactly like the XLA loop."""
+    from enspara_tpu.cluster import engine
+
+    rng = np.random.default_rng(17)
+    X = rng.normal(size=(640, 6, 3)).astype(np.float32)
+
+    # k=70 spans two launches of the G=64 chunk kernel
+    ref = engine.kcenters_device(X, 'rmsd', n_clusters=70)
+    fused = engine.kcenters_device_fused(X, n_clusters=70, tile=128,
+                                         interpret=True)
+    np.testing.assert_array_equal(ref.center_indices,
+                                  fused.center_indices)
+    np.testing.assert_array_equal(ref.assignments, fused.assignments)
+    assert_allclose(fused.distances, ref.distances, rtol=1e-4,
+                    atol=2e-3)
+
+    # cutoff stop lands mid-chunk: placed-center count must match
+    cut = float(np.percentile(ref.distances, 90))
+    ref_c = engine.kcenters_device(X, 'rmsd', dist_cutoff=cut,
+                                   k_max=128)
+    fus_c = engine.kcenters_device_fused(X, dist_cutoff=cut, k_max=128,
+                                         tile=128, interpret=True)
+    np.testing.assert_array_equal(ref_c.center_indices,
+                                  fus_c.center_indices)
+    np.testing.assert_array_equal(ref_c.assignments, fus_c.assignments)
+
+
+def test_megafused_kcenters_warm_start():
+    """Warm starts enter the chunk kernel with a nonzero center
+    ordinal; assignments of new centers must continue the numbering."""
+    from enspara_tpu.cluster import engine
+
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(512, 6, 3)).astype(np.float32)
+
+    seed = engine.kcenters_device_fused(X, n_clusters=3, tile=128,
+                                        interpret=True)
+    ref = engine.kcenters_device(
+        X, 'rmsd', n_clusters=9,
+        init_distances=seed.distances, init_assignments=seed.assignments,
+        n_init_centers=3, init_center_indices=seed.center_indices)
+    warm = engine.kcenters_device_fused(
+        X, n_clusters=9, tile=128, interpret=True,
+        init_distances=seed.distances, init_assignments=seed.assignments,
+        n_init_centers=3, init_center_indices=seed.center_indices)
+    np.testing.assert_array_equal(ref.center_indices,
+                                  warm.center_indices)
+    np.testing.assert_array_equal(ref.assignments, warm.assignments)
