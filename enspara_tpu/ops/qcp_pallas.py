@@ -33,7 +33,8 @@ def pallas_available():
         return False
 
 
-def _kernel(ft_ref, ct_ref, gf_ref, gc_ref, out_ref, *, n_atoms_real):
+def _kernel(ft_ref, ct_ref, gf_ref, gc_ref, out_ref, *, n_atoms_real,
+            precision):
     """ft_ref: (3, TF, N) frames tile; ct_ref: (3, TC, N) centers tile;
     gf_ref: (TF, 1); gc_ref: (TC, 1); out_ref: (TF, TC)."""
     S = [[None] * 3 for _ in range(3)]
@@ -45,18 +46,22 @@ def _kernel(ft_ref, ct_ref, gf_ref, gc_ref, out_ref, *, n_atoms_real):
                 fi, cj,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)  # (TF, TC)
+                precision=precision)                  # (TF, TC)
 
     gsum = gf_ref[:] + gc_ref[:].reshape(1, -1)        # (TF, TC)
     Sc = tuple(S[i][j] for i in range(3) for j in range(3))
+    # NOTE: approx_recip measured SLOWER here (1.30 -> 1.15B pairs/s
+    # at 131k x 512): on full-sublane (TF, TC) shapes the plain divide
+    # lowers better. The (1, TILE)-row kernels are the ones it helps.
     out_ref[:] = qcp.rmsd_from_S_components_unrolled(
         Sc, gsum, n_atoms_real)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('n_atoms_real', 'interpret'))
+                   static_argnames=('n_atoms_real', 'interpret',
+                                    'precision'))
 def _call_pallas(frames_t, centers_t, g_f, g_c, n_atoms_real,
-                 interpret=False):
+                 interpret=False, precision='highest'):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -64,7 +69,8 @@ def _call_pallas(frames_t, centers_t, g_f, g_c, n_atoms_real,
     _, C, _ = centers_t.shape
 
     grid = (F // TILE_F, C // TILE_C)
-    kernel = functools.partial(_kernel, n_atoms_real=float(n_atoms_real))
+    kernel = functools.partial(_kernel, n_atoms_real=float(n_atoms_real),
+                               precision=jax.lax.Precision(precision))
 
     return pl.pallas_call(
         kernel,
@@ -100,7 +106,7 @@ def _round_up(x, m):
 
 def qcp_rmsd_matrix_pallas(frames, centers, g_frames=None,
                            g_centers=None, n_atoms=None,
-                           interpret=None):
+                           interpret=None, precision='highest'):
     """All-pairs minimum RMSD via the fused kernel.
 
     Parameters mirror :func:`enspara_tpu.ops.qcp.qcp_rmsd_matrix`;
@@ -136,5 +142,5 @@ def qcp_rmsd_matrix_pallas(frames, centers, g_frames=None,
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     out = _call_pallas(frames_t, centers_t, gf, gc, int(n_atoms),
-                       interpret=bool(interpret))
+                       interpret=bool(interpret), precision=precision)
     return out[:F, :C]

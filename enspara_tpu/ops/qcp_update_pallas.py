@@ -65,7 +65,7 @@ def _kernel(cvec_ref, gb_ref, i_ref, f_ref, g_ref, dist_ref, assig_ref,
     gsum = g_ref[:] + gb_ref[0, 0]                     # (1, TILE)
     Sc = tuple(S[i][j] for i in range(3) for j in range(3))
     d_new = qcp.rmsd_from_S_components_unrolled(
-        Sc, gsum, n_atoms_real)                        # (1, TILE)
+        Sc, gsum, n_atoms_real, approx_recip=True)     # (1, TILE)
 
     old_d = dist_ref[:]
     old_a = assig_ref[:]
