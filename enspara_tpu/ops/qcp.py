@@ -121,7 +121,10 @@ def _poly_coeffs_scaled_components(Sc, lam0):
         * (-(SxymSyx) * (SyzpSzy) + (SxzmSzx) * (SxxpSyy - Szz))
     C0 = D + E + F + G + H + I
 
-    inv = 1.0 / jnp.maximum(lam0, 1e-30)
+    # the clamp must keep inv**4 finite in fp32: 1e-30 overflowed
+    # inv2*inv2 to inf and made 0 * inf = NaN distances on degenerate
+    # (all-identical / single-atom) structures, where G = 0 exactly
+    inv = 1.0 / jnp.maximum(lam0, 1e-9)
     inv2 = inv * inv
     return C2 * inv2, C1 * inv2 * inv, C0 * inv2 * inv2
 

@@ -89,3 +89,24 @@ def test_precentered_flag():
     b = np.asarray(qcp.rmsd(np.asarray(fc), np.asarray(rc),
                             precentered=True))
     assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_degenerate_zero_g_structures():
+    """All-identical / single-atom structures have G = 0 exactly; the
+    lam0-scaled quartic coefficients must not overflow to NaN in fp32
+    (regression: 1/max(lam0, 1e-30) ** 4 -> inf, 0 * inf -> NaN)."""
+    import jax.numpy as jnp
+    from enspara_tpu.ops import qcp
+
+    X = np.zeros((6, 1, 3), np.float32)
+    g = np.zeros(6, np.float32)
+    d = np.asarray(qcp.qcp_rmsd_matrix(
+        jnp.asarray(X), jnp.asarray(X[:2]),
+        jnp.asarray(g), jnp.asarray(g[:2])))
+    assert np.all(np.isfinite(d))
+    np.testing.assert_allclose(d, 0.0, atol=1e-6)
+
+    Sc = tuple(jnp.zeros((1, 4)) for _ in range(9))
+    out = np.asarray(qcp.rmsd_from_S_components_unrolled(
+        Sc, jnp.zeros((1, 4)), 1.0))
+    assert np.all(np.isfinite(out))
