@@ -163,3 +163,72 @@ def test_smfret_run_burst_cli(lifetimes_outdir):
         outdir, 'Lifetimes', 'd_lifetimes-1-40-1000.npy'),
         allow_pickle=True)
     assert len(d_lt) == 6
+
+
+@pytest.fixture(scope='module')
+def point_cloud_outdir(tmp_path_factory):
+    """Run `smFRET_point_clouds model_dyes` once on the mini system."""
+    from enspara_tpu.apps import smFRET_point_clouds as app
+
+    outdir = str(tmp_path_factory.mktemp('point_clouds'))
+    pairs = os.path.join(outdir, 'pairs.txt')
+    np.savetxt(pairs, np.array([[1, 40]]), fmt='%d')
+
+    rc = app.main(
+        ['smFRET_pc', 'model_dyes',
+         fret_fn('ab40.xtc'), fret_fn('ab40.pdb'), pairs,
+         '--output_dir', outdir])
+    assert rc == 0
+    return outdir
+
+
+def test_point_clouds_model_dyes_cli(point_cloud_outdir):
+    from enspara_tpu import io, ra as ra_mod
+
+    n_prot = len(io.load(fret_fn('ab40.xtc'), top=fret_fn('ab40.pdb')))
+    probs = ra_mod.load(
+        os.path.join(point_cloud_outdir, 'probs_1_40.h5'))
+    edges = ra_mod.load(
+        os.path.join(point_cloud_outdir, 'bin_edges_1_40.h5'))
+    assert len(probs) == n_prot
+    assert len(edges) == n_prot
+    # per-state distance distributions are densities over the bins
+    # (integrate to 1), or all-zero when every cloud position clashes
+    for row, edge in zip(probs, edges):
+        widths = np.diff(np.asarray(edge))
+        mass = float(np.sum(np.asarray(row)[:len(widths)] * widths))
+        assert mass == pytest.approx(1.0, abs=1e-3) or mass == 0.0
+
+
+def test_point_clouds_calc_fret_cli(point_cloud_outdir):
+    from enspara_tpu.apps import smFRET_point_clouds as app
+
+    outdir = point_cloud_outdir
+    tprobs_f = fret_fn('ab40-tprobs.npy')
+    n = len(np.load(tprobs_f))
+    eqs = os.path.join(outdir, 'eqs.npy')
+    np.save(eqs, np.full(n, 1.0 / n))
+
+    rng = np.random.default_rng(1)
+    photon_times = os.path.join(outdir, 'photons.npy')
+    np.save(photon_times,
+            np.array([rng.exponential(1e4, size=rng.integers(5, 12))
+                      for _ in range(5)], dtype='O'),
+            allow_pickle=True)
+
+    rc = app.main(
+        ['smFRET_pc', 'calc_FRET',
+         eqs, tprobs_f, '4', outdir,
+         os.path.join(outdir, 'pairs.txt'),
+         '--photon_times', photon_times,
+         '--time_factor', '100',
+         '--output_dir', outdir])
+    assert rc == 0
+
+    fes = np.load(os.path.join(
+        outdir, 'FRET_E_1_40_time_factor_100.npy'), allow_pickle=True)
+    assert len(fes) == 5
+    # each burst yields (FE, n_photon_std-chunk estimates) pairs with
+    # efficiencies in [0, 1]
+    vals = np.array([f[0] for f in fes], dtype=float)
+    assert np.all((vals >= 0) & (vals <= 1))
