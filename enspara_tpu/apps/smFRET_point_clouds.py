@@ -161,8 +161,15 @@ def main(argv=None):
             parts = [re.split('[. _]', f) for f in FRET_histos]
             time_scales = [int(p[-2]) for p in parts]
 
+            # allow_pickle: calc_FRET's per-burst (FE, std) rows are
+            # object-dtype (the reference writes the same layout but
+            # its fit_FRET can't read it back — apps/
+            # smFRET_point_clouds.py:294 loads without allow_pickle);
+            # accepting both object and plain float files is a strict
+            # superset of the reference behavior
             predicted = np.array(
-                [np.load(f) for f in FRET_histos], dtype='O')
+                [np.load(f, allow_pickle=True) for f in FRET_histos],
+                dtype='O')
             expt_counts = np.loadtxt(expt_histogram_paths[i])
 
             if args.method == 'sum_sq_residuals':

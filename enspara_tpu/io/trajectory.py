@@ -167,6 +167,15 @@ class Trajectory(object):
         if ext == '.dcd':
             from .dcd import write_dcd
             return write_dcd(filename, self)
+        if ext == '.trr':
+            from .trr import write_trr
+            return write_trr(filename, self)
+        if ext in ('.nc', '.ncdf', '.netcdf'):
+            from .netcdf import write_netcdf
+            return write_netcdf(filename, self)
+        if ext == '.gro':
+            from .gro import write_gro
+            return write_gro(filename, self)
         raise ImproperlyConfigured(
             'Unknown trajectory format %r' % ext)
 
@@ -180,6 +189,9 @@ def _resolve_top(top):
     if top is None:
         return None
     if isinstance(top, str):
+        if top.lower().endswith('.gro'):
+            from .gro import load_gro
+            return load_gro(top).topology
         from .pdb import load_pdb
         return load_pdb(top).topology
     if isinstance(top, Trajectory):
@@ -215,6 +227,18 @@ def load(filename, top=None, stride=None, atom_indices=None,
     if ext == '.dcd':
         from .dcd import load_dcd
         return load_dcd(filename, top=top, stride=stride,
+                        atom_indices=atom_indices, frame=frame)
+    if ext == '.trr':
+        from .trr import load_trr
+        return load_trr(filename, top=top, stride=stride,
+                        atom_indices=atom_indices, frame=frame)
+    if ext in ('.nc', '.ncdf', '.netcdf'):
+        from .netcdf import load_netcdf
+        return load_netcdf(filename, top=top, stride=stride,
+                           atom_indices=atom_indices, frame=frame)
+    if ext == '.gro':
+        from .gro import load_gro
+        return load_gro(filename, top=top, stride=stride,
                         atom_indices=atom_indices, frame=frame)
     raise ImproperlyConfigured('Unknown trajectory format %r' % ext)
 

@@ -232,3 +232,52 @@ def test_point_clouds_calc_fret_cli(point_cloud_outdir):
     # efficiencies in [0, 1]
     vals = np.array([f[0] for f in fes], dtype=float)
     assert np.all((vals >= 0) & (vals <= 1))
+
+
+def test_point_clouds_fit_fret_cli(point_cloud_outdir):
+    """`fit_FRET` scores predicted FRET histograms against an
+    experimental histogram across time factors."""
+    from enspara_tpu.apps import smFRET_point_clouds as app
+
+    outdir = point_cloud_outdir
+    # synthetic experimental histogram over FE in [0, 1]
+    rng = np.random.default_rng(2)
+    counts, edges = np.histogram(rng.uniform(0, 1, 500), bins=20,
+                                 range=(0, 1))
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    expt = os.path.join(outdir, 'expt.txt')
+    np.savetxt(expt, np.column_stack([centers, counts]))
+
+    # self-contained predicted histograms at two time factors (same
+    # (n_bursts, 2) layout calc_FRET writes)
+    pred_dir = os.path.join(outdir, 'pred')
+    os.makedirs(pred_dir, exist_ok=True)
+    for tf in (100, 1000):
+        fes = np.empty((8, 2), dtype=object)
+        for b in range(8):
+            fes[b, 0] = rng.uniform(0, 1)
+            fes[b, 1] = rng.uniform(0, 0.3)
+        np.save(os.path.join(
+            pred_dir, 'FRET_E_1_40_time_factor_%d.npy' % tf), fes,
+            allow_pickle=True)
+
+    conf = os.path.join(outdir, 'fit_conf.txt')
+    with open(conf, 'w') as f:
+        f.write('%s %s\n' % (expt, pred_dir))
+
+    rc = app.main(
+        ['smFRET_pc', 'fit_FRET', conf,
+         os.path.join(outdir, 'pairs.txt'),
+         '--method', 'sum_sq_residuals',
+         '--output_dir', outdir])
+    assert rc == 0
+
+    outs = [f for f in os.listdir(outdir)
+            if f.endswith('sum_sq_residuals.npy')]
+    assert len(outs) == 1
+    scores = np.load(os.path.join(outdir, outs[0]),
+                     allow_pickle=True)
+    # one (time_factor, score) row per predicted histogram file
+    assert scores.shape == (2, 2)
+    assert sorted(int(s) for s in scores[:, 0]) == [100, 1000]
+    assert np.all(np.asarray(scores[:, 1], dtype=float) >= 0)

@@ -339,3 +339,146 @@ def test_load_as_concatenated_args_kwargs_conflict(tmp_path):
     io.write_xtc(fn, t)
     with pytest.raises(ImproperlyConfigured):
         load_as_concatenated([fn], args=[{'top': t.top}], top=t.top)
+
+
+# ---------------------------------------------------------------------
+# TRR / AMBER NetCDF / GRO formats
+# ---------------------------------------------------------------------
+
+def test_trr_roundtrip(tmp_path):
+    t = make_traj(4)
+    t.unitcell_vectors = np.tile(np.eye(3, dtype=np.float32) * 2.5,
+                                 (4, 1, 1))
+    fn = str(tmp_path / 'x.trr')
+    io.write_trr(fn, t)
+    back = io.load(fn, top=t.top)
+    assert_allclose(back.xyz, t.xyz, atol=1e-6)
+    assert_allclose(back.unitcell_vectors, t.unitcell_vectors,
+                    atol=1e-6)
+    assert_allclose(back.time, t.time, atol=1e-6)
+
+    strided = io.load(fn, top=t.top, stride=2)
+    assert_allclose(strided.xyz, t.xyz[::2], atol=1e-6)
+    one = io.load(fn, top=t.top, frame=3)
+    assert_allclose(one.xyz[0], t.xyz[3], atol=1e-6)
+    sub = io.load(fn, top=t.top, atom_indices=[0, 2, 5])
+    assert_allclose(sub.xyz, t.xyz[:, [0, 2, 5]], atol=1e-6)
+    assert sub.top.n_atoms == 3
+
+
+def test_trr_header_bytes(tmp_path):
+    """The on-disk frame header must match the GROMACS xdrfile layout
+    byte for byte (magic, 13, 12, tag, 13 big-endian ints)."""
+    import struct
+
+    t = make_traj(1)
+    fn = str(tmp_path / 'x.trr')
+    io.write_trr(fn, t)
+    raw = open(fn, 'rb').read()
+    magic, slen, blen = struct.unpack('>3i', raw[:12])
+    assert (magic, slen, blen) == (1993, 13, 12)
+    assert raw[12:24] == b'GMX_trn_file'
+    ints = struct.unpack('>13i', raw[24:76])
+    assert ints[7] == 12 * t.top.n_atoms        # x_size
+    assert ints[10] == t.top.n_atoms            # natoms
+
+
+def test_trr_double_precision_read(tmp_path):
+    """Double-precision TRR (box_size = 72) reads correctly — the
+    float width is inferred per frame as GROMACS does."""
+    import struct
+
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(size=(2, 7, 3))
+    box = np.eye(3) * 3.0
+    fn = str(tmp_path / 'double.trr')
+    with open(fn, 'wb') as f:
+        for i in range(2):
+            f.write(struct.pack('>3i', 1993, 13, 12))
+            f.write(b'GMX_trn_file')
+            f.write(struct.pack('>13i', 0, 0, 72, 0, 0, 0, 0,
+                                8 * 21, 0, 0, 7, i, 0))
+            f.write(struct.pack('>2d', float(i), 0.0))
+            f.write(box.astype('>f8').tobytes())
+            f.write(xyz[i].astype('>f8').tobytes())
+    back = io.load(fn)
+    assert_allclose(back.xyz, xyz, atol=1e-6)
+    assert_allclose(back.unitcell_vectors[0], box, atol=1e-6)
+
+
+def test_netcdf_roundtrip(tmp_path):
+    t = make_traj(3)
+    t.unitcell_vectors = np.tile(np.eye(3, dtype=np.float32) * 4.0,
+                                 (3, 1, 1))
+    fn = str(tmp_path / 'x.nc')
+    io.write_netcdf(fn, t)
+    back = io.load(fn, top=t.top)
+    assert_allclose(back.xyz, t.xyz, atol=1e-5)
+    assert_allclose(back.unitcell_vectors, t.unitcell_vectors,
+                    atol=1e-5)
+    assert_allclose(back.time, t.time, atol=1e-6)
+
+
+def test_netcdf_amber_convention(tmp_path):
+    """A file written independently with scipy following the AMBER
+    convention (angstrom on disk) loads with nm coordinates."""
+    from scipy.io import netcdf_file
+
+    rng = np.random.default_rng(1)
+    coords_A = rng.uniform(0, 30, size=(2, 5, 3)).astype(np.float32)
+    fn = str(tmp_path / 'amber.nc')
+    with netcdf_file(fn, 'w', version=2) as nc:
+        nc.Conventions = b'AMBER'
+        nc.createDimension('frame', None)
+        nc.createDimension('atom', 5)
+        nc.createDimension('spatial', 3)
+        v = nc.createVariable('coordinates', 'f',
+                              ('frame', 'atom', 'spatial'))
+        v[:] = coords_A
+        v.units = b'angstrom'
+    back = io.load(fn)
+    assert_allclose(back.xyz, coords_A / 10.0, atol=1e-6)
+
+
+def test_gro_golden_and_roundtrip(tmp_path):
+    """Fixed-column GRO sample (GROMACS manual layout) parses into
+    coordinates, topology, box, and time."""
+    text = (
+        'MD of 2 waters, t= 4.2\n'
+        '    6\n'
+        '    1WATER  OW1    1   0.126   1.624   1.679\n'
+        '    1WATER  HW2    2   0.190   1.661   1.747\n'
+        '    1WATER  HW3    3   0.177   1.568   1.613\n'
+        '    2WATER  OW1    4   1.275   0.053   0.622\n'
+        '    2WATER  HW2    5   1.337   0.011   0.710\n'
+        '    2WATER  HW3    6   1.326   0.120   0.568\n'
+        '   1.82060   1.82060   1.82060\n')
+    fn = str(tmp_path / 'w.gro')
+    open(fn, 'w').write(text)
+    t = io.load(fn)
+    assert t.n_frames == 1
+    assert t.top.n_atoms == 6
+    assert t.top.n_residues == 2
+    assert t.top.residue(0).name == 'WATER'
+    assert t.top.atom(0).name == 'OW1'
+    assert_allclose(t.xyz[0, 0], [0.126, 1.624, 1.679], atol=1e-6)
+    assert_allclose(t.unitcell_vectors[0],
+                    np.eye(3) * 1.8206, atol=1e-4)
+    assert_allclose(t.time, [4.2], atol=1e-6)
+
+    # roundtrip with a generated topology, multiple frames
+    t2 = make_traj(3)
+    fn2 = str(tmp_path / 'x.gro')
+    io.write_gro(fn2, t2)
+    back = io.load(fn2)
+    assert back.n_frames == 3
+    assert_allclose(back.xyz, t2.xyz, atol=5e-4)     # %8.3f quantizes
+    assert back.top.n_atoms == t2.top.n_atoms
+    assert [a.name for a in back.top.atoms] == \
+        [a.name for a in t2.top.atoms]
+
+    # a .gro works as the top= argument for other formats
+    fn3 = str(tmp_path / 'x.xtc')
+    io.write_xtc(fn3, t2)
+    viagro = io.load(fn3, top=fn2)
+    assert viagro.top.n_atoms == t2.top.n_atoms
