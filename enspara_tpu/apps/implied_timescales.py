@@ -91,11 +91,15 @@ def process_units(timestep=None, infer_timestep=None):
         from ..io import load as io_load
         try:
             trj = io_load(infer_timestep)
-            timesteps = trj.time[1:] - trj.time[:-1]
+            # like the reference (apps/implied_timescales.py:116-120),
+            # inspect only the leading frames: XTC stores time as
+            # float32, so late-trajectory timestamps carry rounding
+            # wobble that would spuriously fail a global equality check
+            timesteps = np.diff(trj.time[:10])
         except Exception:
             raise exception.ImproperlyConfigured(
                 "Couldn't infer timestep from %s" % infer_timestep)
-        assert np.allclose(timesteps, timesteps[0])
+        assert np.allclose(timesteps, timesteps[0], atol=1e-3)
         return 1000 / float(timesteps[0]), 'ns'
     return 1, 'frames'
 

@@ -330,14 +330,15 @@ def _eval_selection(tokens, top):
         if t == 'water':
             return np.array([a.residue.is_water for a in top.atoms])
         if t in ('name', 'element', 'resname', 'resid', 'resSeq',
-                 'index', 'symbol'):
+                 'residue', 'index', 'symbol'):
             vals = []
             while peek() is not None and peek() not in (
                     'and', 'or', 'not', ')'):
                 nxt = peek()
                 if nxt in ('name', 'element', 'resname', 'resid',
-                           'resSeq', 'index', 'symbol', 'backbone',
-                           'sidechain', 'protein', 'water', 'all'):
+                           'resSeq', 'residue', 'index', 'symbol',
+                           'backbone', 'sidechain', 'protein', 'water',
+                           'all'):
                     break
                 vals.append(take())
             vals = [v for v in vals if v != 'or']
@@ -355,7 +356,8 @@ def _eval_selection(tokens, top):
                 vs = set(_expand_ranges(vals))
                 return np.array([a.residue.index in vs
                                  for a in top.atoms])
-            if t == 'resSeq':
+            if t in ('resSeq', 'residue'):
+                # mdtraj's 'residue' keyword selects by resSeq
                 vs = set(_expand_ranges(vals))
                 return np.array([a.residue.resSeq in vs
                                  for a in top.atoms])

@@ -365,3 +365,148 @@ def test_prinz_mle_cpp_speed_sanity():
     assert np.allclose(T.sum(1), 1, atol=1e-10)
     flux = pi[:, None] * T
     assert np.allclose(flux, flux.T, atol=1e-8)
+
+
+def test_reassign_function_multitop_heterogeneous(tmp_path):
+    """Reference test_apps_reassign.py:129: different topologies and
+    per-dataset atom selections; ragged lengths come back as a
+    RaggedArray and duplicate trajectories agree exactly."""
+    from enspara_tpu.apps.reassign import reassign
+
+    xtc1 = os.path.join(REF_DATA, 'frame0.xtc')
+    top1 = os.path.join(REF_DATA, 'native.pdb')
+    cards = os.path.join(os.path.dirname(REF_DATA), 'cards_data')
+    xtc2 = os.path.join(cards, 'trj0.xtc')
+    top2 = os.path.join(cards, 'PROT_only.pdb')
+
+    topologies = [top1, top2]
+    trajectories = [[xtc1, xtc1], [xtc2, xtc2]]
+    atoms = ['(name N or name O) and (residue 2 or residue 3)',
+             '(name CA) and (residue 3 to 5)']
+
+    t = io.load(top1).top
+    full = io.load(xtc1, top=top1)
+    centers = [full[i].atom_slice(t.select(atoms[0]))
+               for i in range(0, len(full), 50)]
+
+    assigns, dists = reassign(topologies, trajectories, atoms, centers)
+
+    assert isinstance(assigns, ra.RaggedArray)
+    assert_array_equal(assigns.lengths, [501, 501, 5001, 5001])
+    assert len(assigns) == 4
+    assert_array_equal(assigns[0], assigns[1])
+    assert_array_equal(np.asarray(assigns[0])[::50],
+                       range(len(centers)))
+    assert_allclose(np.asarray(dists[0]), np.asarray(dists[1]),
+                    atol=1e-3)
+
+
+def test_reassign_function_uniform_returns_ndarray(tmp_path):
+    """Reference test_apps_reassign.py:101: same-length datasets come
+    back as plain ndarrays."""
+    from enspara_tpu.apps.reassign import reassign
+
+    xtc = os.path.join(REF_DATA, 'frame0.xtc')
+    top = os.path.join(REF_DATA, 'native.pdb')
+    atoms = '(name N or name C or name CA or name H or name O)'
+
+    t = io.load(top).top
+    full = io.load(xtc, top=top)
+    centers = [full[i].atom_slice(t.select(atoms))
+               for i in range(0, len(full), 50)]
+
+    assigns, dists = reassign(
+        [top, top], [[xtc], [xtc]], [atoms] * 2, centers)
+
+    assert type(assigns) is np.ndarray
+    assert_array_equal(assigns[0], assigns[1])
+    assert_array_equal(assigns[0][::50], range(len(centers)))
+    assert_allclose(dists[0], dists[1], atol=1e-3)
+
+
+def test_reassign_app_multitop(tmp_path):
+    """Reference test_apps_reassign.py:70: the CLI accepts repeated
+    --trajectories/--topology groups with one selection."""
+    from enspara_tpu.apps import reassign as reassign_app
+
+    xtc1 = os.path.join(REF_DATA, 'frame0.xtc')
+    top1 = os.path.join(REF_DATA, 'native.pdb')
+    cards = os.path.join(os.path.dirname(REF_DATA), 'cards_data')
+    xtc2 = os.path.join(cards, 'trj0.xtc')
+    top2 = os.path.join(cards, 'PROT_only.pdb')
+
+    sel = '(name N or name C or name CA or name O) and (residue 2)'
+    t = io.load(top1).top
+    full = io.load(xtc1, top=top1)
+    centers = [full[i] for i in range(0, len(full), 50)]
+    import pickle as pkl
+    ctr_f = str(tmp_path / 'ctrs.pkl')
+    with open(ctr_f, 'wb') as f:
+        pkl.dump(centers, f)
+
+    out_d = str(tmp_path / 'd.h5')
+    out_a = str(tmp_path / 'a.h5')
+    reassign_app.main([
+        'reassign', '--centers', ctr_f,
+        '--trajectories', xtc1, xtc1,
+        '--topology', top1,
+        '--trajectories', xtc2, xtc2,
+        '--topology', top2,
+        '--atoms', sel,
+        '--distances', out_d, '--assignments', out_a])
+
+    a = ra.load(out_a)
+    assert_array_equal(a.lengths, [501, 501, 5001, 5001])
+
+
+def test_implied_timescales_process_units():
+    """Reference test_apps_implied_timescales.py:17: timestep
+    inference and validation."""
+    from enspara_tpu.apps import implied_timescales as it_app
+    from enspara_tpu.exception import ImproperlyConfigured
+
+    cards = os.path.join(os.path.dirname(REF_DATA), 'cards_data')
+    trj = os.path.join(cards, 'trj0.xtc')
+
+    with pytest.raises(ImproperlyConfigured):
+        it_app.process_units(timestep=10, infer_timestep=trj)
+
+    assert it_app.process_units(timestep=10) == (10, 'ns')
+    assert it_app.process_units(None, None) == (1, 'frames')
+    assert it_app.process_units() == (1, 'frames')
+    assert it_app.process_units(infer_timestep=trj) == (100, 'ns')
+    assert it_app.process_units(
+        infer_timestep=os.path.join(REF_DATA, 'frame0.xtc')) \
+        == (1000, 'ns')
+    assert it_app.process_units(
+        infer_timestep=os.path.join(REF_DATA, 'frame0.h5')) \
+        == (1000, 'ns')
+
+
+def test_implied_timescales_prior_counts_builder():
+    """Reference test_apps_implied_timescales.py:47: the app's
+    prior_counts wrapper equals normalize(prior_counts=1/n)."""
+    from enspara_tpu.apps import implied_timescales as it_app
+    from enspara_tpu.msm.builders import normalize
+
+    C = np.array([[7, 1, 3, 1],
+                  [1, 8, 3, 1],
+                  [0, 7, 9, 2],
+                  [0, 2, 3, 4]])
+    C_a, T_a, eq_a = it_app.prior_counts(C)
+    C_b, T_b, eq_b = normalize(C, prior_counts=1 / len(C))
+    assert_array_equal(C_a, C_b)
+    assert_array_equal(np.asarray(T_a), np.asarray(T_b))
+
+
+def test_unique_state_extraction():
+    """Reference test_cluster_util.py:71."""
+    from enspara_tpu.cluster import save_states
+
+    rng = np.random.default_rng(0)
+    assignments = rng.choice([0, 1, 2, 3, 4], 100000)
+    assert_array_equal(save_states.unique_states(assignments),
+                       [0, 1, 2, 3, 4])
+    # -1 (unassigned) frames are excluded
+    assert_array_equal(
+        save_states.unique_states(np.array([-1, 0, 2, -1, 2])), [0, 2])
