@@ -68,7 +68,11 @@ def _call_pallas(frames_t, centers_t, g_f, g_c, n_atoms_real,
     _, F, N = frames_t.shape
     _, C, _ = centers_t.shape
 
-    grid = (F // TILE_F, C // TILE_C)
+    # narrow center blocks (PAM proposal batches, cache-init chunks)
+    # use a matching narrow tile: padding C=64 up to a 256-wide tile
+    # would compute 4x the pair-slots for the same answer
+    tile_c = min(TILE_C, C)
+    grid = (F // TILE_F, C // tile_c)
     kernel = functools.partial(_kernel, n_atoms_real=float(n_atoms_real),
                                precision=jax.lax.Precision(precision))
 
@@ -78,14 +82,14 @@ def _call_pallas(frames_t, centers_t, g_f, g_c, n_atoms_real,
         in_specs=[
             pl.BlockSpec((3, TILE_F, N), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_C, N), lambda i, j: (0, j, 0),
+            pl.BlockSpec((3, tile_c, N), lambda i, j: (0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_F, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_C, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((tile_c, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_F, TILE_C),
+        out_specs=pl.BlockSpec((TILE_F, tile_c),
                                lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((F, C), jnp.float32),
@@ -125,7 +129,9 @@ def qcp_rmsd_matrix_pallas(frames, centers, g_frames=None,
         g_centers = jnp.sum(centers * centers, axis=(-2, -1))
 
     Fp = _round_up(F, TILE_F)
-    Cp = _round_up(C, TILE_C)
+    # narrow center sets pad only to the 64-sublane granularity the
+    # adaptive tile needs, not to a full 256 tile
+    Cp = _round_up(C, 64) if C < TILE_C else _round_up(C, TILE_C)
     Np = _round_up(N, 128)
 
     frames_t = jnp.transpose(frames, (2, 0, 1))   # (3, F, N)
