@@ -67,6 +67,13 @@ def load_trajectory_generator(trajectories, topology):
         yield io_mod.load(t, top=top)
 
 
+def load_trajs(args):
+    """Generator of loaded trajectories from parsed CLI args.
+    (reference: apps/collect_cards.py:135)"""
+    return load_trajectory_generator(args.trajectories[0],
+                                     args.topology[0])
+
+
 def save_cards(ss_mi, dd_mi, sd_mi, ds_mi, output_name):
     """(reference: apps/collect_cards.py:163)"""
     final_mats = {

@@ -136,6 +136,14 @@ def save_all_entropies(entropies, residues, filename):
     return 0
 
 
+def load_trajs(args):
+    """Generator of loaded trajectories from parsed CLI args.
+    (reference: apps/compute-shannon-entropy.py:124)"""
+    from .. import io as io_mod
+    top = io_mod.load(args.topology[0]).top
+    return (io_mod.load(t, top=top) for t in args.trajectories)
+
+
 def main(argv=None):
     if argv is None:
         argv = sys.argv
@@ -143,9 +151,7 @@ def main(argv=None):
     enable_compilation_cache()
     args = process_command_line(argv)
 
-    from .. import io as io_mod
-    top = io_mod.load(args.topology[0]).top
-    gen = (io_mod.load(t, top=top) for t in args.trajectories)
+    gen = load_trajs(args)
 
     residue_entropy, resi_list = compute_shannon_entropies(args, gen)
     save_all_entropies(residue_entropy, resi_list, args.entropies)
