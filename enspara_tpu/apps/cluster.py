@@ -79,6 +79,12 @@ def process_command_line(argv):
         '--init-distances', default=None, type=str,
         help='Path to an .h5 of initial distances (restarts).')
     cluster_args.add_argument(
+        '--checkpoint', default=None, type=str,
+        help='Checkpoint directory (util.checkpoint layout). If it '
+             'already holds a manifest, clustering warm-starts from '
+             'it (kmedoids only, like the --init-* flags); the final '
+             'clustering state is always saved back to it.')
+    cluster_args.add_argument(
         '--subsample', default=1, type=int,
         help='Take only every nth frame when loading trajectories.')
     cluster_args.add_argument(
@@ -170,6 +176,17 @@ def process_command_line(argv):
                     '--init-center-inds, --init-distances, and '
                     '--init-assignments are only implemented for '
                     'kmedoids')
+    if args.checkpoint and os.path.exists(
+            os.path.join(args.checkpoint, 'manifest.json')):
+        if args.Clusterer is not KMedoids:
+            raise exception.ImproperlyConfigured(
+                'Warm-starting from --checkpoint is only implemented '
+                'for kmedoids (matching the --init-* flags).')
+        if (args.init_center_inds or args.init_distances
+                or args.init_assignments):
+            raise exception.ImproperlyConfigured(
+                'Give either --checkpoint or the --init-* flags for a '
+                'restart, not both.')
     return args
 
 
@@ -200,6 +217,17 @@ def main(argv=None):
         **kwargs)
 
     kwargs_restart = {}
+    if args.checkpoint and os.path.exists(
+            os.path.join(args.checkpoint, 'manifest.json')):
+        from ..util.checkpoint import load_clustering_checkpoint
+        state = load_clustering_checkpoint(args.checkpoint)
+        kwargs_restart['distances'] = state['distances'].reshape(-1)
+        kwargs_restart['assignments'] = \
+            state['assignments'].reshape(-1)
+        kwargs_restart['cluster_center_inds'] = \
+            state['center_indices']
+        logger.info('Warm-starting from checkpoint %s (%d centers).',
+                    args.checkpoint, len(state['center_indices']))
     if args.Clusterer is KMedoids:
         if args.init_distances:
             d = ra.load(args.init_distances)
@@ -222,6 +250,17 @@ def main(argv=None):
     logger.info('Clustered %s frames into %s clusters in %s seconds.',
                 sum(lengths), len(clustering.centers_),
                 clustering.runtime_)
+
+    if args.checkpoint:
+        from ..util.checkpoint import save_clustering_checkpoint
+        r = clustering.result_
+        save_clustering_checkpoint(
+            args.checkpoint, np.asarray(r.distances),
+            np.asarray(r.assignments), np.asarray(r.center_indices),
+            metadata={'algorithm': args.algorithm,
+                      'subsample': args.subsample})
+        logger.info('Saved clustering checkpoint to %s.',
+                    args.checkpoint)
 
     result = clustering.result_.partition(lengths)
 

@@ -510,3 +510,54 @@ def test_unique_state_extraction():
     # -1 (unassigned) frames are excluded
     assert_array_equal(
         save_states.unique_states(np.array([-1, 0, 2, -1, 2])), [0, 2])
+
+
+def test_cluster_app_checkpoint_roundtrip(tmp_path):
+    """--checkpoint writes the unified clustering checkpoint; a second
+    kmedoids run warm-starts from it (and must not be worse)."""
+    from enspara_tpu.apps import cluster as cluster_app
+    from enspara_tpu.util.checkpoint import load_clustering_checkpoint
+
+    ckpt = str(tmp_path / 'ckpt')
+    distances, assignments, centers, indices = runhelper(
+        tmp_path, algorithm='khybrid',
+        extra_args=['--checkpoint', ckpt])
+
+    state = load_clustering_checkpoint(ckpt)
+    d0 = np.asarray(ra.load(distances))
+    assert state['metadata']['algorithm'] == 'khybrid'
+    assert len(state['center_indices']) == 4
+    assert state['distances'].shape[0] == d0.size
+
+    # warm-start kmedoids from the checkpoint
+    xtc = os.path.join(REF_DATA, 'frame0.xtc')
+    top = os.path.join(REF_DATA, 'native.pdb')
+    out_d = str(tmp_path / 'd2.h5')
+    cluster_app.main([
+        'cluster', '--trajectories', xtc, xtc, '--topology', top,
+        '--algorithm', 'kmedoids', '--cluster-number', '4',
+        '--cluster-iterations', '2',
+        '--atoms', 'name CA or name C or name N',
+        '--checkpoint', ckpt,
+        '--distances', out_d,
+        '--assignments', str(tmp_path / 'a2.h5'),
+        '--center-features', str(tmp_path / 'c2.pkl'),
+        '--center-indices', str(tmp_path / 'ci2.npy')])
+
+    d2 = np.asarray(ra.load(out_d))
+    assert np.mean(d2 ** 2) <= np.mean(d0 ** 2) + 1e-9
+    # the checkpoint was refreshed by the second run
+    state2 = load_clustering_checkpoint(ckpt)
+    assert state2['metadata']['algorithm'] == 'kmedoids'
+
+    # warm-start validation: checkpoint + init-* flags conflict
+    import pytest as _pytest
+    from enspara_tpu.exception import ImproperlyConfigured
+    with _pytest.raises(ImproperlyConfigured):
+        cluster_app.main([
+            'cluster', '--trajectories', xtc, '--topology', top,
+            '--algorithm', 'kcenters', '--cluster-number', '4',
+            '--atoms', 'name CA', '--checkpoint', ckpt,
+            '--distances', out_d,
+            '--assignments', str(tmp_path / 'a3.h5'),
+            '--center-features', str(tmp_path / 'c3.pkl')])
