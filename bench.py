@@ -34,7 +34,10 @@ N_CLUSTERS = 1000
 def main():
     from enspara_tpu.util.compile_cache import enable_compilation_cache
     enable_compilation_cache()
-    from enspara_tpu.cluster.engine import kcenters_device, prepare_sharded
+    from enspara_tpu.cluster.engine import (kcenters_device,
+                                            kcenters_device_fused,
+                                            prepare_rmsd_frames,
+                                            prepare_sharded)
     from enspara_tpu.parallel import frame_mesh
 
     import jax
@@ -55,20 +58,33 @@ def main():
         frames = base[None] + 0.3 * drift * base[None] + 0.1 * noise
         return frames - jnp.mean(frames, axis=1, keepdims=True)
 
-    data_sh, _ = prepare_sharded(synth(jax.random.PRNGKey(42)),
-                                 'rmsd', mesh)
+    frames = synth(jax.random.PRNGKey(42))
+    if jax.default_backend() == 'tpu':
+        # production steady state: frames ingested ONCE into the fused
+        # kernels' device layout, then clustered (fp32)
+        data = prepare_rmsd_frames(
+            frames, mesh=mesh if mesh.size > 1 else None)
+
+        def cluster(k):
+            return kcenters_device_fused(
+                data, n_clusters=k, k_max=N_CLUSTERS,
+                mesh=mesh if mesh.size > 1 else None)
+    else:
+        data_sh, _ = prepare_sharded(frames, 'rmsd', mesh)
+
+        def cluster(k):
+            return kcenters_device(data_sh, metric='rmsd',
+                                   n_clusters=k, k_max=N_CLUSTERS,
+                                   mesh=mesh)
 
     # compile at the real shapes (tiny k, same static k_max)
-    kcenters_device(data_sh, metric='rmsd', n_clusters=2,
-                    k_max=N_CLUSTERS, mesh=mesh)
+    cluster(2)
 
     best = np.inf
     res = None
     for _ in range(3):
         t0 = time.perf_counter()
-        res = kcenters_device(data_sh, metric='rmsd',
-                              n_clusters=N_CLUSTERS,
-                              k_max=N_CLUSTERS, mesh=mesh)
+        res = cluster(N_CLUSTERS)
         best = min(best, time.perf_counter() - t0)
 
     assert res.n_found == N_CLUSTERS

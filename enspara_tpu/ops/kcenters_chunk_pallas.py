@@ -39,6 +39,10 @@ loop-carried dependence between iterations is legal):
 Reference semantics: enspara/cluster/kcenters.py:217-231 (the
 sequential Gonzalez loop; each new center is the argmax of the running
 min-distance), with the same first-max tie-breaking as ``np.argmax``.
+
+``frames_r`` may be float32 or bfloat16: the loop is HBM-bound, so the
+bf16 stream (half the bytes) runs ~2x; blocks are upconverted once
+in-register and ALL arithmetic (S, G, Newton, state) stays fp32.
 """
 
 import functools
@@ -110,8 +114,9 @@ def _kernel(gidx0_ref, max0_ref, ioff_ref, ntot_ref, cutoff_ref,
             dma.wait()
             onehot = (jax.lax.broadcasted_iota(
                 jnp.int32, (1, 128), 1) == off).astype(jnp.float32)
-            col_ref[:] = jnp.sum(win_ref[:] * onehot, axis=1,
-                                 keepdims=True)
+            col_ref[:] = jnp.sum(
+                win_ref[:].astype(jnp.float32) * onehot, axis=1,
+                keepdims=True)
             smem_f[1] = jnp.sum(col_ref[:] * col_ref[:])   # center G
             vmax_ref[:] = jnp.full((1, tile), -jnp.inf, jnp.float32)
             varg_ref[:] = jnp.zeros((1, tile), jnp.int32)
@@ -119,6 +124,11 @@ def _kernel(gidx0_ref, max0_ref, ioff_ref, ntot_ref, cutoff_ref,
     @pl.when(smem_i[1] == 0)
     def _():
         fb = f_ref[:]                                      # (3A, TILE)
+        if fb.dtype != jnp.float32:
+            # bf16 streaming mode: frames cross HBM at half width and
+            # are upconverted once per block in-register; S/G/distance
+            # arithmetic stays fp32
+            fb = fb.astype(jnp.float32)
         # S[i][j] = sum_a f[i*A+a, t] * c[a, j]; the column is stored
         # rows-first (j*A_pad + a), so c[:, j] is a static row slice.
         # Accumulate over explicit 8-sublane chunks so the lowering is
@@ -222,7 +232,7 @@ def kcenters_chunk_pallas(frames_r, g, dist, assig, gidx0, max0,
             smem11,                                         # i_offset
             smem11,                                         # n_total
             smem11,                                         # cutoff
-            pl.BlockSpec(memory_space=pltpu.ANY),           # frames HBM
+            pl.BlockSpec(memory_space=pl.ANY),              # frames HBM
             pl.BlockSpec((rows, tile), lambda ik, it: (0, it),
                          memory_space=pltpu.VMEM),          # frames
             pl.BlockSpec((1, tile), lambda ik, it: (0, it),
@@ -252,7 +262,7 @@ def kcenters_chunk_pallas(frames_r, g, dist, assig, gidx0, max0,
         scratch_shapes=[
             pltpu.VMEM((1, n), jnp.float32),                # dist state
             pltpu.VMEM((1, n), jnp.int32),                  # assig state
-            pltpu.VMEM((rows, 128), jnp.float32),           # DMA window
+            pltpu.VMEM((rows, 128), frames_r.dtype),        # DMA window
             pltpu.VMEM((rows, 1), jnp.float32),             # center col
             pltpu.VMEM((1, tile), jnp.float32),             # lane max
             pltpu.VMEM((1, tile), jnp.int32),               # lane arg

@@ -51,12 +51,16 @@ def _kernel(cvec_ref, gb_ref, i_ref, f_ref, g_ref, dist_ref, assig_ref,
     f_ref: (3*A_pad, TILE); g/dist/assig refs: (1, TILE);
     outputs: updated dist/assig, aliased into the inputs."""
     fb = f_ref[:]                                      # (3A, TILE)
+    if fb.dtype != jnp.float32:
+        # bf16 streaming mode: frames cross HBM at half width and are
+        # upconverted once per block in-register; arithmetic stays fp32
+        fb = fb.astype(jnp.float32)
 
     # S[i][j] = sum_a f[i*A+a, t] * c[a, j] — padding atoms are zero
     # in both operands, so they contribute nothing.
     S = [[None] * 3 for _ in range(3)]
     for j in range(3):
-        cj = cvec_ref[:, j:j + 1]                      # (A_pad, 1)
+        cj = cvec_ref[:, j:j + 1].astype(jnp.float32)  # (A_pad, 1)
         for i in range(3):
             fi = fb[i * a_pad:(i + 1) * a_pad]         # (A_pad, TILE)
             S[i][j] = jnp.sum(fi * cj, axis=0,

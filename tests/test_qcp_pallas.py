@@ -152,3 +152,66 @@ def test_megafused_kcenters_warm_start():
     np.testing.assert_array_equal(ref.center_indices,
                                   warm.center_indices)
     np.testing.assert_array_equal(ref.assignments, warm.assignments)
+
+
+def test_kcenters_bf16_streaming_mode():
+    """precision='bf16' streams frames at half width; on well-separated
+    clusters (gaps >> the ~4e-3 relative rounding) it recovers the same
+    partition as fp32, with distances within the rounding budget. Odd
+    atom counts exercise the 16-atom bf16 padding."""
+    from enspara_tpu.cluster import engine
+
+    rng = np.random.default_rng(31)
+    A = 10                                   # A_pad: 16 (bf16), 16|8
+    templates = rng.normal(size=(8, A, 3)).astype(np.float32) * 5.0
+    X = (templates[np.arange(512) % 8]
+         + 0.01 * rng.normal(size=(512, A, 3)).astype(np.float32))
+
+    r32 = engine.kcenters_device_fused(X, n_clusters=8, tile=128,
+                                       interpret=True)
+    r16 = engine.kcenters_device_fused(X, n_clusters=8, tile=128,
+                                       interpret=True, precision='bf16')
+
+    assert r16.n_found == r32.n_found == 8
+    # one center per blob in both: identical partition labels (center
+    # MEMBER choice within a blob may legally differ under rounding)
+    np.testing.assert_array_equal(r16.assignments, r32.assignments)
+    assert_allclose(r16.distances, r32.distances, atol=0.15)
+
+    # warm start through the public kcenters_device contract arg check
+    with np.testing.assert_raises(ValueError):
+        engine.kcenters_device(X, 'euclidean', n_clusters=4,
+                               precision='bf16')
+
+
+def test_prepared_frames_reuse():
+    """prepare_rmsd_frames ingests once; clustering from the prepared
+    layout matches clustering from raw coordinates, across warm starts
+    and precisions."""
+    from enspara_tpu.cluster import engine
+
+    rng = np.random.default_rng(41)
+    X = rng.normal(size=(384, 10, 3)).astype(np.float32)
+
+    raw = engine.kcenters_device_fused(X, n_clusters=6, tile=128,
+                                       interpret=True)
+    prep = engine.prepare_rmsd_frames(X, tile=128)
+    pre = engine.kcenters_device_fused(prep, n_clusters=6,
+                                       interpret=True)
+    np.testing.assert_array_equal(raw.center_indices, pre.center_indices)
+    np.testing.assert_array_equal(raw.assignments, pre.assignments)
+
+    # same prepared object serves a second, warm-started clustering
+    warm = engine.kcenters_device_fused(
+        prep, n_clusters=9, interpret=True,
+        init_distances=pre.distances, init_assignments=pre.assignments,
+        n_init_centers=6, init_center_indices=pre.center_indices)
+    assert warm.n_found == 9
+
+    # mismatched layout parameters are rejected
+    with np.testing.assert_raises(ValueError):
+        engine.kcenters_device_fused(prep, n_clusters=4, tile=256,
+                                     interpret=True)
+    with np.testing.assert_raises(ValueError):
+        engine.kcenters_device_fused(prep, n_clusters=4,
+                                     precision='bf16', interpret=True)
