@@ -45,10 +45,16 @@ class KCenters(util.MolecularClusterMixin):
         Unsupported (as in the reference, kcenters.py:193).
     mesh : jax Mesh, optional
         Device mesh to shard frames over (default: all devices).
+    precision : 'fp32' (default) or 'bf16'
+        'bf16' streams frames as bfloat16 through the fused TPU
+        kernels (metric='rmsd' on TPU only): ~2x frame capacity per
+        chip at ~4e-3 relative distance rounding — a TPU-native knob
+        with no reference equivalent (see engine.kcenters_device).
     """
 
     def __init__(self, metric, n_clusters=None, cluster_radius=None,
-                 random_first_center=False, random_state=None, mesh=None):
+                 random_first_center=False, random_state=None, mesh=None,
+                 precision='fp32'):
         if n_clusters is None and cluster_radius is None:
             raise ImproperlyConfigured(
                 'Either n_clusters or cluster_radius is required for '
@@ -59,6 +65,7 @@ class KCenters(util.MolecularClusterMixin):
         self.random_first_center = random_first_center
         self.random_state = random_state
         self.mesh = mesh
+        self.precision = precision
 
     def fit(self, X, init_centers=None):
         t0 = time.perf_counter()
@@ -68,7 +75,7 @@ class KCenters(util.MolecularClusterMixin):
             dist_cutoff=self.cluster_radius,
             init_centers=init_centers,
             random_first_center=self.random_first_center,
-            mesh=self.mesh)
+            mesh=self.mesh, precision=self.precision)
         self.runtime_ = time.perf_counter() - t0
         return self
 
@@ -77,7 +84,8 @@ class KCenters(util.MolecularClusterMixin):
         return {'metric': self.metric, 'n_clusters': self.n_clusters,
                 'cluster_radius': self.cluster_radius,
                 'random_first_center': self.random_first_center,
-                'random_state': self.random_state, 'mesh': self.mesh}
+                'random_state': self.random_state, 'mesh': self.mesh,
+                'precision': self.precision}
 
     def set_params(self, **params):
         for k, v in params.items():
@@ -88,7 +96,7 @@ class KCenters(util.MolecularClusterMixin):
 @cite('kcenters')
 def kcenters(traj, distance_method, n_clusters=None, dist_cutoff=None,
              init_centers=None, random_first_center=False,
-             mesh=None):
+             mesh=None, precision='fp32'):
     """Functional k-centers (reference: cluster/kcenters.py:108).
 
     Returns a :class:`~enspara_tpu.cluster.util.ClusterResult` whose
@@ -108,7 +116,11 @@ def kcenters(traj, distance_method, n_clusters=None, dist_cutoff=None,
 
     if metric_name is not None:
         return _kcenters_fast(xyz, metric_name, n_clusters, dist_cutoff,
-                              init_centers, mesh)
+                              init_centers, mesh, precision=precision)
+    if precision != 'fp32':
+        raise ImproperlyConfigured(
+            "precision='bf16' requires a built-in metric on the device "
+            "path (callable metrics run on the host)")
     return _kcenters_host(traj, util._get_distance_method(distance_method),
                           n_clusters, dist_cutoff, init_centers)
 
@@ -123,7 +135,7 @@ def kcenters_mpi(traj, distance_method, **kwargs):
 
 
 def _kcenters_fast(X, metric, n_clusters, dist_cutoff, init_centers,
-                   mesh):
+                   mesh, precision='fp32'):
     n_init = 0
     init_distances = init_assignments = init_ctr_inds = None
     init_center_data = []
@@ -146,7 +158,7 @@ def _kcenters_fast(X, metric, n_clusters, dist_cutoff, init_centers,
         X, metric=metric, n_clusters=n_clusters, dist_cutoff=dist_cutoff,
         init_distances=init_distances, init_assignments=init_assignments,
         n_init_centers=n_init, init_center_indices=init_ctr_inds,
-        mesh=mesh)
+        mesh=mesh, precision=precision)
 
     ctr_inds = list(res.center_indices)
     if n_init:

@@ -180,6 +180,53 @@ def test_cluster_iterations_rejected_for_kcenters(tmp_path):
              '--cluster-iterations', '3'])
 
 
+def test_cluster_precision_flag_validation(tmp_path):
+    """--precision bf16 is the fused TPU streaming knob: only valid for
+    kcenters + rmsd. Any other combination must be rejected up front."""
+    from enspara_tpu import exception
+
+    files = _feature_files(tmp_path, 'npy')
+    # wrong metric (euclidean features)
+    with pytest.raises(exception.ImproperlyConfigured):
+        _run_feature_cluster(
+            tmp_path, files,
+            ['--algorithm', 'kcenters', '--cluster-number', '2',
+             '--cluster-distance', 'euclidean', '--precision', 'bf16'])
+    # wrong algorithm (khybrid), even with rmsd
+    with pytest.raises(exception.ImproperlyConfigured):
+        runhelper(tmp_path, algorithm='khybrid',
+                  extra_args=['--precision', 'bf16'])
+
+
+def test_kcenters_precision_param_roundtrip():
+    """KCenters carries precision through get/set_params, and the
+    functional kcenters() rejects bf16 off the device rmsd path (the
+    bf16 stream lives in the fused TPU kernel)."""
+    import jax
+
+    from enspara_tpu.cluster import KCenters, kcenters
+    from enspara_tpu import exception
+
+    est = KCenters(metric='rmsd', n_clusters=3, precision='bf16')
+    assert est.get_params()['precision'] == 'bf16'
+    est.set_params(precision='fp32')
+    assert est.precision == 'fp32'
+
+    # callable metric => host path => bf16 must be rejected
+    X = np.random.default_rng(0).normal(size=(10, 4)).astype(np.float32)
+    with pytest.raises(exception.ImproperlyConfigured):
+        kcenters(X, lambda a, b: np.abs(a - b).sum(axis=1),
+                 n_clusters=2, precision='bf16')
+
+    if jax.default_backend() != 'tpu':
+        # on a non-TPU backend the device engine refuses bf16 loudly
+        # rather than silently running fp32
+        xyz = np.random.default_rng(1).normal(
+            size=(12, 5, 3)).astype(np.float32)
+        with pytest.raises(ValueError):
+            kcenters(xyz, 'rmsd', n_clusters=2, precision='bf16')
+
+
 def test_cluster_app_no_reassign(tmp_path):
     """--subsample with --no-reassign skips the assignment/distance
     writes but still writes centers (reference:
