@@ -159,8 +159,54 @@ def assigns_to_counts(assigns, lag_time, max_n_states=None,
         (mat_data, mat_coords), shape=(max_n_states, max_n_states))
 
 
+_COUNTS_MATMUL_BLOCK = 2048
+
+
+def _counts_matmul(start, end, valid, n_states):
+    """Transition counts as blocked one-hot matmuls on the MXU:
+    ``C = sum_blocks onehot(start_blk)^T @ onehot(end_blk)``.
+
+    One-hot entries are 0/1 (exact in bf16) and the MXU accumulates in
+    fp32, so counts are exact up to 2^24 per cell. Invalid pairs are
+    encoded as state ``n_states`` whose one-hot row is all zero — no
+    separate mask multiply needed.
+
+    MEASURED NEGATIVE RESULT (v5e, 1M pairs): unlike the all-pairs
+    joint-counts kernel, this formulation LOSES to jnp.bincount —
+    15.1 vs 9.6 ms at 1000 states and 206 vs 14 ms at 4096 states.
+    XLA's bincount lowering is already fast, while the matmul pays
+    (n_states, n_states) fp32 accumulator read+write per 2048-pair
+    block (65 GB of carry traffic at 4096 states). Kept as an
+    explicitly-requested path only (``use_matmul=True``); see
+    docs/performance.md.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B = _COUNTS_MATMUL_BLOCK
+    s = jnp.where(valid, start, n_states).reshape(-1)
+    e = end.reshape(-1)
+    pad = (-s.shape[0]) % B
+    if pad:
+        s = jnp.concatenate([s, jnp.full((pad,), n_states, s.dtype)])
+        e = jnp.concatenate([e, jnp.zeros((pad,), e.dtype)])
+    states = jnp.arange(n_states, dtype=jnp.int32)
+
+    def body(acc, blk):
+        sb, eb = blk
+        os_ = (sb[:, None] == states[None, :]).astype(jnp.bfloat16)
+        oe = (eb[:, None] == states[None, :]).astype(jnp.bfloat16)
+        return acc + jnp.dot(os_.T, oe,
+                             preferred_element_type=jnp.float32), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((n_states, n_states), jnp.float32),
+        (s.reshape(-1, B), e.reshape(-1, B)))
+    return acc.astype(jnp.int32)
+
+
 def assigns_to_counts_device(assigns_padded, mask, lag_time, n_states,
-                             sliding_window=True):
+                             sliding_window=True, use_matmul=None):
     """Masked transition counting on device for padded (n_traj, max_len)
     assignment blocks: counts pairs (a[t], a[t+lag]) where both ends are
     valid and assigned, never crossing row boundaries or padding.
@@ -168,6 +214,10 @@ def assigns_to_counts_device(assigns_padded, mask, lag_time, n_states,
     Note: on gapped (-1-containing) data this differs from the host
     :func:`assigns_to_counts`, which compacts gaps before pairing; on
     gap-free data they agree exactly.
+
+    ``use_matmul=True`` forces the one-hot MXU formulation — measured
+    SLOWER than the default bincount lowering at all tested sizes (see
+    :func:`_counts_matmul`); it exists as an ablation/testing knob.
 
     Returns a dense (n_states, n_states) int32 device array.
     """
@@ -183,6 +233,8 @@ def assigns_to_counts_device(assigns_padded, mask, lag_time, n_states,
         stride_mask = jnp.zeros_like(valid)
         stride_mask = stride_mask.at[:, ::lag_time].set(True)
         valid = valid & stride_mask
+    if use_matmul:
+        return _counts_matmul(start, end, valid, n_states)
     flat_idx = jnp.where(valid, start * n_states + end, n_states ** 2)
     counts = jnp.bincount(flat_idx.reshape(-1),
                           length=n_states ** 2 + 1)[:-1]

@@ -311,6 +311,25 @@ def test_counts_device_matches_host_gapfree():
     assert_array_equal(host2, dev2)
 
 
+def test_counts_matmul_path_exact():
+    """The one-hot MXU matmul counting path (the TPU fast path) is
+    exactly equal to the scatter/bincount path — masks, -1 gaps,
+    strided windows, and non-divisible block padding included."""
+    rng = np.random.default_rng(11)
+    # 4 x 1031 frames: flat pair count not a multiple of the 2048 block
+    assigns = rng.integers(-1, 9, size=(4, 1031))
+    mask = rng.random(assigns.shape) < 0.9
+    for lag, sliding in ((1, True), (4, True), (3, False)):
+        scat = np.asarray(msm.assigns_to_counts_device(
+            assigns, mask, lag_time=lag, n_states=9,
+            sliding_window=sliding, use_matmul=False))
+        mm = np.asarray(msm.assigns_to_counts_device(
+            assigns, mask, lag_time=lag, n_states=9,
+            sliding_window=sliding, use_matmul=True))
+        assert_array_equal(scat, mm)
+    assert scat.sum() > 0
+
+
 def test_assigns_to_counts_sharded_matches_host():
     """Trajectory-sharded counting over the 8-device mesh equals the
     host counts on gap-free data (and needs no halo)."""
