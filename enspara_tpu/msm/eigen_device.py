@@ -18,7 +18,8 @@ import scipy.sparse
 
 from .transition_matrices import eigenspectrum as _eigenspectrum_host
 
-__all__ = ['eigenspectrum_reversible', 'implied_timescales_device']
+__all__ = ['eigenspectrum_reversible', 'implied_timescales_device',
+           'implied_timescales_batched']
 
 
 def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto'):
@@ -107,6 +108,134 @@ def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto'):
     vecs = sqrt_pi[:, None] * u
     vecs[:, 0] /= vecs[:, 0].sum()
     return w, vecs
+
+
+def _counts_at_traced_lag(a, m, lag, n_states, sliding_window):
+    """Masked lag-pair counts with the lag as a TRACED scalar: the end
+    frame is produced by a roll instead of a static slice, so one
+    compiled program serves every lag and the whole lag scan vmaps.
+    Semantics match :func:`assigns_to_counts_device` on padded rows
+    (pairs never cross rows or padding; -1 frames contribute nothing).
+    """
+    import jax.numpy as jnp
+
+    L = a.shape[1]
+    t = jnp.arange(L)
+    end = jnp.roll(a, -lag, axis=1)
+    m_end = jnp.roll(m, -lag, axis=1)
+    valid = (m & m_end & (t[None, :] + lag < L)
+             & (a >= 0) & (end >= 0))
+    if not sliding_window:
+        valid = valid & (t[None, :] % lag == 0)
+    flat_idx = jnp.where(valid, a * n_states + end, n_states ** 2)
+    counts = jnp.bincount(flat_idx.reshape(-1),
+                          length=n_states ** 2 + 1)[:-1]
+    return counts.reshape(n_states, n_states).astype(jnp.float32)
+
+
+def implied_timescales_batched(assigns, lag_times, n_times=None,
+                               sliding_window=True, prior_counts=None,
+                               n_states=None):
+    """Implied timescales for EVERY lag in one compiled device launch.
+
+    The TPU-native formulation of the reference's serial per-lag loop
+    (enspara/msm/timescales.py:88-92): lag-pair counting vmaps over
+    lags (the lag is traced, see :func:`_counts_at_traced_lag`), the
+    transpose-builder algebra (``T = rownorm(C + C^T)``, eq from row
+    sums — builders.py:83 semantics incl. the zero-row guard) is pure
+    batched array math, and the reversible eigensolve runs as ONE
+    batched symmetrized ``eigh`` over the (n_lags, n, n) stack. One
+    dispatch replaces n_lags dependent chains — on a tunneled/remote
+    host this also removes n_lags round-trip latencies.
+
+    Restrictions vs :func:`implied_timescales_device`: transpose
+    builder only (MLE's Gauss-Seidel is host-sequential) and no
+    ergodic trimming (SCC is a host graph algorithm whose output shape
+    is lag-dependent). Gapped (-1) data follows the padded-counting
+    semantics, not the reference's gap compaction.
+
+    Returns (n_lags, n_times) float64, like ``implied_timescales``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ra import to_padded
+
+    padded = to_padded(assigns)
+    a = np.asarray(padded.data, dtype=np.int32)
+    m = np.asarray(padded.mask, dtype=bool)
+
+    if n_states is None:
+        n_states = int(a[m].max()) + 1
+    if n_times is None:
+        n_times = int(np.floor(n_states / 10.0)) + 1
+    if n_times > n_states - 1:
+        n_times = n_states - 1
+    lags = np.asarray(lag_times, dtype=np.int32)
+    if (lags < 1).any():
+        raise ValueError('lag times must be >= 1, got %s' % (lags,))
+    prior = np.float32(0.0 if prior_counts is None else prior_counts)
+
+    out = _batched_lags_jit(
+        jnp.asarray(a), jnp.asarray(m), jnp.asarray(lags),
+        jnp.float32(prior), n_states, n_times, bool(sliding_window))
+    return np.asarray(out, dtype=np.float64)
+
+
+def _batched_lags_impl(aj, mj, lagsj, prior, n_states, n_times,
+                       sliding_window):
+    """Jitted once per (shapes, n_states, n_times, window) — defined at
+    module level so repeated calls hit the jit cache instead of
+    re-tracing a fresh closure each time."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(lag):
+        C = _counts_at_traced_lag(aj, mj, lag, n_states,
+                                  sliding_window) + prior
+        C_sym = C + C.T
+        row = C_sym.sum(axis=1)
+        T = C_sym * jnp.where(row > 0, 1.0 / jnp.where(row > 0, row, 1.0),
+                              0.0)[:, None]
+        pi = row / row.sum()
+        sqrt_pi = jnp.sqrt(pi)
+        inv_sqrt = jnp.where(sqrt_pi > 0, 1.0 / jnp.where(
+            sqrt_pi > 0, sqrt_pi, 1.0), 0.0)
+        S = sqrt_pi[:, None] * T * inv_sqrt[None, :]
+        S = (S + S.T) * 0.5
+        w = jnp.linalg.eigvalsh(S)          # ascending
+        # top (n_times + 1): last entries; drop the stationary
+        # eigenvalue 1, keep the next n_times
+        top = w[::-1][1:n_times + 1]
+        # raw reference formula (timescales.py:38): negative
+        # eigenvalues yield NaN, unit eigenvalues +/-inf — exactly
+        # as the host path does
+        return -lag.astype(jnp.float32) / jnp.log(top)
+    return jax.vmap(one)(lagsj)
+
+
+def _make_batched_lags_jit():
+    import functools
+    import jax
+    return jax.jit(_batched_lags_impl,
+                   static_argnames=('n_states', 'n_times',
+                                    'sliding_window'))
+
+
+class _LazyJit:
+    """Defer jax import until first call, then cache the jitted fn."""
+
+    def __init__(self, maker):
+        self._maker = maker
+        self._fn = None
+
+    def __call__(self, *args, **kwargs):
+        if self._fn is None:
+            self._fn = self._maker()
+        return self._fn(*args, **kwargs)
+
+
+_batched_lags_jit = _LazyJit(_make_batched_lags_jit)
 
 
 def implied_timescales_device(assigns, lag_times, method, n_times=None,

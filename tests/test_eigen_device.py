@@ -80,3 +80,36 @@ def test_implied_timescales_device_matches_host():
     dev = implied_timescales_device(assigns, [1, 2, 4],
                                     method=builders.mle, n_times=2)
     assert_allclose(dev, host, rtol=1e-3)
+
+
+def test_implied_timescales_batched_matches_host():
+    """The single-launch all-lags path (traced-lag counting + batched
+    transpose builder + batched eigh) matches the host per-lag loop
+    with the transpose builder, for sliding and strided windows, ragged
+    rows, and prior counts."""
+    from enspara_tpu.msm.eigen_device import implied_timescales_batched
+    from enspara_tpu.ra import RaggedArray
+
+    rng = np.random.default_rng(2)
+    rows = [rng.integers(0, 6, size=n) for n in (400, 377, 512)]
+    assigns = RaggedArray(rows)
+    lags = [1, 2, 5, 9]
+
+    host = implied_timescales(assigns, lags, method=builders.transpose,
+                              n_times=3)
+    dev = implied_timescales_batched(assigns, lags, n_times=3)
+    assert_allclose(dev, host, rtol=2e-3)
+
+    host_s = implied_timescales(assigns, [2, 4], n_times=3,
+                                method=builders.transpose,
+                                sliding_window=False)
+    dev_s = implied_timescales_batched(assigns, [2, 4], n_times=3,
+                                       sliding_window=False)
+    assert_allclose(dev_s, host_s, rtol=2e-3)
+
+    import functools
+    pm = functools.partial(builders.transpose, prior_counts=0.1)
+    host_p = implied_timescales(assigns, [1, 3], n_times=2, method=pm)
+    dev_p = implied_timescales_batched(assigns, [1, 3], n_times=2,
+                                       prior_counts=0.1)
+    assert_allclose(dev_p, host_p, rtol=2e-3)
