@@ -89,10 +89,21 @@ def main():
     ts = -LAG / np.log(np.clip(vals[1:21], 1e-30, 1 - 1e-12))
     timings['top20_timescales_s'] = round(time.perf_counter() - t0, 2)
 
+    # the full production lag SCAN (10 lags) as one batched launch:
+    # traced-lag counting + transpose builder + batched eigh
+    from enspara_tpu.msm.eigen_device import implied_timescales_batched
+    lag_scan = list(range(LAG, LAG * 11, LAG))
+    implied_timescales_batched(assigns, lag_scan, n_times=20)  # warm
+    t0 = time.perf_counter()
+    its = implied_timescales_batched(assigns, lag_scan, n_times=20)
+    timings['lag_scan_10x_top20_s'] = round(time.perf_counter() - t0, 2)
+    assert its.shape == (10, 20)
+
     timings['pipeline_total_s'] = round(sum(
         v for k, v in timings.items()
         if k.endswith('_s') and k not in ('synthesize_on_device_s',
-                                          'compile_s')), 2)
+                                          'compile_s',
+                                          'lag_scan_10x_top20_s')), 2)
     timings['n_devices'] = len(jax.devices())
     timings['pairs_per_sec'] = round(
         N_FRAMES * N_CLUSTERS / timings['kcenters_1000_s'], 0)
