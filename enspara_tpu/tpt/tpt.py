@@ -41,14 +41,21 @@ def reactive_fluxes(tprob, sources, sinks, populations=None):
 
 
 def net_fluxes(tprob, sources, sinks, populations=None):
-    """max(f - f.T, 0). (reference: tpt/tpt.py:94)"""
+    """max(f - f.T, 0). (reference: tpt/tpt.py:94)
+
+    The sparse path clips in CSR data directly — O(nnz), never
+    materializing the dense matrix (the reference masks a lil matrix
+    with a dense boolean array, tpt/tpt.py:94+)."""
     fluxes = reactive_fluxes(tprob, sources, sinks,
                              populations=populations)
-    net = fluxes - fluxes.T
-    if sparse.issparse(net):
-        net = net.tolil()
-        net[net.toarray() < 0] = 0
+    if sparse.issparse(fluxes):
+        f = fluxes.tocsr()
+        net = (f - f.T).tocsr()
+        net.data[net.data < 0] = 0.0
+        net.eliminate_zeros()
+        net = net.tolil()       # container parity with the reference
     else:
+        net = fluxes - fluxes.T
         net[np.where(net < 0)] = 0
     return net
 
