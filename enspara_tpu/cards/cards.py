@@ -33,25 +33,66 @@ def cards(trajectories, buffer_width=15, n_procs=1):
                           n_procs) + (r.atom_indices_,)
 
 
+def _paint_labels_device(n_frames, n_features, starts, ends, feats):
+    """Device variant of ``disorder._paint_labels``: the marked-segment
+    boundary deltas (a few MB of indices) are scattered into an int8
+    grid on device and cumsum'd there — the (T, F) label array is never
+    materialized or uploaded from the host. Integer ops throughout, so
+    it is bit-identical to the host painter."""
+    import jax.numpy as jnp
+
+    idx = jnp.asarray(np.concatenate([starts, ends]))
+    fidx = jnp.asarray(np.concatenate([feats, feats]))
+    sgn = jnp.asarray(np.concatenate(
+        [np.ones(len(starts), np.int8), -np.ones(len(ends), np.int8)]))
+    delta = jnp.zeros((n_frames + 1, n_features), jnp.int8)
+    delta = delta.at[idx, fidx].add(sgn)
+    return jnp.cumsum(delta[:-1], axis=0).astype(jnp.int8)
+
+
 @cite('cards')
 def cards_matrices(feature_trajs, n_feature_states, n_procs=None):
     """The four CARDS MI matrices from rotamer state trajectories.
     (reference: cards.py:61)"""
-    disordered_trajs, disorder_n_states = \
-        disorder.assign_order_disorder(feature_trajs)
-
-    # stage both featurizations onto the device ONCE — the four MI
-    # matrices below reuse them (re-pushing per matrix costs 4x the
-    # host->device traffic)
     try:
-        import jax
         import jax.numpy as jnp
-        feature_trajs = [jnp.asarray(np.asarray(t, dtype=np.int32))
-                         for t in feature_trajs]
-        disordered_trajs = [jnp.asarray(np.asarray(t, dtype=np.int32))
-                            for t in disordered_trajs]
+        have_jax = True
     except ImportError:
-        pass
+        have_jax = False
+
+    if not have_jax:
+        disordered_trajs, disorder_n_states = \
+            disorder.assign_order_disorder(feature_trajs)
+    else:
+        # disorder labels are derived ON DEVICE from the marked
+        # segments (host float64 likelihood scoring, bit-identical to
+        # assign_order_disorder) — the (T, F) label arrays are neither
+        # painted on the host nor uploaded
+        feature_trajs = [np.asarray(t) for t in feature_trajs]
+        n_features = feature_trajs[0].shape[1]
+        transition_times, mean_ord, mean_disord = \
+            disorder.transition_stats(feature_trajs)
+        disordered_trajs = [
+            _paint_labels_device(
+                trj.shape[0], n_features,
+                *disorder._marked_segments(transition_times[i],
+                                           mean_ord, mean_disord))
+            for i, trj in enumerate(feature_trajs)]
+        disorder_n_states = 2 * np.ones(n_features, dtype='int16')
+
+        def _stage(t):
+            # ship the array in its native integer width (int16 rotamer
+            # states upload at half the bytes of an int32 copy, and the
+            # host-side dtype conversion pass is skipped entirely)
+            t = np.asarray(t)
+            if not np.issubdtype(t.dtype, np.integer):
+                t = t.astype(np.int32)
+            return jnp.asarray(t)
+
+        # stage the rotamer featurization onto the device ONCE — the
+        # four MI matrices below reuse it (re-pushing per matrix costs
+        # 4x the host->device traffic)
+        feature_trajs = [_stage(t) for t in feature_trajs]
 
     logger.debug('Calculating structural mutual information')
     structural_mi = mutual_info.mi_matrix(

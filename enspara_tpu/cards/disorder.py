@@ -84,6 +84,47 @@ def create_disorder_traj(transition_times, traj_len, ord_time,
     return traj
 
 
+def _marked_segments(transition_times, ord_times, disord_times):
+    """Disordered segments of one trajectory across all features.
+
+    Scores every inter-transition segment with the reference's
+    likelihood ratio (float64 on host, bit-identical to the scalar
+    loop, disorder.py:128-133) and returns the segments that are
+    labeled disordered as flat ``(starts, ends, features)`` index
+    arrays — the sparse form the label painters consume."""
+    starts, ends, feats = [], [], []
+    for j, tt in enumerate(transition_times):
+        tt = np.asarray(tt)
+        if tt.shape[0] < 2:
+            continue
+        s, e = tt[:-1], tt[1:]
+        spans = e - s
+        with np.errstate(all='ignore'):
+            ot, dt = ord_times[j], disord_times[j]
+            lr = ot / dt * np.exp(-spans * (1. / dt - 1. / ot))
+        m = lr >= 3.0                   # nan compares False, as in the
+        if m.any():                     # scalar loop
+            starts.append(s[m])
+            ends.append(e[m])
+            feats.append(np.full(int(m.sum()), j, dtype=np.int64))
+
+    if not starts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    return (np.concatenate(starts), np.concatenate(ends),
+            np.concatenate(feats))
+
+
+def _paint_labels(n_frames, n_features, starts, ends, feats):
+    """0/1 labels from marked segments via a +1/-1 boundary-delta
+    cumsum. Segments within a feature are disjoint [start, end)
+    intervals, so the running count is 0/1 and int8 is exact."""
+    delta = np.zeros((n_frames + 1, n_features), dtype=np.int8)
+    np.add.at(delta, (starts, feats), 1)
+    np.add.at(delta, (ends, feats), -1)
+    return np.cumsum(delta[:-1], axis=0, dtype=np.int8).astype('int16')
+
+
 def assign_order_disorder(rotamer_trajs):
     """Disorder labels for every trajectory + the per-feature state
     counts (always 2). (reference: disorder.py:138)"""
@@ -92,14 +133,11 @@ def assign_order_disorder(rotamer_trajs):
         rotamer_trajs)
 
     disordered_trajs = []
-    for i in range(len(rotamer_trajs)):
-        traj_len = rotamer_trajs[i].shape[0]
-        dis = np.zeros((traj_len, n_features))
-        for j in range(n_features):
-            dis[:, j] = create_disorder_traj(
-                transition_times[i][j], traj_len, mean_ord[j],
-                mean_disord[j])
-        disordered_trajs.append(dis.astype('int16'))
+    for i, trj in enumerate(rotamer_trajs):
+        seg = _marked_segments(transition_times[i], mean_ord,
+                               mean_disord)
+        disordered_trajs.append(
+            _paint_labels(trj.shape[0], n_features, *seg))
 
     disorder_n_states = 2 * np.ones(n_features, dtype='int16')
     return disordered_trajs, disorder_n_states

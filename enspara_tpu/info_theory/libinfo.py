@@ -83,10 +83,10 @@ def _matrix_bincount2d_device(a, b, n_a, n_b):
     def chunk_counts(ac, bc):
         # one-hot values are exactly 0.0/1.0 in bf16 and the MXU
         # accumulates in fp32 (exact for chunk counts < 2^24), so
-        # DEFAULT matmul precision gives exact integer counts in a
-        # single MXU pass
-        A = jax.nn.one_hot(ac, n_a, dtype=jnp.float32)  # (t, Fa, n_a)
-        B = jax.nn.one_hot(bc, n_b, dtype=jnp.float32)  # (t, Fb, n_b)
+        # bf16 inputs give exact integer counts in a single MXU pass
+        # at half the HBM traffic of fp32 operands
+        A = jax.nn.one_hot(ac, n_a, dtype=jnp.bfloat16)  # (t, Fa, n_a)
+        B = jax.nn.one_hot(bc, n_b, dtype=jnp.bfloat16)  # (t, Fb, n_b)
         A2 = A.reshape(ac.shape[0], Fa * n_a)
         B2 = B.reshape(bc.shape[0], Fb * n_b)
         M = jnp.dot(A2.T, B2, preferred_element_type=jnp.float32)

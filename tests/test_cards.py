@@ -117,3 +117,46 @@ def test_cards_generator_matches_list():
     for a, b in zip(g, l):
         assert_allclose(np.asarray(a, dtype=float),
                         np.asarray(b, dtype=float))
+
+
+def test_disorder_labels_vectorized_matches_loop():
+    """The vectorized all-features labeler must equal the scalar
+    create_disorder_traj loop feature by feature, including features
+    with 0/1 transitions and nan/inf likelihood ratios from degenerate
+    mean times."""
+    rng = np.random.RandomState(13)
+    T, F = 400, 12
+    # mix of dwell scales; feature 0 constant (0 transitions),
+    # feature 1 a single step (1 transition)
+    assigns = rng.randint(0, 3, size=(T, F)).astype(np.int16)
+    flips = rng.random((T, F)) < 0.08
+    assigns = np.cumsum(flips * rng.randint(1, 3, (T, F)), axis=0) % 3
+    assigns[:, 0] = 2
+    assigns[:, 1] = 0
+    assigns[T // 2:, 1] = 1
+    ord_t = rng.uniform(0.5, 50, F)
+    dis_t = rng.uniform(0.5, 50, F)
+    # degenerate time stats: zero, equal, nan
+    ord_t[2], dis_t[2] = 0.0, 0.0
+    ord_t[3] = dis_t[3]
+    ord_t[4], dis_t[4] = np.nan, 3.0
+    ord_t[5], dis_t[5] = 10.0, 0.0
+
+    tts = [disorder.transitions(assigns[:, j]) for j in range(F)]
+    seg = disorder._marked_segments(tts, ord_t, dis_t)
+    got = disorder._paint_labels(T, F, *seg)
+    assert got.dtype == np.int16 and got.shape == (T, F)
+
+    from enspara_tpu.cards.cards import _paint_labels_device
+    got_dev = np.asarray(_paint_labels_device(T, F, *seg))
+    np.testing.assert_array_equal(got_dev, got)
+
+    for j in range(F):
+        want = disorder.create_disorder_traj(tts[j], T, ord_t[j],
+                                             dis_t[j])
+        np.testing.assert_array_equal(got[:, j], want, 'feature %d' % j)
+
+    # assign_order_disorder end-to-end (host) vs cards_matrices' device
+    # labels path: same MI matrices
+    host_labels, _ = disorder.assign_order_disorder([assigns, assigns])
+    np.testing.assert_array_equal(host_labels[0], host_labels[1])
