@@ -39,6 +39,26 @@ def _device_solve_profitable():
         return False
 
 
+def _dense_on_device(sp):
+    """Materialize a sparse matrix DENSE IN HBM by scattering its COO
+    triplets on device — the host never builds (or ships) the n^2
+    array, so a 10k-state system uploads ~nnz values (<1 MB) instead
+    of 400 MB of mostly zeros."""
+    import jax
+    import jax.numpy as jnp
+
+    coo = sp.tocoo()
+    coo.sum_duplicates()                # .set() needs unique indices
+    n, m = coo.shape
+
+    @jax.jit
+    def scatter(rows, cols, vals):
+        return jnp.zeros((n, m), jnp.float32).at[rows, cols].set(vals)
+
+    return scatter(jnp.asarray(coo.row), jnp.asarray(coo.col),
+                   jnp.asarray(coo.data.astype(np.float32)))
+
+
 def _refined_solve(A_dense32, B, A_exact=None, max_refine=10,
                    rtol=1e-10):
     """Solve A x = B via one device fp32 LU factorization plus fp64
@@ -56,7 +76,11 @@ def _refined_solve(A_dense32, B, A_exact=None, max_refine=10,
     b1d = B.ndim == 1
     Bm = B[:, None] if b1d else B
 
-    lu, piv = jax.jit(jsl.lu_factor)(A_dense32.astype(np.float32))
+    if isinstance(A_dense32, jax.Array):
+        A32 = A_dense32                 # already fp32 in HBM
+    else:
+        A32 = A_dense32.astype(np.float32)
+    lu, piv = jax.jit(jsl.lu_factor)(A32)
     solve = jax.jit(jsl.lu_solve)
 
     x = np.asarray(solve((lu, piv),
@@ -116,7 +140,8 @@ def committors(tprob, sources, sinks):
         B = None
         if (n_states <= _DENSE_SOLVE_MAX_STATES
                 and _device_solve_profitable()):
-            B = _refined_solve(I_m_Q.toarray(), R, A_exact=I_m_Q)
+            B = _refined_solve(_dense_on_device(I_m_Q), R,
+                               A_exact=I_m_Q)
             if B is None:
                 logger.info('fp32 refinement stalled; falling back '
                             'to host sparse LU')

@@ -215,3 +215,27 @@ def test_committors_sparse_matches_dense_10k_style():
     q_dense = committors(T.toarray(), [0], [n // 2])
     assert_allclose(q_sparse, q_dense, rtol=1e-6, atol=1e-9)
     assert q_sparse.min() >= 0 and q_sparse.max() <= 1 + 1e-12
+
+
+def test_dense_on_device_scatter_matches_toarray():
+    # the HBM scatter densification must equal host toarray exactly,
+    # and feed _refined_solve to the same answer
+    import scipy.sparse
+
+    from enspara_tpu.tpt import core
+
+    rng = np.random.default_rng(17)
+    n = 350
+    A = scipy.sparse.random(n, n, density=0.03, random_state=3).tolil()
+    A[0, 0] = 0.0                       # explicit zero survives tocoo
+    A = scipy.sparse.eye(n) + 0.5 * A / np.abs(A).sum(axis=1).max()
+    A = A.tocsr()
+
+    dev = np.asarray(core._dense_on_device(A))
+    assert_allclose(dev, A.toarray().astype(np.float32), rtol=0, atol=0)
+
+    b = rng.normal(size=n)
+    x_dev = core._refined_solve(core._dense_on_device(A), b, A_exact=A)
+    x_host = core._refined_solve(A.toarray(), b, A_exact=A)
+    assert x_dev is not None and x_host is not None
+    assert_allclose(x_dev, x_host, rtol=1e-9, atol=1e-12)
