@@ -34,8 +34,16 @@ import numpy as np
 import scipy.sparse
 
 # the baseline must never touch the TPU (and our helper stages should
-# not compete for it): everything here runs on the host backend
+# not compete for it): everything here runs on the host backend. The
+# env var alone is not enough — when the axon tunnel black-holes, its
+# plugin still blocks backend init unless the platform list is pinned
+# through jax.config as well.
 os.environ['JAX_PLATFORMS'] = 'cpu'
+try:
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+except ImportError:
+    pass
 
 sys.path.insert(0, dirname(dirname(__file__)))          # repo root
 sys.path.insert(0, join(dirname(dirname(__file__)), 'tests'))
