@@ -1,0 +1,277 @@
+#!/usr/bin/env python
+"""BASELINE.md reference-config benchmarks, end to end on the device.
+
+BASELINE.md lists five configurations the build is measured on.
+Config 5 (million-frame k-centers + sparse eigsolve) is the north-star
+pipeline, benchmarked in ``northstar.py``; this script times the other
+four as full library pipelines and writes one JSON dict:
+
+1. bundled-data CLI: ``apps.cluster`` k-centers RMSD -> 10 states on
+   the reference's frame0.xtc + lag-1 transition counts.
+2. Fs-peptide-style: k-hybrid (k-centers + 2 PAM sweeps) of 1M frames
+   (28 synthetic trajectories, 64 atoms) -> 1000 states, row-normalized
+   MSM, implied-timescales scan over 10 lags (single batched launch).
+3. CARDS-style MI: 4 mutual-information matrices (ss, dd, sd, ds) over
+   150 rotamer features x 500k frames (one-hot-matmul joint counts).
+4. TPT on a 10k-state sparse MSM: committors (device LU + fp64
+   refinement), net fluxes, top-10 pathways (host Dijkstra) + the
+   pocket/SASA geometry features (Shrake-Rupley neighbor-list kernel
+   over 100 frames x 2000 atoms; LIGSITE pockets on 4 frames).
+
+Timings are warm (each pipeline runs once to compile, once timed) and
+materialized with np.asarray — ``block_until_ready`` is a no-op on the
+axon dev backend. Usage: ``python reference_configs.py [1 2 3 4]``.
+"""
+
+import json
+import sys
+import tempfile
+import time
+from os.path import dirname, join
+
+import numpy as np
+
+sys.path.insert(0, dirname(dirname(__file__)))  # repo root
+
+REF_DATA = '/root/reference/enspara/test/data'
+OUT = join(dirname(__file__), 'reference-configs-result.json')
+
+
+def _synth_frames(n_frames, n_atoms, seed=42):
+    """Centered MD-like frames synthesized in HBM (no host upload)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def synth(key):
+        kb, kd, kn = jax.random.split(key, 3)
+        base = jax.random.normal(kb, (n_atoms, 3), jnp.float32)
+        drift = jax.random.normal(kd, (n_frames, 1, 1), jnp.float32)
+        noise = jax.random.normal(kn, (n_frames, n_atoms, 3),
+                                  jnp.float32)
+        frames = base[None] + 0.3 * drift * base[None] + 0.1 * noise
+        return frames - jnp.mean(frames, axis=1, keepdims=True)
+
+    return synth(jax.random.PRNGKey(seed))
+
+
+def config1_bundled_cli():
+    """k-centers RMSD -> 10 states on frame0.xtc via the cluster app,
+    then lag-1 transition counts (BASELINE config 1)."""
+    from enspara_tpu import ra
+    from enspara_tpu.apps import cluster as cluster_app
+    from enspara_tpu.msm.transition_matrices import assigns_to_counts
+
+    res = {}
+    with tempfile.TemporaryDirectory() as d:
+        args = ['cluster',
+                '--trajectories', join(REF_DATA, 'frame0.xtc'),
+                '--topology', join(REF_DATA, 'native.pdb'),
+                '--algorithm', 'kcenters', '--cluster-number', '10',
+                '--atoms', 'name CA or name C or name N',
+                '--distances', join(d, 'd.h5'),
+                '--assignments', join(d, 'a.h5'),
+                '--center-features', join(d, 'c.pkl'),
+                '--center-indices', join(d, 'ci.npy')]
+        t0 = time.perf_counter()
+        cluster_app.main(args)
+        res['cluster_cli_s'] = round(time.perf_counter() - t0, 2)
+
+        assigns = np.asarray(ra.load(join(d, 'a.h5'))).reshape(1, -1)
+        t0 = time.perf_counter()
+        C = assigns_to_counts(assigns, lag_time=1)
+        res['lag1_counts_s'] = round(time.perf_counter() - t0, 4)
+        res['n_frames'] = int(assigns.size)
+        res['counts_total'] = int(C.sum())
+    return res
+
+
+def config2_khybrid_msm_timescales():
+    """1M frames -> khybrid 1000 states -> normalize-builder MSM ->
+    10-lag implied-timescales scan (BASELINE config 2)."""
+    from enspara_tpu.cluster.hybrid import hybrid_device
+    from enspara_tpu.msm import builders
+    from enspara_tpu.msm.eigen_device import implied_timescales_batched
+    from enspara_tpu.msm.transition_matrices import assigns_to_counts
+
+    n_frames, n_atoms, k = 1_000_000, 64, 1000
+    frames = _synth_frames(n_frames, n_atoms)
+
+    res = {'n_frames': n_frames, 'n_atoms': n_atoms, 'k': k}
+    hybrid_device(frames, metric='rmsd', n_iters=2,
+                  n_clusters=k)                         # compile
+    t0 = time.perf_counter()
+    cr = hybrid_device(frames, metric='rmsd', n_iters=2, n_clusters=k)
+    res['khybrid_2sweeps_s'] = round(time.perf_counter() - t0, 2)
+
+    # 28 "trajectories": split the assignment trace into ragged rows
+    from enspara_tpu import ra
+    splits = np.sort(np.random.RandomState(0).choice(
+        np.arange(1, n_frames), 27, replace=False))
+    assigns = ra.RaggedArray(
+        [a for a in np.split(np.asarray(cr.assignments), splits)])
+
+    t0 = time.perf_counter()
+    C = assigns_to_counts(assigns, lag_time=10)
+    _, T, eq = builders.normalize(C, calculate_eq_probs=True)
+    res['counts_plus_normalize_s'] = round(time.perf_counter() - t0, 2)
+
+    lags = list(range(10, 110, 10))
+    implied_timescales_batched(assigns, lags, n_times=20)   # compile
+    t0 = time.perf_counter()
+    its = implied_timescales_batched(assigns, lags, n_times=20)
+    res['lag_scan_10x_top20_s'] = round(time.perf_counter() - t0, 2)
+    assert its.shape == (10, 20)
+    res['pipeline_total_s'] = round(
+        res['khybrid_2sweeps_s'] + res['counts_plus_normalize_s']
+        + res['lag_scan_10x_top20_s'], 2)
+    return res
+
+
+def config3_cards_mi(n_frames=500_000, n_features=150):
+    """The four CARDS MI matrices over synthetic rotamer trajectories
+    (BASELINE config 3; the rotamer featurization itself is geometry,
+    timed in the test suite — the MI stack is the published hot loop)."""
+    from enspara_tpu.cards.cards import cards_matrices
+
+    rng = np.random.RandomState(7)
+    # two trajectories of correlated 3-state rotamer features with
+    # realistic dwell times (so order/disorder assignment is nontrivial)
+    trajs = []
+    for t in range(2):
+        n = n_frames // 2
+        flips = rng.geometric(1 / 200.0, size=(n_features, 64))
+        states = rng.randint(0, 3, size=(n_features, 64))
+        traj = np.empty((n, n_features), dtype=np.int16)
+        for f in range(n_features):
+            reps = np.repeat(states[f], np.minimum(flips[f], n))
+            traj[:, f] = reps[:n] if reps.size >= n else np.pad(
+                reps, (0, n - reps.size), mode='edge')
+        trajs.append(traj)
+
+    res = {'n_frames': n_frames, 'n_features': n_features}
+    n_states = [3] * n_features
+    cards_matrices(trajs, n_states, None)               # compile
+    t0 = time.perf_counter()
+    ss, dd, sd, ds = cards_matrices(trajs, n_states, None)
+    res['cards_4xMI_s'] = round(time.perf_counter() - t0, 2)
+    assert np.asarray(ss).shape == (n_features, n_features)
+    return res
+
+
+def config4_tpt_10k():
+    """Committors, net fluxes and top-10 pathways on a 10k-state
+    sparse MSM (BASELINE config 4)."""
+    import scipy.sparse
+
+    from enspara_tpu.tpt import committors, net_fluxes, paths
+
+    n = 10_000
+    rng = np.random.RandomState(3)
+    # ring + random shortcuts: sparse, strongly connected
+    rows = np.concatenate([np.arange(n), np.arange(n), np.arange(n)])
+    cols = np.concatenate([(np.arange(n) + 1) % n,
+                           (np.arange(n) - 1) % n,
+                           rng.randint(0, n, n)])
+    vals = np.concatenate([np.full(n, 0.45), np.full(n, 0.45),
+                           np.full(n, 0.10)])
+    C = scipy.sparse.coo_matrix((vals, (rows, cols)), (n, n)).tocsr()
+    C = C + scipy.sparse.eye(n) * 0.05
+    T = scipy.sparse.diags(1.0 / np.asarray(C.sum(axis=1)).ravel()) @ C
+    T = T.tocsr()
+
+    sources, sinks = [0], [n // 2]
+    res = {'n_states': n}
+    committors(T, sources, sinks)                        # warm
+    t0 = time.perf_counter()
+    q = committors(T, sources, sinks)
+    res['committors_s'] = round(time.perf_counter() - t0, 2)
+    assert q[sinks[0]] == 1.0 and q[sources[0]] == 0.0
+
+    t0 = time.perf_counter()
+    nf = net_fluxes(T, sources, sinks)
+    res['net_fluxes_s'] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    pth, fluxes = paths(sources, sinks, nf, remove_path='subtract',
+                        num_paths=10)
+    res['top10_paths_s'] = round(time.perf_counter() - t0, 2)
+    res['n_paths'] = len(pth)
+    res.update(_config4_geometry_features())
+    return res
+
+
+def _config4_geometry_features():
+    """The pocket/SASA half of BASELINE config 4: Shrake-Rupley SASA
+    (neighbor-list kernel, probe 0.14) over a 100-frame x 2000-atom
+    protein-sized system, and LIGSITE pockets on 4 frames."""
+    from enspara_tpu.geometry.pockets import get_pockets
+    from enspara_tpu.geometry.sasa import shrake_rupley
+    from enspara_tpu.io import Trajectory
+    from enspara_tpu.io.topology import Topology
+
+    rng = np.random.RandomState(11)
+    n_frames, n_atoms = 100, 2000
+    # compact protein-like blob (~2 nm radius) with thermal jitter
+    base = rng.normal(size=(n_atoms, 3)).astype(np.float32)
+    base *= 2.0 / np.abs(base).max()
+    xyz = base[None] + 0.02 * rng.normal(
+        size=(n_frames, n_atoms, 3)).astype(np.float32)
+    radii = np.full(n_atoms, 0.15, dtype=np.float32)
+
+    res = {}
+    shrake_rupley((xyz[:2], radii))                      # compile
+    t0 = time.perf_counter()
+    sasa = shrake_rupley((xyz, radii))
+    dt = time.perf_counter() - t0
+    res['sasa_100f_2000a_s'] = round(dt, 2)
+    res['sasa_ms_per_frame'] = round(1e3 * dt / n_frames, 2)
+    assert sasa.shape == (n_frames, n_atoms)
+
+    top = Topology()
+    chain = top.add_chain()
+    residue = top.add_residue('ALA', chain, 1)
+    for _ in range(n_atoms):
+        top.add_atom('C', 'C', residue)
+    struct = Trajectory(xyz[:4], top)
+    t0 = time.perf_counter()
+    pockets = get_pockets(struct, grid_spacing=0.1,
+                          probe_radius=0.14, min_rank=5)
+    res['pockets_4_frames_s'] = round(time.perf_counter() - t0, 2)
+    res['n_pocket_frames'] = len(pockets)
+    return res
+
+
+CONFIGS = {'1': config1_bundled_cli,
+           '2': config2_khybrid_msm_timescales,
+           '3': config3_cards_mi,
+           '4': config4_tpt_10k}
+
+
+def main():
+    from enspara_tpu.util.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+
+    which = sys.argv[1:] or sorted(CONFIGS)
+    try:                       # merge over prior partial runs
+        with open(OUT) as f:
+            results = json.load(f)
+    except (OSError, ValueError):
+        results = {}
+    results.update(backend=jax.default_backend(),
+                   n_devices=len(jax.devices()))
+    for c in which:
+        t0 = time.perf_counter()
+        results[f'config{c}'] = CONFIGS[c]()
+        results[f'config{c}']['wall_incl_compile_s'] = round(
+            time.perf_counter() - t0, 2)
+        print(json.dumps({f'config{c}': results[f'config{c}']}),
+              flush=True)
+    with open(OUT, 'w') as f:
+        json.dump(results, f, indent=1)
+    print('wrote', OUT)
+
+
+if __name__ == '__main__':
+    main()
