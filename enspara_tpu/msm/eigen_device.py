@@ -135,7 +135,7 @@ def _counts_at_traced_lag(a, m, lag, n_states, sliding_window):
 
 def implied_timescales_batched(assigns, lag_times, n_times=None,
                                sliding_window=True, prior_counts=None,
-                               n_states=None):
+                               n_states=None, mesh=None):
     """Implied timescales for EVERY lag in one compiled device launch.
 
     The TPU-native formulation of the reference's serial per-lag loop
@@ -153,6 +153,13 @@ def implied_timescales_batched(assigns, lag_times, n_times=None,
     ergodic trimming (SCC is a host graph algorithm whose output shape
     is lag-dependent). Gapped (-1) data follows the padded-counting
     semantics, not the reference's gap compaction.
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``), the lag axis is
+    sharded across the mesh and the assignments are replicated — each
+    chip runs its lag subset of the SAME batched program (GSPMD
+    propagates the input sharding through the vmap), the multi-chip
+    form of the reference's "embarrassingly parallel over lags" note
+    (timescales.py:12-16).
 
     Returns (n_lags, n_times) float64, like ``implied_timescales``.
     """
@@ -176,10 +183,31 @@ def implied_timescales_batched(assigns, lag_times, n_times=None,
         raise ValueError('lag times must be >= 1, got %s' % (lags,))
     prior = np.float32(0.0 if prior_counts is None else prior_counts)
 
-    out = _batched_lags_jit(
-        jnp.asarray(a), jnp.asarray(m), jnp.asarray(lags),
-        jnp.float32(prior), n_states, n_times, bool(sliding_window))
-    return np.asarray(out, dtype=np.float64)
+    if mesh is None:
+        out = _batched_lags_jit(
+            jnp.asarray(a), jnp.asarray(m), jnp.asarray(lags),
+            jnp.float32(prior), n_states, n_times,
+            bool(sliding_window))
+        return np.asarray(out, dtype=np.float64)
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    axis = mesh.axis_names[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+    n_lags = len(lags)
+    pad = (-n_lags) % n_dev
+    if pad:                     # pad with lag=1 so every shard is full
+        lags = np.concatenate([lags, np.ones(pad, np.int32)])
+
+    aj = jax.device_put(jnp.asarray(a), NamedSharding(
+        mesh, PartitionSpec()))                       # replicated
+    mj = jax.device_put(jnp.asarray(m), NamedSharding(
+        mesh, PartitionSpec()))
+    lj = jax.device_put(jnp.asarray(lags), NamedSharding(
+        mesh, PartitionSpec(axis)))                   # lag-sharded
+    out = _batched_lags_jit(aj, mj, lj, jnp.float32(prior), n_states,
+                            n_times, bool(sliding_window))
+    return np.asarray(out, dtype=np.float64)[:n_lags]
 
 
 def _batched_lags_impl(aj, mj, lagsj, prior, n_states, n_times,

@@ -113,3 +113,29 @@ def test_implied_timescales_batched_matches_host():
     dev_p = implied_timescales_batched(assigns, [1, 3], n_times=2,
                                        prior_counts=0.1)
     assert_allclose(dev_p, host_p, rtol=2e-3)
+
+
+def test_implied_timescales_batched_lag_sharded_matches_unsharded():
+    """Sharding the lag axis over the 8-device mesh (replicated
+    assignments, GSPMD-partitioned vmap) must reproduce the unsharded
+    batched scan exactly — including a lag count that does not divide
+    the mesh (padding shards)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from enspara_tpu import ra
+    from enspara_tpu.msm.eigen_device import implied_timescales_batched
+    from enspara_tpu.parallel.mesh import FRAME_AXIS
+
+    rng = np.random.RandomState(2)
+    rows = [rng.randint(0, 5, size=n) for n in (300, 211, 97)]
+    assigns = ra.RaggedArray(rows)
+    mesh = Mesh(np.array(jax.devices()[:8]), (FRAME_AXIS,))
+
+    for lags in ([1, 2, 3, 4, 5, 6, 7, 8], [2, 5, 9]):   # even + ragged
+        base = implied_timescales_batched(assigns, lags, n_times=3)
+        shrd = implied_timescales_batched(assigns, lags, n_times=3,
+                                          mesh=mesh)
+        assert shrd.shape == base.shape == (len(lags), 3)
+        np.testing.assert_allclose(shrd, base, rtol=1e-6, atol=1e-9)
