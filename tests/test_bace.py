@@ -73,3 +73,34 @@ def test_baysean_prune():
     assert 3 not in kept
     assert set(kept) == {0, 1, 2}
     assert labels[3] == labels[0]
+
+
+def test_merge_bayes_factors_zero_column_and_ratio_form():
+    """The log-ratio form must equal the original guarded
+    log(p/cp) formulation, including fully-zero columns in both
+    profiles (xlogy(0, 0/0) would be nan without the s-guard)."""
+    rng = np.random.RandomState(6)
+    c1 = rng.randint(0, 5, 40).astype(float)
+    c2 = rng.randint(0, 5, size=(7, 40)).astype(float)
+    c1[5] = 0.0
+    c2[:, 5] = 0.0                      # shared zero column
+    c2[3, :] = 0.0                      # fully empty candidate row
+    w1 = c1.sum() + 1
+    w2 = c2.sum(axis=1) + 1
+
+    got = bace._merge_bayes_factors(c1, w1, c2, w2)
+    assert np.isfinite(got).all()
+
+    # original formulation, element-by-element
+    want = np.zeros(len(c2))
+    for i in range(len(c2)):
+        s = c1 + c2[i]
+        cp = s / (w1 + w2[i])
+        t = 0.0
+        for j in range(len(c1)):
+            if c1[j] > 0:
+                t += c1[j] * np.log((c1[j] / w1) / cp[j])
+            if c2[i, j] > 0:
+                t += c2[i, j] * np.log((c2[i, j] / w2[i]) / cp[j])
+        want[i] = t
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
