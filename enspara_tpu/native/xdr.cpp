@@ -542,9 +542,15 @@ long xtc_write(const char* path, long natoms, long n_frames,
         while (i < natoms) {
             // water trick: if the next atom is near this one, emit the
             // next atom as the 'big' coordinate and this one as the
-            // first small delta (mirrors the decoder's k==0 swap)
+            // first small delta (mirrors the decoder's k==0 swap).
+            // BOTH directions must fit: the emitted first delta is the
+            // NEGATION of (next - cur), and the small range
+            // [-smallnum, ss - smallnum) is asymmetric — a diff of
+            // exactly -smallnum negates to +smallnum, which overflows
+            // the field and silently corrupts the whole run.
             bool is_small = (i + 1 < natoms)
-                && fits_small(&ip[(i + 1) * 3], &ip[i * 3]);
+                && fits_small(&ip[(i + 1) * 3], &ip[i * 3])
+                && fits_small(&ip[i * 3], &ip[(i + 1) * 3]);
             if (is_small) {
                 for (int d = 0; d < 3; d++) {
                     std::swap(ip[i * 3 + d], ip[(i + 1) * 3 + d]);

@@ -5,6 +5,7 @@ Uses the reference repo's bundled test data (read-only) when present,
 plus synthetic round-trips that are fully self-contained."""
 
 import os
+import tempfile
 
 import numpy as np
 import pytest
@@ -482,3 +483,28 @@ def test_gro_golden_and_roundtrip(tmp_path):
     io.write_xtc(fn3, t2)
     viagro = io.load(fn3, top=fn2)
     assert viagro.top.n_atoms == t2.top.n_atoms
+
+
+def test_xtc_roundtrip_iid_coordinates_boundary_deltas():
+    """Regression: the water-trick swap emits the NEGATED next-vs-cur
+    delta; a delta of exactly -smallnum negated to +smallnum, which
+    overflowed the asymmetric small field and corrupted the whole run
+    by one full field width (4096 quanta). iid coordinates hit the
+    boundary reliably where smooth MD-like data never did."""
+    from enspara_tpu import io
+    from enspara_tpu.io import Topology, Trajectory
+
+    rng = np.random.RandomState(0)
+    xyz = (rng.normal(size=(2000, 256, 3)) * 0.5 + 2).astype(np.float32)
+    top = Topology()
+    chain = top.add_chain()
+    res = top.add_residue('ALA', chain, 1)
+    for _ in range(256):
+        top.add_atom('C', 'C', res)
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, 'rt.xtc')
+        io.write_xtc(p, Trajectory(xyz, top))
+        back = np.asarray(io.load_xtc(p, top=top).xyz)
+    err = np.abs(back - xyz).max()
+    assert err < 2e-3, 'lossy xtc quantum exceeded: %g' % err
