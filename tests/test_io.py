@@ -508,3 +508,39 @@ def test_xtc_roundtrip_iid_coordinates_boundary_deltas():
         back = np.asarray(io.load_xtc(p, top=top).xyz)
     err = np.abs(back - xyz).max()
     assert err < 2e-3, 'lossy xtc quantum exceeded: %g' % err
+
+
+@pytest.mark.parametrize('fmt,writer,loader,lossy', [
+    ('xtc', 'write_xtc', 'load_xtc', True),
+    ('trr', 'write_trr', 'load_trr', False),
+    ('dcd', 'write_dcd', 'load_dcd', False),
+    ('h5', 'write_hdf5', 'load_hdf5', False),
+    ('nc', 'write_netcdf', 'load_netcdf', False),
+])
+def test_format_roundtrip_iid_fuzz(fmt, writer, loader, lossy):
+    """Every codec must round-trip adversarial (iid, boundary-heavy)
+    coordinates — smooth MD-like fixtures miss encoder edge cases (see
+    the XTC small-delta boundary regression above)."""
+    from enspara_tpu import io
+    from enspara_tpu.io import Topology, Trajectory
+
+    rng = np.random.RandomState(sum(map(ord, fmt)))
+    xyz = np.concatenate([
+        (rng.normal(size=(40, 64, 3)) * 0.5 + 2),
+        rng.randint(-4096, 4097, size=(10, 64, 3)) / 1000.0,
+    ]).astype(np.float32)
+    top = Topology()
+    chain = top.add_chain()
+    res = top.add_residue('ALA', chain, 1)
+    for _ in range(64):
+        top.add_atom('C', 'C', res)
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, 'rt.' + fmt)
+        getattr(io, writer)(p, Trajectory(xyz, top))
+        back = getattr(io, loader)(p, top=top)
+        bx = np.asarray(back.xyz if hasattr(back, 'xyz') else back)
+    assert bx.shape == xyz.shape
+    tol = 2e-3 if lossy else 1e-5
+    err = np.abs(bx - xyz).max()
+    assert err < tol, '%s roundtrip err %g' % (fmt, err)
