@@ -31,7 +31,35 @@ N_ATOMS = 64
 N_CLUSTERS = 1000
 
 
+def _backend_alive(timeout_s=180):
+    """True if the default jax backend can initialize. Probed in a
+    subprocess: when the device tunnel black-holes, backend init hangs
+    indefinitely (it does not error), which would hang this benchmark
+    before producing its JSON line."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, '-c',
+             'import jax; jax.devices(); print("ok")'],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    global N_FRAMES, N_CLUSTERS
+    degraded = False
+    if not _backend_alive():
+        # fall back to host so a tunnel outage still yields a
+        # (clearly-annotated) result instead of a hang; shrink the
+        # problem — the 1M x 1000 size is hours on a CPU core
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+        degraded = True
+        N_FRAMES, N_CLUSTERS = 20_000, 50
+
     from enspara_tpu.util.compile_cache import enable_compilation_cache
     enable_compilation_cache()
     from enspara_tpu.cluster.engine import (kcenters_device,
@@ -93,12 +121,16 @@ def main():
     pairs = N_FRAMES * N_CLUSTERS
     pairs_per_sec = pairs / best
 
-    print(json.dumps({
+    result = {
         'metric': 'kcenters_qcp_rmsd_pairs_per_sec',
         'value': round(pairs_per_sec, 1),
         'unit': 'pairs/s',
         'vs_baseline': round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
-    }))
+    }
+    if degraded:
+        result['degraded'] = ('device tunnel unavailable; measured on '
+                              'the CPU backend')
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':
