@@ -61,10 +61,18 @@ def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto'):
     sqrt_pi = np.sqrt(pi)
 
     if method == 'eigh':
-        T_dense = T.toarray() if sparse_in else np.asarray(T)
-        S = (sqrt_pi[:, None] * T_dense) / sqrt_pi[None, :]
-        # S should be symmetric for reversible T; enforce numerically
-        Sj = jnp.asarray((S + S.T) * 0.5, jnp.float32)
+        if sparse_in:
+            # the similarity transform D T D^-1 is value-local: scale
+            # the COO triplets on host (O(nnz)) and scatter dense in
+            # HBM — no host n^2 passes, no dense upload
+            from ..ops.sparse import dense_on_device
+            Sd = dense_on_device(T, scale_rows=sqrt_pi,
+                                 scale_cols=1.0 / sqrt_pi)
+            Sj = (Sd + Sd.T) * 0.5      # symmetrize on device
+        else:
+            S = (sqrt_pi[:, None] * np.asarray(T)) / sqrt_pi[None, :]
+            # S should be symmetric for reversible T; enforce
+            Sj = jnp.asarray((S + S.T) * 0.5, jnp.float32)
         w, u = jnp.linalg.eigh(Sj)
         w = np.asarray(w, dtype=np.float64)[::-1][:n_eigs]
         u = np.asarray(u, dtype=np.float64)[:, ::-1][:, :n_eigs]

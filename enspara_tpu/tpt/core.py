@@ -44,19 +44,8 @@ def _dense_on_device(sp):
     triplets on device — the host never builds (or ships) the n^2
     array, so a 10k-state system uploads ~nnz values (<1 MB) instead
     of 400 MB of mostly zeros."""
-    import jax
-    import jax.numpy as jnp
-
-    coo = sp.tocoo()
-    coo.sum_duplicates()                # .set() needs unique indices
-    n, m = coo.shape
-
-    @jax.jit
-    def scatter(rows, cols, vals):
-        return jnp.zeros((n, m), jnp.float32).at[rows, cols].set(vals)
-
-    return scatter(jnp.asarray(coo.row), jnp.asarray(coo.col),
-                   jnp.asarray(coo.data.astype(np.float32)))
+    from ..ops.sparse import dense_on_device
+    return dense_on_device(sp)
 
 
 def _refined_solve(A_dense32, B, A_exact=None, max_refine=10,
