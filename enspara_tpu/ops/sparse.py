@@ -7,9 +7,27 @@ device moves O(nnz) instead — a 10k-state MSM uploads <1 MB rather
 than 400 MB.
 """
 
+import functools
+
 import numpy as np
 
 __all__ = ['dense_on_device']
+
+
+@functools.lru_cache(maxsize=None)
+def _scatter_fn(n, m):
+    """Shape-keyed cached jitted scatter: a fresh ``@jax.jit`` closure
+    per call would re-trace (and round-trip the compile cache) on
+    EVERY materialization — repeated solves over the same MSM (the
+    committors → mfpts → fluxes pattern) must reuse one executable."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def scatter(rows, cols, v):
+        return jnp.zeros((n, m), jnp.float32).at[rows, cols].set(v)
+
+    return scatter
 
 
 def dense_on_device(sp, scale_rows=None, scale_cols=None):
@@ -18,7 +36,6 @@ def dense_on_device(sp, scale_rows=None, scale_cols=None):
     applied to the values on host (O(nnz)) before the scatter — this
     computes D_r @ sp @ D_c without ever forming a dense host array.
     """
-    import jax
     import jax.numpy as jnp
 
     coo = sp.tocoo()
@@ -31,9 +48,6 @@ def dense_on_device(sp, scale_rows=None, scale_cols=None):
     if scale_cols is not None:
         vals = vals * np.asarray(scale_cols, np.float64)[coo.col]
 
-    @jax.jit
-    def scatter(rows, cols, v):
-        return jnp.zeros((n, m), jnp.float32).at[rows, cols].set(v)
-
+    scatter = _scatter_fn(n, m)
     return scatter(jnp.asarray(coo.row), jnp.asarray(coo.col),
                    jnp.asarray(vals.astype(np.float32)))

@@ -48,6 +48,46 @@ def _dense_on_device(sp):
     return dense_on_device(sp)
 
 
+def _lu_jitted():
+    """Module-cached jitted LU factor/solve — committors/mfpts call
+    these per query, and a fresh ``jax.jit`` wrapper per call would
+    re-trace (and round-trip the remote compile cache) every time."""
+    global _LU_FNS
+    if _LU_FNS is None:
+        import jax
+        import jax.scipy.linalg as jsl
+        _LU_FNS = (jax.jit(jsl.lu_factor), jax.jit(jsl.lu_solve))
+    return _LU_FNS
+
+
+_LU_FNS = None
+
+
+def _absorbing_csr_system(tprob, sinks, sources, all_absorbing):
+    """Build (I - Q) with absorbing rows/cols zeroed and unit diagonal,
+    plus the right-hand side R, entirely in CSR arithmetic — O(nnz)
+    with C-speed kernels. The previous LIL formulation (mirroring the
+    reference, tpt/core.py:60-67) spent seconds per 10k-state query on
+    python-loop row surgery."""
+    n = tprob.shape[0]
+    Tc = tprob.tocsr()
+    R = np.asarray(Tc[:, sinks].todense(), dtype=np.float64)
+    R[sinks] = 1.0
+    R[sources] = 0.0
+
+    keep = np.ones(n)
+    keep[all_absorbing] = 0.0
+    D = scipy.sparse.diags(keep)
+    A = scipy.sparse.eye(n, format='csr') - Tc
+    A = (D @ A @ D).tocsr()
+    A = A + scipy.sparse.coo_matrix(
+        (np.ones(all_absorbing.shape[0]),
+         (all_absorbing, all_absorbing)), shape=(n, n))
+    A = A.tocsr()
+    A.eliminate_zeros()
+    return A, R
+
+
 def _refined_solve(A_dense32, B, A_exact=None, max_refine=10,
                    rtol=1e-10):
     """Solve A x = B via one device fp32 LU factorization plus fp64
@@ -57,7 +97,6 @@ def _refined_solve(A_dense32, B, A_exact=None, max_refine=10,
     M-matrix systems TPT produces, or None if refinement stalls
     (caller falls back to a host sparse solve)."""
     import jax
-    import jax.scipy.linalg as jsl
 
     if A_exact is None:
         A_exact = A_dense32
@@ -69,8 +108,8 @@ def _refined_solve(A_dense32, B, A_exact=None, max_refine=10,
         A32 = A_dense32                 # already fp32 in HBM
     else:
         A32 = A_dense32.astype(np.float32)
-    lu, piv = jax.jit(jsl.lu_factor)(A32)
-    solve = jax.jit(jsl.lu_solve)
+    factor, solve = _lu_jitted()
+    lu, piv = factor(A32)
 
     x = np.asarray(solve((lu, piv),
                          Bm.astype(np.float32))).astype(np.float64)
@@ -115,16 +154,8 @@ def committors(tprob, sources, sinks):
     n_states = tprob.shape[0]
 
     if is_sparse:
-        tprob_lil = tprob.tolil()
-        R = np.asarray(tprob_lil[:, sinks].todense(), dtype=np.float64)
-        R[sinks] = 1.0
-        R[sources] = 0.0
-
-        I_m_Q = scipy.sparse.eye(n_states, format='lil') - tprob_lil
-        I_m_Q[:, all_absorbing] = 0.0
-        I_m_Q[all_absorbing, :] = 0.0
-        I_m_Q[all_absorbing, all_absorbing] = 1.0
-        I_m_Q = I_m_Q.tocsr()
+        I_m_Q, R = _absorbing_csr_system(tprob, sinks, sources,
+                                         all_absorbing)
 
         B = None
         if (n_states <= _DENSE_SOLVE_MAX_STATES
