@@ -173,8 +173,6 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
     bfloat16 for ~2x throughput at ~4e-3 relative distance error (see
     :func:`kcenters_device_fused`).
     """
-    if mesh is None:
-        mesh = pmesh.frame_mesh()
     if metric not in _METRIC_TO_FRAME:
         raise ValueError('device engine supports metrics %s, got %r'
                          % (sorted(_METRIC_TO_FRAME), metric))
@@ -182,7 +180,14 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
     n = len(X)
     if n_clusters is None and dist_cutoff is None:
         raise ValueError('Either n_clusters or dist_cutoff is required')
-    if metric == 'rmsd' and jax.default_backend() == 'tpu':
+    if mesh is None:
+        k_est = n_clusters if n_clusters is not None else \
+            (k_max if k_max is not None else n)
+        feat = int(np.prod(np.shape(X)[1:])) or 1
+        mesh = pmesh.maybe_small_job_mesh(float(n) * k_est * feat) \
+            or pmesh.frame_mesh()
+    platform = pmesh.mesh_platform(mesh)
+    if metric == 'rmsd' and platform == 'tpu':
         # TPU fast path: fused Pallas iteration kernel (~2x the
         # global-view XLA loop; see ops/qcp_update_pallas). Multi-chip
         # meshes run it SPMD under shard_map with explicit collectives.
@@ -236,11 +241,13 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
 # batched assignment: every frame to its nearest center
 # ---------------------------------------------------------------------
 
-def _pairwise_block(data, cblock, metric):
+def _pairwise_block(data, cblock, metric, platform=None):
     """(n, B) distances from all frames to one block of centers, as one
-    batched MXU computation."""
+    batched MXU computation. ``platform`` is the lowering target when
+    the operands live off the default backend (small jobs rerouted to
+    CPU); None means the default backend."""
     if metric == 'rmsd':
-        if jax.default_backend() == 'tpu':
+        if (platform or jax.default_backend()) == 'tpu':
             # fused kernel: the XLA path materializes the (n, B, 3, 3)
             # S tensor, which tile-pads (3, 3) -> (4, 128)
             from ..ops.qcp_pallas import qcp_rmsd_matrix_pallas
@@ -260,8 +267,9 @@ def _pairwise_block(data, cblock, metric):
     raise ValueError(metric)
 
 
-@functools.partial(jax.jit, static_argnames=('metric', 'k_real'))
-def _assign_all(data, centers, metric, k_real=None):
+@functools.partial(jax.jit,
+                   static_argnames=('metric', 'k_real', 'platform'))
+def _assign_all(data, centers, metric, k_real=None, platform=None):
     """Assign every frame to its nearest center: a scan over center
     blocks carrying the running (min distance, argmin) — peak memory is
     (n, block) regardless of k, and each block is one batched MXU
@@ -282,7 +290,7 @@ def _assign_all(data, centers, metric, k_real=None):
     def step(carry, inp):
         best_d, best_i = carry
         b_idx, cblock = inp
-        d = _pairwise_block(data, cblock, metric)      # (n, block)
+        d = _pairwise_block(data, cblock, metric, platform)  # (n, block)
         # mask padded centers (indices >= k_real)
         cid = b_idx * block + jnp.arange(block)
         d = jnp.where(cid[None, :] < k_real, d, jnp.inf)
@@ -382,17 +390,19 @@ def assign_device(X, centers, metric='euclidean', mesh=None):
 
     Returns ``(assignments (n,), distances (n,))`` as numpy arrays.
     """
-    if mesh is None:
-        mesh = pmesh.frame_mesh()
     n = len(X)
+    if mesh is None:
+        feat = int(np.prod(np.shape(X)[1:])) or 1
+        mesh = pmesh.maybe_small_job_mesh(
+            float(n) * len(centers) * feat) or pmesh.frame_mesh()
+    platform = pmesh.mesh_platform(mesh)
     data_sh, _ = prepare_sharded(X, metric, mesh)
     centers_host = _prepare_data(centers, metric)
     centers_r = pmesh.replicated(centers_host, mesh) \
         if not isinstance(centers_host, jax.Array) else centers_host
     if metric == 'rmsd':
         centers_r = _center_structures(centers_r)
-    use_pallas = (metric == 'rmsd'
-                  and jax.default_backend() == 'tpu')
+    use_pallas = metric == 'rmsd' and platform == 'tpu'
     if use_pallas and mesh.size == 1:
         assigs, dists = _assign_all_rmsd_pallas(
             data_sh, centers_r, k_real=int(centers_r.shape[0]))
@@ -401,7 +411,8 @@ def assign_device(X, centers, metric='euclidean', mesh=None):
             data_sh, centers_r, int(centers_r.shape[0]), mesh)
     else:
         assigs, dists = _assign_all(data_sh, centers_r, metric,
-                                    k_real=int(centers_r.shape[0]))
+                                    k_real=int(centers_r.shape[0]),
+                                    platform=platform)
     return (np.asarray(assigs)[:n].astype(np.int64),
             np.asarray(dists)[:n].astype(np.float64))
 

@@ -14,12 +14,15 @@ import numpy as np
 __all__ = ['dense_on_device']
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _scatter_fn(n, m):
     """Shape-keyed cached jitted scatter: a fresh ``@jax.jit`` closure
     per call would re-trace (and round-trip the compile cache) on
     EVERY materialization — repeated solves over the same MSM (the
-    committors → mfpts → fluxes pattern) must reuse one executable."""
+    committors → mfpts → fluxes pattern) must reuse one executable.
+    Bounded at 32 shapes so a long-lived process materializing many
+    differently-sized matrices can't pin XLA executables without
+    limit."""
     import jax
     import jax.numpy as jnp
 

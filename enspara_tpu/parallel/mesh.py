@@ -23,7 +23,19 @@ FRAME_AXIS = 'frames'
 
 __all__ = ['FRAME_AXIS', 'frame_mesh', 'n_devices', 'pad_to_multiple',
            'shard_frames', 'replicated', 'initialize_distributed',
-           'install_abort_excepthook', 'P', 'Mesh', 'NamedSharding']
+           'install_abort_excepthook', 'P', 'Mesh', 'NamedSharding',
+           'mesh_platform', 'cpu_mesh', 'maybe_small_job_mesh',
+           'SMALL_JOB_WORK']
+
+# Below this many pair-feature elements (n_frames * n_centers *
+# features-per-frame), a clustering/assignment job is too small to
+# amortize an accelerator compile (tens of seconds over a tunnel; the
+# reference CPU finishes such jobs in single-digit seconds) — route it
+# to the host CPU backend instead. ~2e9 units is a few seconds of
+# multithreaded host XLA. Override with ENSPARA_TPU_SMALL_JOB_WORK
+# (0 disables the rerouting).
+SMALL_JOB_WORK = float(os.environ.get('ENSPARA_TPU_SMALL_JOB_WORK',
+                                      2e9))
 
 
 def initialize_distributed(**kwargs):
@@ -81,6 +93,38 @@ def _cached_mesh(n):
 def frame_mesh(n=None):
     """A 1-D mesh over ``n`` devices (default: all) with axis 'frames'."""
     return _cached_mesh(n or n_devices())
+
+
+def mesh_platform(mesh):
+    """Platform string ('tpu'/'cpu'/...) of the devices in ``mesh``."""
+    return mesh.devices.flat[0].platform
+
+
+@functools.lru_cache(maxsize=None)
+def cpu_mesh():
+    """A 1-device CPU mesh (for jobs rerouted off the accelerator)."""
+    return Mesh(np.array(jax.devices('cpu')[:1]), (FRAME_AXIS,))
+
+
+def maybe_small_job_mesh(work):
+    """Return a 1-device CPU mesh when a job of ``work`` pair-feature
+    elements is too small to amortize an accelerator compile, else
+    None (caller uses the default mesh).
+
+    The reference runs tiny jobs in seconds on one CPU core
+    (apps/cluster.py:287 on the bundled 501-frame system); a fused
+    while_loop compile over a TPU tunnel costs 30-400 s. Re-routing is
+    skipped when the default backend already is CPU, or when the
+    caller pinned a mesh.
+    """
+    if not SMALL_JOB_WORK or work >= SMALL_JOB_WORK:
+        return None
+    if jax.default_backend() == 'cpu':
+        return None
+    try:
+        return cpu_mesh()
+    except RuntimeError:
+        return None
 
 
 def pad_to_multiple(n, m):

@@ -75,14 +75,19 @@ def _absorbing_csr_system(tprob, sinks, sources, all_absorbing):
     R[sinks] = 1.0
     R[sources] = 0.0
 
+    # unique: a state listed in both sources and sinks (or duplicated
+    # within either) must still get diagonal exactly 1.0, matching the
+    # reference's LIL assignment semantics (tpt/core.py:60-67) rather
+    # than accumulating one per occurrence
+    absorbing_unique = np.unique(all_absorbing)
     keep = np.ones(n)
-    keep[all_absorbing] = 0.0
+    keep[absorbing_unique] = 0.0
     D = scipy.sparse.diags(keep)
     A = scipy.sparse.eye(n, format='csr') - Tc
     A = (D @ A @ D).tocsr()
     A = A + scipy.sparse.coo_matrix(
-        (np.ones(all_absorbing.shape[0]),
-         (all_absorbing, all_absorbing)), shape=(n, n))
+        (np.ones(absorbing_unique.shape[0]),
+         (absorbing_unique, absorbing_unique)), shape=(n, n))
     A = A.tocsr()
     A.eliminate_zeros()
     return A, R

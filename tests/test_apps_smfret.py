@@ -182,6 +182,7 @@ def point_cloud_outdir(tmp_path_factory):
     return outdir
 
 
+@pytest.mark.slow
 def test_point_clouds_model_dyes_cli(point_cloud_outdir):
     from enspara_tpu import io, ra as ra_mod
 
@@ -200,6 +201,7 @@ def test_point_clouds_model_dyes_cli(point_cloud_outdir):
         assert mass == pytest.approx(1.0, abs=1e-3) or mass == 0.0
 
 
+@pytest.mark.slow
 def test_point_clouds_calc_fret_cli(point_cloud_outdir):
     from enspara_tpu.apps import smFRET_point_clouds as app
 
@@ -234,12 +236,16 @@ def test_point_clouds_calc_fret_cli(point_cloud_outdir):
     assert np.all((vals >= 0) & (vals <= 1))
 
 
-def test_point_clouds_fit_fret_cli(point_cloud_outdir):
+def test_point_clouds_fit_fret_cli(tmp_path):
     """`fit_FRET` scores predicted FRET histograms against an
-    experimental histogram across time factors."""
+    experimental histogram across time factors. Self-contained (no
+    model_dyes fixture) so the point-clouds app keeps fast-tier
+    coverage."""
     from enspara_tpu.apps import smFRET_point_clouds as app
 
-    outdir = point_cloud_outdir
+    outdir = str(tmp_path)
+    np.savetxt(os.path.join(outdir, 'pairs.txt'),
+               np.array([[1, 40]]), fmt='%d')
     # synthetic experimental histogram over FE in [0, 1]
     rng = np.random.default_rng(2)
     counts, edges = np.histogram(rng.uniform(0, 1, 500), bins=20,

@@ -119,6 +119,7 @@ def test_load_dye_matches_reference():
     assert_allclose(our_dye.xyz, ref_dye.xyz, atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('pair', [[1, 40]])
 def test_dye_distance_distribution_matches_reference(system, pair):
     """Full per-frame pipeline: rotation frames, Rodrigues alignment,

@@ -108,6 +108,7 @@ def test_k2_geometry():
     assert_allclose(k2, 0.0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_mc_statistics(fret_system):
     from enspara_tpu.geometry import dye_lifetimes
 
@@ -137,6 +138,7 @@ def test_mc_statistics(fret_system):
                              'energy_transfer'}
 
 
+@pytest.mark.slow
 def test_mc_device_matches_host_statistics(fret_system):
     """The lockstep device MC reproduces the host per-photon MC's
     outcome distribution and mean lifetime (different PRNGs, same
