@@ -7,9 +7,13 @@ the FRET-dye point clouds of the Bowman lab). We do not re-bundle that
 data; instead the library directory is resolved at runtime from:
 
 1. ``$ENSPARA_TPU_DYE_DIR``
-2. ``<this package>/data/dyes`` (drop the upstream library here)
-3. the reference checkout at /root/reference/enspara/data/dyes when
-   present (read-only).
+2. ``<this package>/data/dyes`` — populated by
+   ``python -m enspara_tpu.data.fetch_dye_library`` (one-time download
+   from the upstream enspara repository; see that module for
+   provenance and licensing)
+3. ONLY when ``$ENSPARA_TPU_USE_REFERENCE_DATA=1``: a local reference
+   checkout at /root/reference/enspara/data/dyes (development
+   convenience, never silently relied on).
 """
 
 import os
@@ -18,21 +22,26 @@ from ..exception import MissingData
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
-_CANDIDATES = [
-    os.environ.get('ENSPARA_TPU_DYE_DIR', ''),
-    os.path.join(_HERE, 'dyes'),
-    '/root/reference/enspara/data/dyes',
-]
+
+def _candidates():
+    cands = [
+        os.environ.get('ENSPARA_TPU_DYE_DIR', ''),
+        os.path.join(_HERE, 'dyes'),
+    ]
+    if os.environ.get('ENSPARA_TPU_USE_REFERENCE_DATA') == '1':
+        cands.append('/root/reference/enspara/data/dyes')
+    return cands
 
 
 def dye_library_path(required=True):
     """Directory of the FRET dye library, or None/raise if absent."""
-    for cand in _CANDIDATES:
+    for cand in _candidates():
         if cand and os.path.isdir(cand):
             return cand
     if required:
         raise MissingData(
-            'No FRET dye library found. Set $ENSPARA_TPU_DYE_DIR to a '
-            'directory containing the dye PDBs/point clouds (see '
-            'enspara_tpu/data/__init__.py).')
+            'No FRET dye library found. Run `python -m '
+            'enspara_tpu.data.fetch_dye_library` to download it '
+            '(GPLv3 data, kept out of this MIT package), or set '
+            '$ENSPARA_TPU_DYE_DIR to an existing library directory.')
     return None

@@ -12,6 +12,10 @@ if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ.setdefault('JAX_ENABLE_X64', 'False')
+# The smFRET tests use the reference checkout's dye library as their
+# oracle data; outside this harness users fetch the library with
+# `python -m enspara_tpu.data.fetch_dye_library` instead.
+os.environ.setdefault('ENSPARA_TPU_USE_REFERENCE_DATA', '1')
 
 # Installed pytest plugins (jaxtyping) import jax before this conftest
 # runs, which freezes jax's env-var-derived config defaults. Backends are
