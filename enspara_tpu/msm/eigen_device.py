@@ -22,7 +22,9 @@ __all__ = ['eigenspectrum_reversible', 'implied_timescales_device',
            'implied_timescales_batched']
 
 
-def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto'):
+def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto',
+                             tol=1e-9, max_refine=30,
+                             return_info=False):
     """Top eigenvalues/left-eigenvectors of a reversible T.
 
     Parameters
@@ -33,6 +35,15 @@ def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto'):
         the counts-like matrix (falls back to host eigs).
     n_eigs : number of leading eigenpairs (default: all).
     method : 'auto' | 'eigh' | 'lobpcg'.
+    tol : residual bound ``||S u - w u||_2`` per requested mode for the
+        lobpcg path (S has unit spectral radius, so this is already
+        relative). Modes that do not reach ``tol`` after ``max_refine``
+        host refinement sweeps trigger an automatic fallback to the
+        host ARPACK solve (the reference's engine,
+        enspara/msm/transition_matrices.py:214-221).
+    max_refine : refinement-sweep budget before the fallback fires.
+    return_info : also return a dict with ``method``, ``residuals``
+        (per returned mode), ``refine_sweeps`` and ``fallback``.
 
     Returns ``(vals, vecs)`` with vals sorted descending and
     ``vecs[:, 0]`` normalized to sum 1 (the equilibrium populations) —
@@ -47,18 +58,26 @@ def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto'):
 
     if pi is None:
         # without pi we cannot symmetrize; defer to the host solver
-        return _eigenspectrum_host(T, n_eigs=n_eigs, left=True)
+        out = _eigenspectrum_host(T, n_eigs=n_eigs, left=True)
+        return out + ({'method': 'host', 'residuals': None,
+                       'refine_sweeps': 0, 'fallback': False},) \
+            if return_info else out
 
     pi = np.asarray(pi, dtype=np.float64).reshape(-1)
     if np.any(pi <= 0):
         # zero-population states break the similarity transform
-        return _eigenspectrum_host(T, n_eigs=n_eigs, left=True)
+        out = _eigenspectrum_host(T, n_eigs=n_eigs, left=True)
+        return out + ({'method': 'host', 'residuals': None,
+                       'refine_sweeps': 0, 'fallback': False},) \
+            if return_info else out
 
     if method == 'auto':
         method = 'lobpcg' if (sparse_in and n > 4096
                               and n_eigs < n // 8) else 'eigh'
 
     sqrt_pi = np.sqrt(pi)
+    info = {'method': method, 'residuals': None, 'refine_sweeps': 0,
+            'fallback': False}
 
     if method == 'eigh':
         if sparse_in:
@@ -77,45 +96,130 @@ def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto'):
         w = np.asarray(w, dtype=np.float64)[::-1][:n_eigs]
         u = np.asarray(u, dtype=np.float64)[:, ::-1][:, :n_eigs]
     else:
-        from jax.experimental.sparse.linalg import lobpcg_standard
-
         T_csr = T.tocsr() if sparse_in else scipy.sparse.csr_matrix(T)
         S = scipy.sparse.diags(sqrt_pi) @ T_csr @ \
             scipy.sparse.diags(1.0 / sqrt_pi)
         S = ((S + S.T) * 0.5).tocsr()
-        from jax.experimental import sparse as jsparse
-        S_bcoo = jsparse.BCOO.from_scipy_sparse(S.astype(np.float32))
-
-        # LOBPCG finds the largest eigenvalues of a PSD operator; shift
-        # by +1 so the spectrum (in [-1, 1]) is positive. Guard
-        # vectors: convergence error concentrates in the trailing
-        # block, so solve a wider block and discard the extras.
-        k_guard = int(min(n - 1, n_eigs + max(8, n_eigs // 2)))
-
-        def matvec(X):
-            return S_bcoo @ X + X
-
-        rng = np.random.default_rng(0)
-        X0 = jnp.asarray(rng.normal(size=(n, k_guard)), jnp.float32)
-        _, U, _ = lobpcg_standard(matvec, X0, m=200)
-
-        # fp32 LOBPCG stalls near residuals ~1e-3 on clustered MSM
-        # spectra; polish on the host with one fp64 subspace-iteration
-        # step + exact Rayleigh-Ritz over the returned block (cheap:
-        # O(nnz * k) sparse matvecs + a k x k dense eigh).
-        S64 = S.astype(np.float64)
-        V = np.asarray(U, dtype=np.float64)
-        V, _ = np.linalg.qr(S64 @ V + V)
-        H = V.T @ (S64 @ V)
-        w_all, Z = np.linalg.eigh((H + H.T) * 0.5)
-        order = np.argsort(-w_all)[:n_eigs]
-        w = w_all[order]
-        u = V @ Z[:, order]
+        w, u, info = _lobpcg_refined(S, n_eigs, tol=tol,
+                                     max_refine=max_refine)
 
     # left eigenvectors of T: phi_i = sqrt(pi) * u_i
     vecs = sqrt_pi[:, None] * u
     vecs[:, 0] /= vecs[:, 0].sum()
+    if return_info:
+        return w, vecs, info
     return w, vecs
+
+
+def _lobpcg_refined(S, n_eigs, tol=1e-9, max_refine=30):
+    """Top-``n_eigs`` eigenpairs of a sparse symmetric S with spectrum
+    in [-1, 1]: device fp32 LOBPCG for the bulk of the convergence,
+    then Chebyshev-filtered fp64 subspace refinement on the host until
+    every requested mode's residual ``||S u - w u||`` is below ``tol``
+    — with an automatic host-ARPACK fallback if the budget runs out.
+
+    Why this shape: fp32 LOBPCG stalls near residuals ~1e-3 on
+    clustered MSM spectra (eigenvalues bunched under 1), and plain
+    subspace iteration inherits that clustering as a convergence ratio
+    near 1. A degree-``d`` Chebyshev filter on the unwanted interval
+    ``[-1, b]`` (Zhou & Saad-style filtered subspace iteration) damps
+    the unwanted spectrum by ~cosh(d*acosh(t(w_wanted))) per sweep,
+    which is orders of magnitude per sweep even for tightly clustered
+    spectra. Each sweep is O(d * nnz * k) host flops — microseconds to
+    milliseconds at MSM sizes — so the device does the heavy O(n*k^2)
+    orthogonalization work and the host buys the last 6 digits.
+
+    Returns ``(w, u, info)`` with w descending, u column-orthonormal.
+    """
+    import jax.numpy as jnp
+    from jax.experimental import sparse as jsparse
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    n = S.shape[0]
+    # guard block: convergence error concentrates in the trailing
+    # modes, so solve wider and discard the extras
+    k_guard = int(min(n - 1, n_eigs + max(8, n_eigs // 2)))
+
+    # --- stage 1: device fp32 LOBPCG on the +1-shifted operator (its
+    # spectrum lies in [0, 2], as the PSD form LOBPCG wants)
+    S_bcoo = jsparse.BCOO.from_scipy_sparse(S.astype(np.float32))
+
+    def matvec(X):
+        return S_bcoo @ X + X
+
+    rng = np.random.default_rng(0)
+    X0 = jnp.asarray(rng.normal(size=(n, k_guard)), jnp.float32)
+    _, U, _ = lobpcg_standard(matvec, X0, m=200)
+
+    # --- stage 2: host fp64 Chebyshev-filtered refinement
+    S64 = S.astype(np.float64)
+    V = np.linalg.qr(np.asarray(U, dtype=np.float64))[0]
+
+    def rayleigh_ritz(V):
+        SV = S64 @ V
+        H = V.T @ SV
+        w_all, Z = np.linalg.eigh((H + H.T) * 0.5)
+        order = np.argsort(-w_all)
+        w_all, Z = w_all[order], Z[:, order]
+        Vr = V @ Z
+        R = SV @ Z - Vr * w_all[None, :]
+        return w_all, Vr, np.linalg.norm(R, axis=0)
+
+    w_all, V, res = rayleigh_ritz(V)
+    sweeps = 0
+    stalled = 0
+    for sweeps in range(1, max_refine + 1):
+        if np.all(res[:n_eigs] < tol):
+            break
+        prev = float(res[:n_eigs].max())
+        # filter interval [-1, b]: everything below the guard block's
+        # smallest Ritz value is unwanted. Keep b strictly below the
+        # wanted modes and strictly above -1.
+        b = float(w_all[k_guard - 1])
+        b = min(b, float(w_all[n_eigs - 1]) - 1e-12)
+        b = max(b, -1.0 + 1e-12)
+        e = (b - (-1.0)) / 2.0          # half-width
+        c = (b + (-1.0)) / 2.0          # center
+        # degree-8 Chebyshev: V_j+1 = 2/e (S - c) V_j - V_j-1
+        Vp = V
+        Vc = (S64 @ V - c * V) / e
+        for _ in range(7):
+            Vn = (2.0 / e) * (S64 @ Vc - c * Vc) - Vp
+            Vp, Vc = Vc, Vn
+        V = np.linalg.qr(Vc)[0]
+        w_all, V, res = rayleigh_ritz(V)
+        # gapless (bulk) spectra stall: wanted and guard modes are
+        # separated by O(1/n), so the filter can't amplify one over
+        # the other — detect the stall and bail to ARPACK early
+        # instead of burning the whole budget
+        if float(res[:n_eigs].max()) > 0.5 * prev:
+            stalled += 1
+            if stalled >= 3:
+                break
+        else:
+            stalled = 0
+    else:
+        sweeps = max_refine
+
+    if not np.all(res[:n_eigs] < tol):
+        # pathological clustering: hand the problem to host ARPACK
+        # (symmetric Lanczos), the reference's engine
+        import logging
+        logging.getLogger(__name__).warning(
+            'device LOBPCG + %d Chebyshev refinement sweeps left '
+            'max residual %.2e > tol %.2e at n=%d; falling back to '
+            'host ARPACK', sweeps, float(res[:n_eigs].max()), tol, n)
+        w, u = scipy.sparse.linalg.eigsh(S64, k=n_eigs, which='LA',
+                                         v0=V[:, 0].copy())
+        order = np.argsort(-w)
+        w, u = w[order], u[:, order]
+        res = np.linalg.norm(S64 @ u - u * w[None, :], axis=0)
+        return w, u, {'method': 'lobpcg', 'residuals': res,
+                      'refine_sweeps': sweeps, 'fallback': True}
+
+    return (w_all[:n_eigs], V[:, :n_eigs],
+            {'method': 'lobpcg', 'residuals': res[:n_eigs],
+             'refine_sweeps': sweeps, 'fallback': False})
 
 
 def _counts_at_traced_lag(a, m, lag, n_states, sliding_window):
