@@ -1,22 +1,32 @@
 #!/usr/bin/env python
-"""Headline benchmark: sharded k-centers RMSD clustering throughput.
+"""Headline benchmark: the BASELINE north-star pipeline on-chip.
 
-Runs the flagship pipeline (BASELINE.json config style: k-centers RMSD
-clustering of MD frames) on whatever devices are present and prints ONE
-JSON line:
+Runs the flagship pipeline (BASELINE.md: k-centers RMSD clustering of
+1M frames to 1000 states + top-20 implied timescales) on whatever
+devices are present and prints ONE JSON line whose headline metric is
+QCP-RMSD frame-center pair evaluations per second inside the full
+clustering loop (global argmax + cross-shard center fetch + distance
+kernel + min-update every iteration), measured with data resident in
+HBM (the steady state of a production run) and best-of-3.
 
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+The line also carries an ``extra_metrics`` list covering the other
+BASELINE.json metric families:
 
-The metric is QCP-RMSD frame-center pair evaluations per second inside
-the full clustering loop (global argmax + cross-shard center fetch +
-distance kernel + min-update every iteration), measured with data
-resident in HBM (the steady state of a production run) and best-of-3.
+  - ``kcenters_frames_per_sec``    (k-centers frames/sec family)
+  - ``eigsolve_top20_timescales_s`` (eigsolve seconds family: lag-10
+    counts -> transpose builder -> top-21 reversible eigh, warm)
+  - ``northstar_1m_to_top20_s``    (end-to-end: clustering + counts +
+    builder + eigsolve, vs the <60 s v5p-8 north-star budget)
 
-``vs_baseline``: the reference publishes no numbers (BASELINE.md); we
-normalize against an estimated single-node reference throughput of
-2.4e7 QCP pairs/s — mdtraj's threaded C QCP kernel at ~1.5e6
-pairs/s/core (64-atom structures) on a 16-core node, which is what
-`enspara.cluster` achieves on one machine without MPI.
+``vs_baseline`` denominators: the reference publishes no numbers
+(BASELINE.md); pairs/s and frames/s normalize against an estimated
+single-node reference throughput of 2.4e7 QCP pairs/s — mdtraj's
+threaded C QCP kernel at ~1.5e6 pairs/s/core (64-atom structures) on a
+16-core node, which is what `enspara.cluster` achieves on one machine
+without MPI. The eigsolve family normalizes against the measured
+reference CPU per-lag cost (benchmarks/reference-cpu-config2-result
+.json: 3.48 s / 10 lags). Time-valued metrics report
+``vs_baseline = baseline_s / ours_s`` so >1 always means faster.
 """
 
 import json
@@ -24,7 +34,10 @@ import time
 
 import numpy as np
 
-REFERENCE_PAIRS_PER_SEC = 2.4e7  # estimated single-node enspara
+REFERENCE_PAIRS_PER_SEC = 2.4e7   # estimated single-node enspara
+REFERENCE_EIGSOLVE_S = 0.348      # measured: ref CPU lag scan / 10
+NORTHSTAR_BUDGET_S = 60.0         # BASELINE north-star (v5p-8)
+LAG = 10
 
 N_FRAMES = 1_000_000
 N_ATOMS = 64
@@ -120,12 +133,58 @@ def main():
 
     pairs = N_FRAMES * N_CLUSTERS
     pairs_per_sec = pairs / best
+    frames_per_sec = N_FRAMES / best
+
+    # --- MSM tail of the north-star: lag-10 counts -> transpose
+    # builder -> top-21 reversible eigensolve (warm timings; compile
+    # is amortized by the persistent cache)
+    from enspara_tpu.msm import builders
+    from enspara_tpu.msm.eigen_device import eigenspectrum_reversible
+    from enspara_tpu.msm.transition_matrices import \
+        assigns_to_counts_device
+
+    assigns = np.asarray(res.assignments).reshape(100, -1)
+    mask = np.ones_like(assigns, dtype=bool)
+    assigns_to_counts_device(assigns, mask, LAG, N_CLUSTERS)  # warm
+    t0 = time.perf_counter()
+    counts = np.asarray(
+        assigns_to_counts_device(assigns, mask, LAG, N_CLUSTERS))
+    counts_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _, T, pi = builders.transpose(counts.astype(np.float64))
+    builder_s = time.perf_counter() - t0
+
+    eigenspectrum_reversible(T, pi=pi, n_eigs=21, method='eigh')
+    t0 = time.perf_counter()
+    vals, _ = eigenspectrum_reversible(T, pi=pi, n_eigs=21,
+                                       method='eigh')
+    eigsolve_s = time.perf_counter() - t0
+    assert vals.shape == (21,)
+
+    northstar_s = best + counts_s + builder_s + eigsolve_s
 
     result = {
         'metric': 'kcenters_qcp_rmsd_pairs_per_sec',
         'value': round(pairs_per_sec, 1),
         'unit': 'pairs/s',
         'vs_baseline': round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
+        'extra_metrics': [
+            {'metric': 'kcenters_frames_per_sec',
+             'value': round(frames_per_sec, 1),
+             'unit': 'frames/s',
+             'vs_baseline': round(
+                 frames_per_sec
+                 / (REFERENCE_PAIRS_PER_SEC / N_CLUSTERS), 3)},
+            {'metric': 'eigsolve_top20_timescales_s',
+             'value': round(eigsolve_s, 4),
+             'unit': 's',
+             'vs_baseline': round(REFERENCE_EIGSOLVE_S / eigsolve_s, 3)},
+            {'metric': 'northstar_1m_to_top20_s',
+             'value': round(northstar_s, 3),
+             'unit': 's',
+             'vs_baseline': round(NORTHSTAR_BUDGET_S / northstar_s, 3)},
+        ],
     }
     if degraded:
         result['degraded'] = ('device tunnel unavailable; measured on '
