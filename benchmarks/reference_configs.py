@@ -220,7 +220,11 @@ def _config4_geometry_features():
     radii = np.full(n_atoms, 0.15, dtype=np.float32)
 
     res = {}
-    shrake_rupley((xyz[:2], radii))                      # compile
+    # warm with the FULL frame-batch shape: the kernel jits over
+    # (F, A, 3), so a 2-frame warmup would leave the 100-frame
+    # compile inside the timed region (the round-1 artifact's
+    # 111 ms/frame was exactly that)
+    shrake_rupley((xyz, radii))                          # compile
     t0 = time.perf_counter()
     sasa = shrake_rupley((xyz, radii))
     dt = time.perf_counter() - t0

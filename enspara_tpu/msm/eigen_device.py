@@ -34,7 +34,11 @@ def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto',
         symmetrization identity pi_i T_ij = pi_j T_ji via row sums of
         the counts-like matrix (falls back to host eigs).
     n_eigs : number of leading eigenpairs (default: all).
-    method : 'auto' | 'eigh' | 'lobpcg'.
+    method : 'auto' | 'eigh' | 'arpack' | 'lobpcg'. 'auto' picks the
+        dense device eigh while n^2 fits HBM, else host ARPACK
+        Lanczos on the pi-symmetrized operator (k << n sparse matvec
+        is gather-bound on TPU — see the measured dispatch note in
+        the source). 'lobpcg' forces the device path.
     tol : residual bound ``||S u - w u||_2`` per requested mode for the
         lobpcg path (S has unit spectral radius, so this is already
         relative). Modes that do not reach ``tol`` after ``max_refine``
@@ -72,14 +76,35 @@ def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto',
             if return_info else out
 
     if method == 'auto':
-        method = 'lobpcg' if (sparse_in and n > 4096
+        # Dense device eigh wins while n^2 fits HBM comfortably; past
+        # that, the best engine for k << n sparse spectra is host
+        # Lanczos (ARPACK, the reference's engine): sparse matvec is
+        # gather-bound on TPU, and the measured 100k-state/1.5M-nnz
+        # top-21 point is 11 s ARPACK vs 359 s device LOBPCG +
+        # refinement (benchmarks/scale_points.py). 'lobpcg' stays
+        # available explicitly, with residual certificates and its
+        # own ARPACK fallback.
+        method = 'arpack' if (sparse_in and n > 4096
                               and n_eigs < n // 8) else 'eigh'
 
     sqrt_pi = np.sqrt(pi)
     info = {'method': method, 'residuals': None, 'refine_sweeps': 0,
             'fallback': False}
 
-    if method == 'eigh':
+    if method == 'arpack':
+        T_csr = T.tocsr() if sparse_in else scipy.sparse.csr_matrix(T)
+        S = scipy.sparse.diags(sqrt_pi) @ T_csr @ \
+            scipy.sparse.diags(1.0 / sqrt_pi)
+        S = ((S + S.T) * 0.5).tocsr().astype(np.float64)
+        if n_eigs >= n - 1:
+            raise ValueError("method='arpack' needs n_eigs < n-1; "
+                             "use method='eigh' for full spectra")
+        w, u = scipy.sparse.linalg.eigsh(S, k=n_eigs, which='LA')
+        order = np.argsort(-w)
+        w, u = w[order], u[:, order]
+        info['residuals'] = np.linalg.norm(S @ u - u * w[None, :],
+                                           axis=0)
+    elif method == 'eigh':
         if sparse_in:
             # the similarity transform D T D^-1 is value-local: scale
             # the COO triplets on host (O(nnz)) and scatter dense in

@@ -11,7 +11,56 @@ import numpy as np
 import scipy.sparse
 
 __all__ = ['synthetic_trajectory', 'synthetic_ensemble',
-           'synthetic_trajectory_device']
+           'synthetic_trajectory_device', 'sparse_metastable_counts']
+
+
+def sparse_metastable_counts(n_states, n_blocks=25, seed=3,
+                             extra_per_state=6):
+    """Sparse symmetric counts matrix with realistic metastable MSM
+    structure: ``n_blocks`` wells with fast intra-well mixing (chain
+    backbone + random intra-block links) and weak, block-varying
+    inter-well couplings. The resulting transition matrix has
+    ``n_blocks`` eigenvalues clustered near 1, cleanly separated from
+    the bulk — the spectral shape of real MSMs (used as the synthetic
+    workload for BASELINE config-5 scale points; the reference has no
+    generator for this, cf. enspara/msm/synthetic_data.py).
+
+    Returns a symmetric ``scipy.sparse.csr_matrix`` of float counts
+    with ``n_blocks * (n_states // n_blocks)`` states; feed it to a
+    builder (e.g. ``builders.transpose``) for (T, pi).
+    """
+    rng = np.random.default_rng(seed)
+    m = n_states // n_blocks
+    n = m * n_blocks
+    block = np.arange(n) // m
+
+    # intra-block chain backbone (skip the last state of each block)
+    i = np.arange(n - 1)
+    keep = block[i] == block[i + 1]
+    ij = [np.stack([i[keep], i[keep] + 1])]
+    vals = [rng.integers(10, 30, keep.sum()).astype(float)]
+
+    # random intra-block links -> expander within each well (fast
+    # intra-well relaxation: the bulk sits well below the slow modes)
+    ne = extra_per_state * n
+    src = rng.integers(0, n, ne)
+    dst = block[src] * m + rng.integers(0, m, ne)
+    ij.append(np.stack([src, dst]))
+    vals.append(rng.integers(5, 15, ne).astype(float))
+
+    # weak inter-block couplings between consecutive wells, with
+    # per-pair strengths varied so the slow eigenvalues are distinct
+    for b in range(n_blocks - 1):
+        nl = 3
+        s = b * m + rng.integers(0, m, nl)
+        d = (b + 1) * m + rng.integers(0, m, nl)
+        ij.append(np.stack([s, d]))
+        vals.append(np.full(nl, 0.05 * (1.0 + 0.7 * rng.random())))
+
+    ij = np.concatenate(ij, axis=1)
+    v = np.concatenate(vals)
+    C = scipy.sparse.coo_matrix((v, (ij[0], ij[1])), shape=(n, n))
+    return (C + C.T).tocsr()
 
 
 def synthetic_trajectory(T, start_state, n_steps, random_state=None):

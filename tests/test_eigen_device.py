@@ -97,46 +97,14 @@ def _sparse_gapless_msm(n, seed=3, extra_per_state=6):
 
 def _sparse_metastable_msm(n, n_blocks=25, seed=3, extra_per_state=6):
     """Sparse reversible MSM with realistic metastable structure
-    (BASELINE config 5's shape): ``n_blocks`` wells with fast
-    intra-well mixing (chain backbone + random intra-block links) and
-    weak, block-varying inter-well couplings. Top ``n_blocks``
-    eigenvalues cluster near 1, cleanly separated from the bulk —
-    what actual MSM spectra look like."""
+    (BASELINE config 5's shape): see
+    ``synthetic_data.sparse_metastable_counts``."""
     import scipy.sparse
 
-    rng = np.random.default_rng(seed)
-    m = n // n_blocks
-    n = m * n_blocks
-    block = np.arange(n) // m
+    from enspara_tpu.msm.synthetic_data import sparse_metastable_counts
 
-    # intra-block chain backbone (skip the last state of each block)
-    i = np.arange(n - 1)
-    keep = block[i] == block[i + 1]
-    ij = [np.stack([i[keep], i[keep] + 1])]
-    vals = [rng.integers(10, 30, keep.sum()).astype(float)]
-
-    # random intra-block links -> expander within each well (fast
-    # intra-well relaxation, i.e. the bulk sits well below the slow
-    # modes)
-    ne = extra_per_state * n
-    src = rng.integers(0, n, ne)
-    dst = block[src] * m + rng.integers(0, m, ne)
-    ij.append(np.stack([src, dst]))
-    vals.append(rng.integers(5, 15, ne).astype(float))
-
-    # weak inter-block couplings between consecutive wells, with
-    # per-pair strengths varied so the slow eigenvalues are distinct
-    for b in range(n_blocks - 1):
-        nl = 3
-        s = b * m + rng.integers(0, m, nl)
-        d = (b + 1) * m + rng.integers(0, m, nl)
-        ij.append(np.stack([s, d]))
-        vals.append(np.full(nl, 0.05 * (1.0 + 0.7 * rng.random())))
-
-    ij = np.concatenate(ij, axis=1)
-    v = np.concatenate(vals)
-    C = scipy.sparse.coo_matrix((v, (ij[0], ij[1])), shape=(n, n))
-    C = (C + C.T).tocsr()
+    C = sparse_metastable_counts(n, n_blocks=n_blocks, seed=seed,
+                                 extra_per_state=extra_per_state)
     _, T, pi = builders.transpose(C)
     return scipy.sparse.csr_matrix(T), np.asarray(pi)
 
@@ -290,3 +258,27 @@ def test_implied_timescales_batched_lag_sharded_matches_unsharded():
                                           mesh=mesh)
         assert shrd.shape == base.shape == (len(lags), 3)
         np.testing.assert_allclose(shrd, base, rtol=1e-6, atol=1e-9)
+
+
+def test_arpack_method_and_auto_dispatch():
+    """'auto' routes large sparse k<<n spectra to host ARPACK Lanczos
+    (the measured best engine at that shape; see eigen_device.py
+    dispatch note) with residual certificates attached."""
+    n, k = 10_000, 21
+    T, pi = _sparse_metastable_msm(n)
+
+    vals, vecs, info = eigenspectrum_reversible(
+        T, pi=pi, n_eigs=k, method='auto', return_info=True)
+    assert info['method'] == 'arpack'
+    assert info['residuals'].shape == (k,)
+    assert info['residuals'].max() < 1e-9, info['residuals']
+
+    w_ref = _arpack_oracle(T, pi, k)
+    assert_allclose(vals, w_ref, atol=1e-10)
+    assert_allclose(vecs[:, 0], pi, atol=1e-9)
+
+    # small/dense shapes keep the device eigh path
+    Ts, pis = _sparse_metastable_msm(1024, n_blocks=8)
+    _, _, info_s = eigenspectrum_reversible(
+        Ts, pi=pis, n_eigs=5, method='auto', return_info=True)
+    assert info_s['method'] == 'eigh'

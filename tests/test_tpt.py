@@ -239,3 +239,79 @@ def test_dense_on_device_scatter_matches_toarray():
     x_host = core._refined_solve(A.toarray(), b, A_exact=A)
     assert x_dev is not None and x_host is not None
     assert_allclose(x_dev, x_host, rtol=1e-9, atol=1e-12)
+
+
+def test_committors_mfpts_large_sparse_cg_path():
+    # past the densification cap the reversible pi-symmetrized-CG
+    # engine must agree with the direct sparse LU to solver precision,
+    # with and without pi given (the no-pi call exercises the ARPACK
+    # stationary estimate + reversibility detection)
+    from enspara_tpu.msm import builders
+    from enspara_tpu.msm.synthetic_data import sparse_metastable_counts
+    from enspara_tpu.tpt import core
+
+    n = 20_000
+    C = sparse_metastable_counts(n, n_blocks=10, seed=7)
+    _, T, pi = builders.transpose(C)
+    T = scipy.sparse.csr_matrix(T)
+    pi = np.asarray(pi)
+    assert T.shape[0] > core._DENSE_SOLVE_MAX_STATES
+
+    sources, sinks = [0, 1], [n - 2, n - 1]
+    q = committors(T, sources, sinks, pi=pi)
+    q_nopi = committors(T, sources, sinks)
+
+    A, R = core._absorbing_csr_system(
+        T, np.asarray(sinks), np.asarray(sources),
+        np.asarray(sources + sinks))
+    lu = scipy.sparse.linalg.splu(A.tocsc(),
+                                  permc_spec='MMD_AT_PLUS_A')
+    q_lu = lu.solve(np.asarray(R, dtype=np.float64)).sum(axis=1)
+    q_lu[sinks] = 1.0
+    assert_allclose(q, q_lu, rtol=1e-9, atol=1e-12)
+    # the ARPACK stationary estimate perturbs the symmetrizer by
+    # ~1e-9, which propagates linearly into the solution
+    assert_allclose(q_nopi, q_lu, rtol=1e-7, atol=1e-10)
+
+    mf = mfpts(T, sinks=sinks, populations=pi)
+    c = np.ones(n)
+    c[sinks] = 0.0
+    A2, _ = core._absorbing_csr_system(
+        T, np.asarray(sinks), np.empty(0, dtype=int),
+        np.asarray(sinks))
+    mf_lu = scipy.sparse.linalg.splu(
+        A2.tocsc(), permc_spec='MMD_AT_PLUS_A').solve(c)
+    mf_lu[sinks] = 0.0
+    assert_allclose(mf, mf_lu, rtol=1e-8, atol=1e-9)
+
+
+def test_committors_large_sparse_nonreversible_falls_back():
+    # a non-reversible chain past the cap must detect irreversibility
+    # and still solve correctly through the direct path
+    n = 17_000
+    rng = np.random.default_rng(5)
+    # directed ring with shortcuts: strongly non-reversible
+    i = np.arange(n)
+    rows = np.concatenate([i, i, rng.integers(0, n, n)])
+    cols = np.concatenate([(i + 1) % n, (i + 7) % n,
+                           rng.integers(0, n, n)])
+    vals = np.concatenate([np.full(n, 5.0), np.full(n, 1.0),
+                           rng.random(n)])
+    C = scipy.sparse.coo_matrix((vals, (rows, cols)),
+                                shape=(n, n)).tocsr()
+    T = scipy.sparse.diags(1.0 / np.asarray(C.sum(1)).ravel()) @ C
+
+    from enspara_tpu.tpt import core
+    pi_est = core._stationary_estimate(T.tocsr())
+    assert pi_est is None or not core._is_reversible(
+        T.tocsr(), pi_est)
+
+    sources, sinks = [0], [n // 2]
+    q = committors(T, sources, sinks)
+    A, R = core._absorbing_csr_system(
+        T, np.asarray(sinks), np.asarray(sources),
+        np.asarray(sources + sinks))
+    q_lu = scipy.sparse.linalg.splu(A.tocsc()).solve(
+        np.asarray(R, dtype=np.float64)).sum(axis=1)
+    q_lu[sinks] = 1.0
+    assert_allclose(q, q_lu, rtol=1e-9, atol=1e-12)
