@@ -13,6 +13,7 @@ note).
 """
 
 import csv
+import functools
 import numbers
 
 import numpy as np
@@ -249,11 +250,8 @@ def assigns_to_counts_sharded(assigns_padded, mask, lag_time, n_states,
     trajectory rows, so trajectory-axis sharding needs no halo
     (SURVEY.md §5: masked lag-counting on sharded sequence data).
     """
-    import jax
     import jax.numpy as jnp
-    import numpy as np
     from ..parallel import mesh as pmesh
-    from ..parallel.mesh import FRAME_AXIS, P
 
     if mesh is None:
         mesh = pmesh.frame_mesh()
@@ -266,15 +264,31 @@ def assigns_to_counts_sharded(assigns_padded, mask, lag_time, n_states,
                                         a.dtype)])
         m = np.concatenate([m, np.zeros((pad,) + m.shape[1:], bool)])
 
+    fn = _counts_sharded_fn(mesh, int(lag_time), int(n_states),
+                            bool(sliding_window))
+    return fn(jnp.asarray(a, jnp.int32), jnp.asarray(m))
+
+
+@functools.lru_cache(maxsize=32)
+def _counts_sharded_fn(mesh, lag_time, n_states, sliding_window):
+    """Cached jitted shard_map for sharded counting: a fresh closure
+    per call would re-trace and re-enter the compile cache on EVERY
+    lag of a timescale scan (same executable-reuse rationale as
+    ops/sparse.py:_scatter_fn). jax.sharding.Mesh is hashable, so it
+    keys the cache directly; bounded so long-lived processes scanning
+    many (lag, k) combinations don't pin executables forever."""
+    import jax
+    from ..parallel.mesh import FRAME_AXIS, P
+
     def body(a_l, m_l):
-        c = assigns_to_counts_device(a_l, m_l, lag_time, n_states,
-                                     sliding_window=sliding_window)
+        c = assigns_to_counts_device(
+            a_l, m_l, lag_time, n_states,
+            sliding_window=sliding_window)
         return jax.lax.psum(c, FRAME_AXIS)
 
-    fn = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=(P(FRAME_AXIS), P(FRAME_AXIS)),
         out_specs=P(), check_vma=False))
-    return fn(jnp.asarray(a, jnp.int32), jnp.asarray(m))
 
 
 def eigenspectrum(T, n_eigs=None, left=True, maxiter=100000, tol=1E-30):
