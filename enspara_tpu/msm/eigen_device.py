@@ -75,6 +75,14 @@ def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto',
                        'refine_sweeps': 0, 'fallback': False},) \
             if return_info else out
 
+    if method == 'lobpcg':
+        # LOBPCG requires search_dim * 5 < n (jax lobpcg_standard
+        # contract); with the guard block that bound binds at small n,
+        # where the dense device eigh is the better engine anyway
+        k_guard = int(min(n - 1, n_eigs + max(8, n_eigs // 2)))
+        if 5 * k_guard >= n:
+            method = 'eigh'
+
     if method == 'auto':
         # Dense device eigh wins while n^2 fits HBM comfortably; past
         # that, the best engine for k << n sparse spectra is host
@@ -157,8 +165,9 @@ def _lobpcg_refined(S, n_eigs, tol=1e-9, max_refine=30):
     Returns ``(w, u, info)`` with w descending, u column-orthonormal.
     """
     import jax.numpy as jnp
-    from jax.experimental import sparse as jsparse
     from jax.experimental.sparse.linalg import lobpcg_standard
+
+    from ..ops.sparse import ell_from_sparse, ell_spmm
 
     n = S.shape[0]
     # guard block: convergence error concentrates in the trailing
@@ -166,11 +175,25 @@ def _lobpcg_refined(S, n_eigs, tol=1e-9, max_refine=30):
     k_guard = int(min(n - 1, n_eigs + max(8, n_eigs // 2)))
 
     # --- stage 1: device fp32 LOBPCG on the +1-shifted operator (its
-    # spectrum lies in [0, 2], as the PSD form LOBPCG wants)
-    S_bcoo = jsparse.BCOO.from_scipy_sparse(S.astype(np.float32))
+    # spectrum lies in [0, 2], as the PSD form LOBPCG wants). The
+    # matvec streams in ELL form — w row-gathers, no scatters — unless
+    # hub rows would blow the pad factor past 8x, where generic BCOO
+    # (scatter-add lowering) is the lesser evil.
+    nnz_row = np.diff(S.tocsr().indptr)
+    w_max = int(nnz_row.max()) if n else 0
+    mean_nnz = float(nnz_row.mean()) if n else 0.0
+    if w_max and w_max <= max(32.0, 8.0 * mean_nnz):
+        cols_d, vals_d = (jnp.asarray(a) for a in
+                          ell_from_sparse(S, dtype=np.float32))
 
-    def matvec(X):
-        return S_bcoo @ X + X
+        def matvec(X):
+            return ell_spmm(cols_d, vals_d, X, shift=1.0)
+    else:
+        from jax.experimental import sparse as jsparse
+        S_bcoo = jsparse.BCOO.from_scipy_sparse(S.astype(np.float32))
+
+        def matvec(X):
+            return S_bcoo @ X + X
 
     rng = np.random.default_rng(0)
     X0 = jnp.asarray(rng.normal(size=(n, k_guard)), jnp.float32)
