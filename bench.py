@@ -45,18 +45,22 @@ N_CLUSTERS = 1000
 
 
 def _backend_alive(timeout_s=180):
-    """True if the default jax backend can initialize. Probed in a
-    subprocess: when the device tunnel black-holes, backend init hangs
-    indefinitely (it does not error), which would hang this benchmark
-    before producing its JSON line."""
+    """True if the default jax backend can initialize AND execute.
+    Probed in a subprocess: a black-holed device tunnel can hang at
+    either stage — backend init, or (the sneakier mode) init succeeds
+    and the first compile/execute/fetch blocks forever — and either
+    would hang this benchmark before it produces its JSON line. The
+    probe therefore materializes a tiny matmul end to end."""
     import subprocess
     import sys
     try:
         r = subprocess.run(
             [sys.executable, '-c',
-             'import jax; jax.devices(); print("ok")'],
+             'import jax, jax.numpy as jnp, numpy as np;'
+             'x = jnp.ones((128, 128));'
+             'print(float(np.asarray(x @ x)[0, 0]))'],
             timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
+        return r.returncode == 0 and b'128' in r.stdout
     except subprocess.TimeoutExpired:
         return False
 

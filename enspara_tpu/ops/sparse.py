@@ -91,18 +91,31 @@ def ell_from_sparse(sp, dtype=np.float32):
 @functools.lru_cache(maxsize=16)
 def _ell_spmm_fn(n, w, k, shift):
     """Cached jitted ELL SpMM ``Y = A @ X (+ shift * X)``: ``w``
-    unrolled (n, k) row-gathers with fused multiply-accumulate — no
-    scatters, HBM traffic ~ w*n*k reads. Same executable-reuse
-    rationale as :func:`_scatter_fn`."""
+    (n, k) row-gathers with fused multiply-accumulate — no scatters,
+    HBM traffic ~ w*n*k reads, and never an (n, w, k) intermediate.
+    Unrolled below 32 columns (lets XLA pipeline the gathers); a
+    ``fori_loop`` above that bounds program size for wide rows. Same
+    executable-reuse rationale as :func:`_scatter_fn`."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     @jax.jit
     def spmm(cols, vals, X):
-        Y = shift * X if shift else jnp.zeros_like(X)
-        for j in range(w):
-            Y = Y + vals[:, j, None] * jnp.take(X, cols[:, j], axis=0)
-        return Y
+        Y0 = shift * X if shift else jnp.zeros_like(X)
+        if w <= 32:
+            Y = Y0
+            for j in range(w):
+                Y = Y + vals[:, j, None] * jnp.take(X, cols[:, j],
+                                                    axis=0)
+            return Y
+
+        def body(j, Y):
+            c = lax.dynamic_index_in_dim(cols, j, 1, keepdims=False)
+            v = lax.dynamic_index_in_dim(vals, j, 1, keepdims=False)
+            return Y + v[:, None] * jnp.take(X, c, axis=0)
+
+        return lax.fori_loop(0, w, body, Y0)
 
     return spmm
 

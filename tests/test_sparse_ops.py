@@ -115,3 +115,24 @@ def test_lobpcg_tiny_matrix_routes_to_eigh():
     assert info['method'] == 'eigh'
     w_host = np.sort(np.linalg.eigvalsh(T))[::-1]
     assert np.allclose(w[:3], w_host[:3], atol=1e-5)
+
+
+def test_ell_spmm_wide_rows_fori_path():
+    """w > 32 takes the fori_loop lowering; results must match the
+    unrolled path's semantics exactly."""
+    import jax.numpy as jnp
+
+    n, w = 200, 48
+    rng = np.random.default_rng(5)
+    dense = np.zeros((n, n))
+    for i in range(n):
+        cols_i = rng.choice(n, size=w, replace=False)
+        dense[i, cols_i] = rng.normal(size=w)
+    S = scipy.sparse.csr_matrix(dense)
+    cols, vals = ell_from_sparse(S)
+    assert cols.shape[1] == w
+    X = rng.normal(size=(n, 9)).astype(np.float32)
+    Y = np.asarray(ell_spmm(jnp.asarray(cols), jnp.asarray(vals),
+                            jnp.asarray(X), shift=0.5))
+    Yref = dense.astype(np.float32) @ X + 0.5 * X
+    assert np.allclose(Y, Yref, atol=1e-4)
