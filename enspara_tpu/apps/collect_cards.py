@@ -90,6 +90,8 @@ def save_cards(ss_mi, dd_mi, sd_mi, ds_mi, output_name):
 def main(argv=None):
     if argv is None:
         argv = sys.argv
+    from ..util.backend import select_platform
+    select_platform()   # honors $ENSPARA_TPU_PLATFORM
     from ..util.compile_cache import enable_compilation_cache
     enable_compilation_cache()
     args = process_command_line(argv)

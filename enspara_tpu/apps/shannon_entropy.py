@@ -147,6 +147,8 @@ def load_trajs(args):
 def main(argv=None):
     if argv is None:
         argv = sys.argv
+    from ..util.backend import select_platform
+    select_platform()   # honors $ENSPARA_TPU_PLATFORM
     from ..util.compile_cache import enable_compilation_cache
     enable_compilation_cache()
     args = process_command_line(argv)

@@ -96,6 +96,8 @@ def process_command_line(argv):
 def main(argv=None):
     if argv is None:
         argv = sys.argv
+    from ..util.backend import select_platform
+    select_platform()   # honors $ENSPARA_TPU_PLATFORM
     from ..util.compile_cache import enable_compilation_cache
     enable_compilation_cache()
     args = process_command_line(argv)
