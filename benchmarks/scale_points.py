@@ -139,13 +139,23 @@ def main():
                          '(minutes at 100k states)')
     args = ap.parse_args()
 
-    result = {'points': [one_point(100_000, 25,
-                                   with_device_eig=args.device_eig)]}
+    points = [one_point(100_000, 25, with_device_eig=args.device_eig)]
     if args.million:
-        result['points'].append(one_point(1_000_000, 50))
+        points.append(one_point(1_000_000, 50))
 
+    # merge by n_states so partial re-runs (e.g. adding the device-eig
+    # measurement when the chip is reachable) keep earlier points; new
+    # measurements overwrite only the keys they re-recorded
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             'scale-points-result.json')
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            for p in json.load(f).get('points', []):
+                merged[p['n_states']] = p
+    for p in points:
+        merged.setdefault(p['n_states'], {}).update(p)
+    result = {'points': [merged[k] for k in sorted(merged)]}
     with open(out_path, 'w') as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))

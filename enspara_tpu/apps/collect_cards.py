@@ -99,10 +99,13 @@ def main(argv=None):
     gen = load_trajectory_generator(args.trajectories[0],
                                     args.topology[0])
 
+    from ..parallel import frame_mesh
+    mesh = frame_mesh()
     with timed('Calculating CARDS correlations took %.1f s.',
                logger.info):
         ss_mi, dd_mi, sd_mi, ds_mi, inds = cards(
-            gen, args.buffer_size, args.processes)
+            gen, args.buffer_size, args.processes,
+            mesh=mesh if mesh.size > 1 else None)
 
     save_cards(ss_mi, dd_mi, sd_mi, ds_mi, args.matrices)
     np.savetxt(args.indices, inds, delimiter=',')

@@ -21,16 +21,18 @@ __all__ = ['cards', 'cards_matrices']
 
 
 @cite('cards')
-def cards(trajectories, buffer_width=15, n_procs=1):
+def cards(trajectories, buffer_width=15, n_procs=1, mesh=None):
     """Structural, disorder, and cross MI matrices for all dihedral
     pairs across a set of trajectories. Returns
     ``(structural_mi, disorder_mi, struct_to_disorder_mi,
-    disorder_to_struct_mi, atom_inds)``. (reference: cards.py:17)"""
+    disorder_to_struct_mi, atom_inds)``. With ``mesh``, the MI joint
+    counting shards the frame axis across the device mesh.
+    (reference: cards.py:17)"""
     r = RotamerFeaturizer(buffer_width=buffer_width, n_procs=n_procs)
     r.fit(trajectories)
     return cards_matrices(r.feature_trajectories_,
                           r.n_feature_states_,
-                          n_procs) + (r.atom_indices_,)
+                          n_procs, mesh=mesh) + (r.atom_indices_,)
 
 
 def _paint_labels_device(n_frames, n_features, starts, ends, feats):
@@ -51,8 +53,13 @@ def _paint_labels_device(n_frames, n_features, starts, ends, feats):
 
 
 @cite('cards')
-def cards_matrices(feature_trajs, n_feature_states, n_procs=None):
+def cards_matrices(feature_trajs, n_feature_states, n_procs=None,
+                   mesh=None):
     """The four CARDS MI matrices from rotamer state trajectories.
+    With ``mesh`` (1-D ``jax.sharding.Mesh``), each joint-count matmul
+    contracts over a frame-sharded axis (per-chip partials + one psum);
+    trajectories then stay host-side and stream shard-placed per chunk
+    instead of being staged whole on one device.
     (reference: cards.py:61)"""
     try:
         import jax.numpy as jnp
@@ -60,9 +67,13 @@ def cards_matrices(feature_trajs, n_feature_states, n_procs=None):
     except ImportError:
         have_jax = False
 
-    if not have_jax:
+    if not have_jax or mesh is not None:
+        # mesh path: labels stay host-side so joint counting can place
+        # each chunk with frame-axis sharding (a device-painted array
+        # would round-trip host<->device per chunk)
         disordered_trajs, disorder_n_states = \
             disorder.assign_order_disorder(feature_trajs)
+        feature_trajs = [np.asarray(t) for t in feature_trajs]
     else:
         # disorder labels are derived ON DEVICE from the marked
         # segments (host float64 likelihood scoring, bit-identical to
@@ -97,22 +108,22 @@ def cards_matrices(feature_trajs, n_feature_states, n_procs=None):
     logger.debug('Calculating structural mutual information')
     structural_mi = mutual_info.mi_matrix(
         feature_trajs, feature_trajs,
-        n_feature_states, n_feature_states)
+        n_feature_states, n_feature_states, mesh=mesh)
 
     logger.debug('Calculating disorder mutual information')
     disorder_mi = mutual_info.mi_matrix(
         disordered_trajs, disordered_trajs,
-        disorder_n_states, disorder_n_states)
+        disorder_n_states, disorder_n_states, mesh=mesh)
 
     logger.debug('Calculating structure-disorder mutual information')
     struct_to_disorder_mi = mutual_info.mi_matrix(
         feature_trajs, disordered_trajs,
-        n_feature_states, disorder_n_states)
+        n_feature_states, disorder_n_states, mesh=mesh)
 
     logger.debug('Calculating disorder-structure mutual information')
     disorder_to_struct_mi = mutual_info.mi_matrix(
         disordered_trajs, feature_trajs,
-        disorder_n_states, n_feature_states)
+        disorder_n_states, n_feature_states, mesh=mesh)
 
     return (structural_mi, disorder_mi, struct_to_disorder_mi,
             disorder_to_struct_mi)

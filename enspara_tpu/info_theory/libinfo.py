@@ -35,10 +35,16 @@ def bincount2d(a, b, n_a, n_b):
     return H.reshape(n_a, n_b).astype(np.uint32)
 
 
-def matrix_bincount2d(a, b, n_a, n_b):
+def matrix_bincount2d(a, b, n_a, n_b, mesh=None):
     """All-feature-pairs joint counts:
     ``jc[fa, fb, i, j] = #{t : a[t, fa] == i and b[t, fb] == j}``.
     (reference: libinfo.pyx:50)
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``), each chunk's time axis
+    is sharded across the mesh: the one-hot matmul contracts over the
+    sharded axis, so GSPMD lowers it to per-chip partial products plus
+    one psum over ICI — the multi-chip form of the reference's
+    MPI-pooled feature loops (info_theory/mutual_info.py pools).
 
     Returns an (Fa, Fb, n_a, n_b) uint32 (int64 if counts overflow).
     """
@@ -58,7 +64,8 @@ def matrix_bincount2d(a, b, n_a, n_b):
     assert b.max() < n_b, 'States indices must be contiguous.'
 
     try:
-        jc = _matrix_bincount2d_device(a, b, int(n_a), int(n_b))
+        jc = _matrix_bincount2d_device(a, b, int(n_a), int(n_b),
+                                       mesh=mesh)
     except Exception:
         logger.warning('device joint-count path failed; falling back '
                        'to the host bincount loop', exc_info=True)
@@ -70,35 +77,74 @@ def matrix_bincount2d(a, b, n_a, n_b):
     return jc
 
 
-def _matrix_bincount2d_device(a, b, n_a, n_b):
+def _chunk_counts_impl(ac, bc, n_a, n_b):
+    # one-hot values are exactly 0.0/1.0 in bf16 and the MXU
+    # accumulates in fp32 (exact for chunk counts < 2^24), so
+    # bf16 inputs give exact integer counts in a single MXU pass
+    # at half the HBM traffic of fp32 operands. Out-of-range states
+    # (the mesh path's padding) one-hot to all-zero rows and
+    # contribute nothing.
     import jax
     import jax.numpy as jnp
+
+    Fa, Fb = ac.shape[1], bc.shape[1]
+    A = jax.nn.one_hot(ac, n_a, dtype=jnp.bfloat16)  # (t, Fa, n_a)
+    B = jax.nn.one_hot(bc, n_b, dtype=jnp.bfloat16)  # (t, Fb, n_b)
+    A2 = A.reshape(ac.shape[0], Fa * n_a)
+    B2 = B.reshape(bc.shape[0], Fb * n_b)
+    M = jnp.dot(A2.T, B2, preferred_element_type=jnp.float32)
+    return M.reshape(Fa, n_a, Fb, n_b).transpose(0, 2, 1, 3) \
+        .astype(jnp.int32)
+
+
+_CHUNK_COUNTS_JIT = None
+
+
+def _chunk_counts_jit():
+    """Module-cached jit (static state counts): repeated calls — the
+    four CARDS matrices, per-trajectory chunks — reuse one traced
+    executable per shape instead of re-tracing a fresh closure."""
+    global _CHUNK_COUNTS_JIT
+    if _CHUNK_COUNTS_JIT is None:
+        import jax
+        _CHUNK_COUNTS_JIT = jax.jit(_chunk_counts_impl,
+                                    static_argnames=('n_a', 'n_b'))
+    return _CHUNK_COUNTS_JIT
+
+
+def _matrix_bincount2d_device(a, b, n_a, n_b, mesh=None):
+    import jax
 
     T, Fa = a.shape
     Fb = b.shape[1]
     if T >= 2 ** 31:
         raise OverflowError('int32 device accumulator would overflow')
 
-    @jax.jit
-    def chunk_counts(ac, bc):
-        # one-hot values are exactly 0.0/1.0 in bf16 and the MXU
-        # accumulates in fp32 (exact for chunk counts < 2^24), so
-        # bf16 inputs give exact integer counts in a single MXU pass
-        # at half the HBM traffic of fp32 operands
-        A = jax.nn.one_hot(ac, n_a, dtype=jnp.bfloat16)  # (t, Fa, n_a)
-        B = jax.nn.one_hot(bc, n_b, dtype=jnp.bfloat16)  # (t, Fb, n_b)
-        A2 = A.reshape(ac.shape[0], Fa * n_a)
-        B2 = B.reshape(bc.shape[0], Fb * n_b)
-        M = jnp.dot(A2.T, B2, preferred_element_type=jnp.float32)
-        return M.reshape(Fa, n_a, Fb, n_b).transpose(0, 2, 1, 3) \
-            .astype(jnp.int32)
+    chunk_counts = _chunk_counts_jit()
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        axis = mesh.axis_names[0]
+        n_dev = int(np.prod(mesh.devices.shape))
+        sharded = NamedSharding(mesh, PartitionSpec(axis))
 
     # accumulate on device (one host pull at the end, not per chunk)
     total = None
     for start in range(0, T, _CHUNK_T):
         ac = a[start:start + _CHUNK_T]
         bc = b[start:start + _CHUNK_T]
-        c = chunk_counts(ac, bc)
+        if mesh is not None:
+            ac, bc = np.asarray(ac), np.asarray(bc)
+            pad = (-ac.shape[0]) % n_dev
+            if pad:
+                # out-of-range pad states one-hot to zero rows
+                ac = np.concatenate(
+                    [ac, np.full((pad, Fa), n_a, dtype=ac.dtype)])
+                bc = np.concatenate(
+                    [bc, np.full((pad, Fb), n_b, dtype=bc.dtype)])
+            ac = jax.device_put(ac, sharded)
+            bc = jax.device_put(bc, sharded)
+        c = chunk_counts(ac, bc, n_a=n_a, n_b=n_b)
         total = c if total is None else total + c
     return np.asarray(total).astype(np.int64)
 

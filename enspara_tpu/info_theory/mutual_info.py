@@ -25,15 +25,18 @@ __all__ = ['mi_matrix', 'weighted_mi', 'mi_matrix_serial', 'joint_counts',
            'check_features_states']
 
 
-def mi_matrix(Xs, Ys, n_x, n_y, normalize=True):
+def mi_matrix(Xs, Ys, n_x, n_y, normalize=True, mesh=None):
     """All-pairs MI across trajectories of assigned (discretized)
-    features. (reference: mutual_info.py:23)"""
+    features. With ``mesh``, joint counting shards the frame axis
+    across the device mesh (see ``libinfo.matrix_bincount2d``).
+    (reference: mutual_info.py:23)"""
     jc = None
     for i, (X, Y) in enumerate(zip(Xs, Ys)):
         # device arrays pass through untouched (joint_counts consumes
         # them in place; forcing np.asarray would pull them to host)
         jc_i = joint_counts(X, Y,
-                            int(np.max(n_x)), int(np.max(n_y)))
+                            int(np.max(n_x)), int(np.max(n_y)),
+                            mesh=mesh)
         if jc is None:
             jc = jc_i.astype(np.int64)
         else:
@@ -51,7 +54,7 @@ def mi_matrix(Xs, Ys, n_x, n_y, normalize=True):
     return mi
 
 
-def joint_counts(X, Y=None, n_x=None, n_y=None):
+def joint_counts(X, Y=None, n_x=None, n_y=None, mesh=None):
     """Joint counts of all feature pairs: (Fa, Fb, n_x, n_y).
     (reference: mutual_info.py:212)"""
     if not hasattr(X, 'shape'):
@@ -69,11 +72,11 @@ def joint_counts(X, Y=None, n_x=None, n_y=None):
     if Y is None:
         if n_y is not None:
             warnings.warn('n_y unused if Y is None.')
-        return libinfo.matrix_bincount2d(X, X, n_x, n_x)
+        return libinfo.matrix_bincount2d(X, X, n_x, n_x, mesh=mesh)
 
     if n_y is None:
         n_y = int(Y.max()) + 1
-    return libinfo.matrix_bincount2d(X, Y, n_x, n_y)
+    return libinfo.matrix_bincount2d(X, Y, n_x, n_y, mesh=mesh)
 
 
 def mutual_information(jc):

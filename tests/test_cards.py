@@ -160,3 +160,35 @@ def test_disorder_labels_vectorized_matches_loop():
     # labels path: same MI matrices
     host_labels, _ = disorder.assign_order_disorder([assigns, assigns])
     np.testing.assert_array_equal(host_labels[0], host_labels[1])
+
+
+def test_cards_matrices_sharded_matches_unsharded():
+    """Frame-sharded joint counting (GSPMD psum over the contracted
+    time axis) must reproduce the single-device matrices exactly —
+    counts are integers, so equality is exact, including when the
+    frame count does not divide the mesh."""
+    from enspara_tpu.parallel import frame_mesh
+
+    rng = np.random.default_rng(3)
+    # 301 frames: not a multiple of the 8-device mesh (pad path)
+    trajs = [rng.integers(0, 3, size=(301, 5)).astype('int16'),
+             rng.integers(0, 3, size=(97, 5)).astype('int16')]
+    n_states = np.full(5, 3, dtype='int16')
+    ref = cards.cards_matrices(trajs, n_states)
+    mesh = frame_mesh()
+    out = cards.cards_matrices(trajs, n_states, mesh=mesh)
+    for m_ref, m_out in zip(ref, out):
+        assert_allclose(m_out, m_ref, atol=1e-13)
+
+
+def test_joint_counts_sharded_exact():
+    from enspara_tpu.info_theory import mutual_info
+    from enspara_tpu.parallel import frame_mesh
+
+    rng = np.random.default_rng(4)
+    X = rng.integers(0, 4, size=(1003, 3)).astype('int16')
+    Y = rng.integers(0, 2, size=(1003, 6)).astype('int16')
+    jc = mutual_info.joint_counts(X, Y, 4, 2)
+    jc_sh = mutual_info.joint_counts(X, Y, 4, 2, mesh=frame_mesh())
+    assert jc.shape == (3, 6, 4, 2)
+    assert (np.asarray(jc_sh) == np.asarray(jc)).all()
