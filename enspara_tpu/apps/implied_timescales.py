@@ -122,11 +122,16 @@ def _timescales_dispatch(assignments, args):
         eligible = not (np.asarray(data) == -1).any()
     if eligible:
         from ..msm.eigen_device import implied_timescales_batched
+        from ..parallel import frame_mesh
+        mesh = frame_mesh()
         logger.info('using single-launch batched device timescales '
-                    '(%d lags in one dispatch)', len(args.lag_times))
+                    '(%d lags in one dispatch%s)', len(args.lag_times),
+                    ', lag axis sharded over %d chips' % mesh.size
+                    if mesh.size > 1 else '')
         return implied_timescales_batched(
             assignments, args.lag_times, n_times=args.n_eigenvalues,
-            sliding_window=True)
+            sliding_window=True,
+            mesh=mesh if mesh.size > 1 else None)
     return implied_timescales(
         assignments, args.lag_times, n_times=args.n_eigenvalues,
         sliding_window=True, trim=args.trim,
