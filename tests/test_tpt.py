@@ -315,3 +315,26 @@ def test_committors_large_sparse_nonreversible_falls_back():
         np.asarray(R, dtype=np.float64)).sum(axis=1)
     q_lu[sinks] = 1.0
     assert_allclose(q, q_lu, rtol=1e-9, atol=1e-12)
+
+
+def test_mfpts_large_sparse_takes_cg_not_fallback(caplog):
+    """MFPT solutions have |x| ~ 1/gap >> |b|; the CG acceptance must
+    scale with |x| (normwise backward error), not |b| — a b-relative
+    acceptance rejected converged solves and silently fell back to a
+    ~30x slower direct factorization (regression)."""
+    import logging
+
+    from enspara_tpu.msm import builders
+    from enspara_tpu.msm.synthetic_data import sparse_metastable_counts
+    from enspara_tpu.tpt import core
+
+    n = 20_000
+    C = sparse_metastable_counts(n, n_blocks=10, seed=3)
+    _, T, pi = builders.transpose(C)
+    T = scipy.sparse.csr_matrix(T)
+    sinks = [n - 2, n - 1]
+    with caplog.at_level(logging.INFO, logger='enspara_tpu.tpt.core'):
+        mf = mfpts(T, sinks=sinks, populations=np.asarray(pi))
+    assert mf.shape == (n,) and (mf[sinks] == 0).all()
+    assert not any('stalled' in r.message for r in caplog.records), \
+        [r.message for r in caplog.records]
