@@ -285,10 +285,16 @@ def test_committors_mfpts_large_sparse_cg_path():
     assert_allclose(mf, mf_lu, rtol=1e-8, atol=1e-9)
 
 
-def test_committors_large_sparse_nonreversible_falls_back():
+def test_committors_large_sparse_nonreversible_falls_back(monkeypatch):
     # a non-reversible chain past the cap must detect irreversibility
-    # and still solve correctly through the direct path
-    n = 17_000
+    # and still solve correctly through the direct path. The cap is
+    # monkeypatched down instead of exceeding the real 16384: the
+    # directed-ring topology is chosen FOR its SuperLU fill-in
+    # pathology, which costs ~7 min of suite time at 17k states while
+    # exercising the identical dispatch at 4k
+    from enspara_tpu.tpt import core as _core
+    monkeypatch.setattr(_core, '_DENSE_SOLVE_MAX_STATES', 1000)
+    n = 4_000
     rng = np.random.default_rng(5)
     # directed ring with shortcuts: strongly non-reversible
     i = np.arange(n)
