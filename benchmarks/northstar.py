@@ -9,9 +9,14 @@ extrapolate.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 N_FRAMES = 1_000_000
 N_ATOMS = 64
