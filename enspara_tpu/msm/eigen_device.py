@@ -88,10 +88,11 @@ def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto',
         # that, the best engine for k << n sparse spectra is host
         # Lanczos (ARPACK, the reference's engine): sparse matvec is
         # gather-bound on TPU, and the measured 100k-state/1.5M-nnz
-        # top-21 point is 11 s ARPACK vs 359 s device LOBPCG +
-        # refinement (benchmarks/scale_points.py). 'lobpcg' stays
-        # available explicitly, with residual certificates and its
-        # own ARPACK fallback.
+        # top-21 point is 11-19 s ARPACK vs 116 s device LOBPCG +
+        # refinement with the ELL streaming matvec (was 359 s on
+        # BCOO scatter-adds; benchmarks/scale_points.py). 'lobpcg'
+        # stays available explicitly, with residual certificates and
+        # its own ARPACK fallback.
         method = 'arpack' if (sparse_in and n > 4096
                               and n_eigs < n // 8) else 'eigh'
 
