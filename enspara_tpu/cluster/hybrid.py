@@ -125,7 +125,7 @@ def hybrid_device(X, metric='rmsd', n_iters=5, n_clusters=None,
         res.center_indices, n_sweeps=n_iters, seed=seed,
         bucket_factor=bucket_factor, mesh=mesh)
 
-    centers = [np.asarray(X[i]) for i in m]
+    centers = util.gather_frames(X, m)
     return util.ClusterResult(center_indices=list(m),
                               assignments=a, distances=d,
                               centers=centers)

@@ -163,9 +163,9 @@ def _kcenters_fast(X, metric, n_clusters, dist_cutoff, init_centers,
     ctr_inds = list(res.center_indices)
     if n_init:
         centers = list(init_center_data) + \
-            [np.asarray(X[i]) for i in ctr_inds[n_init:]]
+            util.gather_frames(X, ctr_inds[n_init:])
     else:
-        centers = [np.asarray(X[i]) for i in ctr_inds]
+        centers = util.gather_frames(X, ctr_inds)
     logger.info('Terminated k-centers with n=%s and d=%0.6f',
                 res.n_found, res.distances.max(initial=0.0))
     return util.ClusterResult(

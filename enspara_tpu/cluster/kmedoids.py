@@ -180,7 +180,7 @@ def _kmedoids_iterations(X, metric, n_iters, cluster_center_inds,
             n_sweeps=n_iters, seed=int(rs.randint(2 ** 31)))
         return util.ClusterResult(
             center_indices=list(m), assignments=a, distances=d,
-            centers=[np.asarray(X[i]) for i in m])
+            centers=util.gather_frames(X, m))
 
     result = None
     for i in range(n_iters):

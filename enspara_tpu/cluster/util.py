@@ -47,6 +47,22 @@ class ClusterResult(namedtuple('ClusterResult',
             centers=self.centers)
 
 
+def gather_frames(X, indices):
+    """``[X[i] for i in indices]`` as host arrays with ONE
+    device->host transfer when X is device-resident: a python loop of
+    single-frame fetches costs one round trip per frame (at k=1000
+    centers over a remote/tunneled device link that loop dominated
+    the whole khybrid pipeline — ~30 ms latency each)."""
+    indices = np.asarray(indices, dtype=int)
+    try:
+        import jax
+        if isinstance(X, jax.Array):
+            return list(np.asarray(X[jax.numpy.asarray(indices)]))
+    except ImportError:
+        pass
+    return [np.asarray(X[i]) for i in indices]
+
+
 def assign_to_nearest_center(trajectory, cluster_centers, distance_method):
     """Assign each frame to the nearest of ``cluster_centers`` under
     ``distance_method``, with the reference's semantics: iterate centers

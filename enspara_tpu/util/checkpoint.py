@@ -78,8 +78,9 @@ def resume_kcenters(path, X, metric='euclidean', n_clusters=None,
         n_init_centers=state['iteration'],
         init_center_indices=state['center_indices'],
         mesh=mesh)
+    from ..cluster.util import gather_frames
     ctr_inds = list(res.center_indices)
-    centers = [np.asarray(X[i]) for i in ctr_inds]
+    centers = gather_frames(X, ctr_inds)
     return ClusterResult(center_indices=ctr_inds,
                          assignments=res.assignments,
                          distances=res.distances,
