@@ -131,6 +131,9 @@ def _committor_residual(T, q, absorbing):
 
 
 def main():
+    from enspara_tpu.util.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument('--million', action='store_true',
                     help='also record the 1M-state point (minutes)')
