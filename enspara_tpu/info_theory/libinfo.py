@@ -137,7 +137,13 @@ def _matrix_bincount2d_device(a, b, n_a, n_b, mesh=None):
             ac, bc = np.asarray(ac), np.asarray(bc)
             pad = (-ac.shape[0]) % n_dev
             if pad:
-                # out-of-range pad states one-hot to zero rows
+                # out-of-range pad states one-hot to zero rows; upcast
+                # first so the sentinel can't wrap in a saturated label
+                # dtype (e.g. uint8 with n_a=256 would alias state 0)
+                if np.iinfo(ac.dtype).max < n_a:
+                    ac = ac.astype(np.int32)
+                if np.iinfo(bc.dtype).max < n_b:
+                    bc = bc.astype(np.int32)
                 ac = np.concatenate(
                     [ac, np.full((pad, Fa), n_a, dtype=ac.dtype)])
                 bc = np.concatenate(

@@ -15,6 +15,7 @@ timescales').
 
 import numpy as np
 import scipy.sparse
+import scipy.sparse.linalg  # bind the submodule explicitly (eigsh below)
 
 from .transition_matrices import eigenspectrum as _eigenspectrum_host
 

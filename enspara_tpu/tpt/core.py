@@ -204,7 +204,12 @@ def _cg_absorbing_solve(A, b, pi, rtol=1e-9):
     x with the residual verified against the EXACT unsymmetrized
     system, or None if CG fails to reach ``rtol``.
     """
-    d = np.sqrt(np.asarray(pi, dtype=np.float64))
+    pi = np.asarray(pi, dtype=np.float64)
+    # trimmed MSMs commonly carry zero-population states; d=0 would
+    # poison the symmetrized operator with inf/nan
+    if pi.shape[0] != A.shape[0] or not np.all(pi > 0):
+        return None
+    d = np.sqrt(pi)
     As = scipy.sparse.diags(d) @ A.astype(np.float64) @ \
         scipy.sparse.diags(1.0 / d)
     As = ((As + As.T) * 0.5).tocsr()
@@ -235,7 +240,10 @@ def _cg_absorbing_solve(A, b, pi, rtol=1e-9):
     # b-relative bound when |x| ~ |b| (committors)
     anorm = float(np.abs(A).sum(axis=1).max())
     scale = float(np.abs(b).max()) + anorm * float(np.abs(x).max())
-    if np.abs(A @ x - b).max() > rtol * max(scale, 1e-300):
+    resid = float(np.abs(A @ x - b).max())
+    # NaN-safe: 'resid <= bound' is False for NaN, so a poisoned
+    # solve is rejected rather than silently accepted
+    if not (resid <= rtol * max(scale, 1e-300)):
         return None
     return x
 
@@ -254,15 +262,42 @@ def _gmres_absorbing_solve(A, b, rtol=1e-9):
         return None
     Mj = scipy.sparse.linalg.LinearOperator(A64.shape,
                                             lambda v: v / diag)
-    x, code = scipy.sparse.linalg.gmres(A64, b, M=Mj, rtol=1e-13,
-                                        atol=0.0, restart=50,
-                                        maxiter=4000)
-    if code != 0:
-        return None
-    bnorm = max(np.abs(b).max(), 1e-300)
-    if np.abs(A64 @ x - b).max() > rtol * bnorm:
-        return None
-    return x
+
+    # Accept on the normwise backward error of the original system,
+    # |Ax-b| <= rtol*(|b| + |A||x|) — same criterion as the CG path.
+    # A b-relative inner stop can be unreachable for MFPT-type RHS
+    # where |x| ~ 1/gap >> |b| (the true residual floors at
+    # eps*|A||x|), so check the achievable bound at every restart and
+    # bail out of gmres as soon as it holds.
+    anorm = float(np.abs(A64).sum(axis=1).max())
+    bmax = float(np.abs(b).max())
+
+    def _backward_error_ok(x):
+        resid = float(np.abs(A64 @ x - b).max())
+        bound = rtol * max(bmax + anorm * float(np.abs(x).max()),
+                           1e-300)
+        return resid <= bound  # NaN-safe: False for NaN resid
+
+    class _Converged(Exception):
+        def __init__(self, x):
+            self.x = x
+
+    def _check_restart(xk):
+        if _backward_error_ok(xk):
+            raise _Converged(np.array(xk, dtype=np.float64))
+
+    try:
+        x, _code = scipy.sparse.linalg.gmres(
+            A64, b, M=Mj, rtol=1e-13, atol=0.0, restart=50,
+            maxiter=4000, callback=_check_restart, callback_type='x')
+    except _Converged as conv:
+        return conv.x
+    # maxiter exhausted or scipy's own stop fired between callbacks:
+    # judge the final iterate on the same backward-error bound rather
+    # than on scipy's b-relative return code
+    if _backward_error_ok(x):
+        return x
+    return None
 
 
 # above this, direct sparse LU fill-in is assumed intractable and the
