@@ -1,10 +1,17 @@
 """Entropies, divergences and MSM relative entropy.
-(reference: enspara/info_theory/entropy.py)
+
+Formulated on :mod:`scipy.special`'s exactly-zero-handling primitives
+(``rel_entr``, ``xlogy``) rather than masked ``log`` arithmetic — the
+x·log x = 0 limit at x = 0 is handled by the primitive itself, so no
+NaN patching or warning suppression is needed.
+
+Behavioral contract mirrors enspara/info_theory/entropy.py (KL rows,
+units of log-base, MSM relative entropy weighted by the stationary
+distribution of the reference matrix).
 """
 
-import warnings
-
 import numpy as np
+from scipy.special import rel_entr, softmax, xlogy
 
 from .. import exception
 from ..msm import builders
@@ -15,99 +22,119 @@ __all__ = ['Q_from_assignments', 'relative_entropy_per_state',
            'shannon_entropy', 'kl_divergence', 'js_divergence']
 
 
-def Q_from_assignments(assignments, n_states=None, lag_time=1,
-                       builder=builders.normalize, prior_counts=None):
-    """Reference transition matrix for relative-entropy calculations.
-    (reference: entropy.py:16)"""
-    if prior_counts is None:
-        total_counts = np.sum([len(ass) - 1 for ass in assignments])
-        prior_counts = 1 / total_counts
-
-    Q_counts = assigns_to_counts(
-        assignments, max_n_states=n_states, lag_time=lag_time)
-    Q_counts = np.array(Q_counts.todense()) + prior_counts
-
-    with warnings.catch_warnings():
-        warnings.simplefilter('ignore')
-        _, Q_prob, _ = builder(Q_counts, calculate_eq_probs=False)
-    return Q_prob
-
-
-def relative_entropy_per_state(P, Q=None, assignments=None, weights=1,
-                               state_subset=None, base=2.0, **kwargs):
-    """Row-wise KL divergence D(P(i)||Q(i)). (reference: entropy.py:44)"""
-    n_states = P.shape[0]
-    if state_subset is None:
-        state_subset = Ellipsis
-
-    if Q is None and assignments is None:
-        raise exception.ImproperlyConfigured(
-            'must specify Q or calculate Q from assignments')
-    if Q is None:
-        Q = Q_from_assignments(assignments, n_states=n_states, **kwargs)
-
-    rel_entropy_mat = kl_divergence(P, Q, base=base)
-    return rel_entropy_mat[state_subset] * weights
-
-
-def relative_entropy_msm(P, Q=None, assignments=None, populations=None,
-                         state_subset=None, base=2.0, **kwargs):
-    """Population-weighted total relative entropy between MSMs.
-    (reference: entropy.py:104)"""
-    if state_subset is None:
-        state_subset = Ellipsis
-    if populations is None:
-        populations = eq_probs(P)[state_subset]
-        populations /= populations.sum()
-
-    rel_entropy_mat = relative_entropy_per_state(
-        P, Q=Q, assignments=assignments, weights=populations,
-        state_subset=state_subset, base=base, **kwargs)
-    return np.sum(rel_entropy_mat)
-
-
-def energy_to_probability(u, kT=2.479):
-    """(reference: entropy.py:166)"""
-    p = np.exp(-(u - u.mean()) / kT)
-    p /= p.sum()
-    return p
-
-
 def shannon_entropy(p, normalize=True):
-    """Shannon entropy of a (possibly multivariate) distribution.
-    (reference: entropy.py:172)"""
+    """Shannon entropy (in nats) of a distribution of any shape.
+
+    With ``normalize=True`` the input is scaled to unit mass first
+    (without mutating the caller's array).
+    """
+    dist = np.array(p, dtype=np.float64)
     if normalize:
-        p = np.copy(p) / np.sum(p)
-    return -np.sum(p * np.log(p, where=(p > 0),
-                              out=np.zeros_like(np.asarray(p, float))))
+        dist = dist / dist.sum()
+    return -xlogy(dist, dist).sum()
 
 
 def kl_divergence(P, Q, base=2):
-    """Row-wise KL divergence in units of log-``base``.
-    (reference: entropy.py:199)"""
-    P = np.array(P)
-    Q = np.array(Q)
+    """Kullback–Leibler divergence D(P‖Q) in units of log-``base``.
+
+    1-D inputs give a scalar; 2-D inputs are treated as stacks of
+    distributions (one per row) and give a vector of row divergences.
+    Cells with P = 0 contribute zero regardless of Q (the x·log x
+    limit); cells with P > 0 and Q = 0 contribute +inf.
+    """
+    P, Q = np.asarray(P, dtype=float), np.asarray(Q, dtype=float)
     if P.shape != Q.shape:
         raise exception.DataInvalid(
             'P and Q must have the same shape; got %s and %s'
             % (P.shape, Q.shape))
-    for M in (P, Q):
-        if len(np.where(M < 0)[0]) > 0:
-            raise exception.DataInvalid(
-                'The supplied matrix contained a negative '
-                'probability:\n%s' % M)
+    if (P < 0).any() or (Q < 0).any():
+        bad = P if (P < 0).any() else Q
+        raise exception.DataInvalid(
+            'The supplied matrix contained a negative '
+            'probability:\n%s' % bad)
 
-    with warnings.catch_warnings():
-        warnings.simplefilter('ignore', category=RuntimeWarning)
-        log_likelihoods = P * np.log(P / Q)
-    log_likelihoods[np.where(np.isnan(log_likelihoods))] = 0
-
-    axis_sum = 0 if len(P.shape) == 1 else 1
-    divergence = np.sum(log_likelihoods, axis=axis_sum)
-    return divergence / np.log(base)
+    # rel_entr(p, q) = p*log(p/q) with the 0-limits built in
+    return rel_entr(P, Q).sum(axis=-1) / np.log(base)
 
 
 def js_divergence(p, q):
-    """(reference: entropy.py:261)"""
-    m = 0.5 * (p + q)
-    return 0.5 * kl_divergence(p, m) + 0.5 * kl_divergence(q, m)
+    """Jensen–Shannon divergence (bits): symmetrized KL of each input
+    against their even mixture."""
+    p, q = np.asarray(p, float), np.asarray(q, float)
+    mix = (p + q) / 2
+    both = rel_entr(p, mix).sum(axis=-1) + rel_entr(q, mix).sum(axis=-1)
+    return both / (2 * np.log(2))
+
+
+def energy_to_probability(u, kT=2.479):
+    """Boltzmann-weight free energies ``u`` (kJ/mol) into populations.
+
+    softmax(-u/kT) — shift-invariance makes any baseline choice (mean,
+    max, ...) equivalent.
+    """
+    return softmax(np.asarray(u, dtype=float) / -kT)
+
+
+def Q_from_assignments(assignments, n_states=None, lag_time=1,
+                       builder=builders.normalize, prior_counts=None):
+    """Estimate the comparison matrix Q for relative-entropy work
+    directly from state assignments.
+
+    The default pseudocount is one observation spread over the whole
+    dataset (1 / total transition count), which keeps every Q cell
+    positive so D(P‖Q) stays finite.
+    """
+    if prior_counts is None:
+        n_transitions = sum(len(traj) - 1 for traj in assignments)
+        prior_counts = 1.0 / n_transitions
+
+    counts = assigns_to_counts(assignments, max_n_states=n_states,
+                               lag_time=lag_time)
+    dense = np.asarray(counts.todense(), dtype=float) + prior_counts
+
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        probs = builder(dense, calculate_eq_probs=False)[1]
+    return probs
+
+
+def relative_entropy_per_state(P, Q=None, assignments=None, weights=1,
+                               state_subset=None, base=2.0, **kwargs):
+    """Per-state relative entropy: D(P(i)‖Q(i)) for each row i,
+    optionally weighted and restricted to ``state_subset``.
+
+    Q may be given directly or estimated from ``assignments`` via
+    :func:`Q_from_assignments` (kwargs forwarded).
+    """
+    if Q is None:
+        if assignments is None:
+            raise exception.ImproperlyConfigured(
+                'must specify Q or calculate Q from assignments')
+        Q = Q_from_assignments(assignments, n_states=P.shape[0],
+                               **kwargs)
+
+    row_divs = kl_divergence(P, Q, base=base)
+    if state_subset is not None:
+        row_divs = row_divs[state_subset]
+    return row_divs * weights
+
+
+def relative_entropy_msm(P, Q=None, assignments=None, populations=None,
+                         state_subset=None, base=2.0, **kwargs):
+    """Total relative entropy between MSMs:
+    D(P‖Q) = Σ_i π_i · D(P(i)‖Q(i)), with π the stationary
+    distribution of the reference matrix P (renormalized over the
+    subset when one is given).
+    """
+    per_state = relative_entropy_per_state(
+        P, Q=Q, assignments=assignments, state_subset=state_subset,
+        base=base, **kwargs)
+
+    if populations is None:
+        pi = eq_probs(P)
+        if state_subset is not None:
+            pi = pi[state_subset]
+        populations = pi / pi.sum()
+
+    return float(np.asarray(populations) @ per_state)

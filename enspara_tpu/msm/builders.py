@@ -1,9 +1,10 @@
 """Counts -> transition-probability builders, uniform signature
 ``(C, prior_counts, calculate_eq_probs) -> (C, T, eq_probs)``.
-(reference: enspara/msm/builders.py)
 
-All builders are container-polymorphic: scipy sparse matrices in give
-the same sparse type out; ndarrays give ndarrays.
+Capability parity with enspara/msm/builders.py (estimators: ``mle``,
+``transpose``, ``normalize``), designed around two small container
+helpers so every estimator is polymorphic over scipy sparse types and
+ndarrays: whatever container goes in comes back out.
 
 ``mle_device`` is the TPU-side Jacobi reformulation of the Prinz MLE:
 every (i, j) pair updates from the current row sums simultaneously
@@ -26,96 +27,107 @@ logger = logging.getLogger(__name__)
 __all__ = ['mle', 'transpose', 'normalize', 'mle_device']
 
 
+def _with_pseudocounts(counts, pseudo):
+    """Add a scalar or matrix of pseudocounts, densifying only when
+    scipy can't represent the result (sparse + nonzero scalar touches
+    every cell, which scipy refuses to do implicitly)."""
+    if pseudo is None:
+        return counts
+    must_densify = (scipy.sparse.issparse(counts)
+                    and np.ndim(pseudo) == 0 and pseudo != 0)
+    if must_densify:
+        counts = np.array(counts.todense())
+    return counts + pseudo
+
+
+def _stochasticize(counts):
+    """Row-normalize a counts container into transition probabilities.
+
+    Zero rows stay zero (their reciprocal weight is defined as 0), and
+    the container type is preserved: sparse in -> same sparse type out,
+    array-like in -> ndarray out.
+    """
+    row_mass = np.ravel(np.asarray(counts.sum(axis=1), dtype=np.float64))
+    recip = np.where(row_mass > 0, 1.0, 0.0)
+    recip /= np.where(row_mass > 0, row_mass, 1.0)
+
+    if scipy.sparse.issparse(counts):
+        scaled = scipy.sparse.diags(recip) @ \
+            scipy.sparse.csr_matrix(counts).asfptype()
+        return type(counts)(scaled)
+    return np.asarray(counts) * recip[:, None]
+
+
 @cite('prinz-mle')
 def mle(C, prior_counts=None, calculate_eq_probs=True):
-    """Detailed-balance maximum-likelihood estimator (Prinz).
-    (reference: builders.py:24)"""
-    C = _apply_prior_counts(C, prior_counts)
+    """Detailed-balance maximum-likelihood estimator (Prinz et al.,
+    J. Chem. Phys. 134, 174105, 2011). Capability match for the
+    reference's ``builders.mle``; the Gauss-Seidel inner loop runs in
+    the native kernel (see native/prinz.cpp).
 
-    sparsetype = np.array
+    The stationary distribution falls out of the solve itself, so
+    ``calculate_eq_probs=False`` can only drop it (with a warning),
+    never skip the work.
+    """
+    C = _with_pseudocounts(C, prior_counts)
+
+    repack = np.array
     if scipy.sparse.issparse(C):
-        sparsetype = type(C)
+        repack = type(C)
         C = np.asarray(C.todense())
 
+    T, stationary = _mle_prinz_dense(C)
     if not calculate_eq_probs:
         warnings.warn('MLE method cannot suppress calculation of '
                       'equilibrium probabilities, since they are '
                       'calculated together.', category=RuntimeWarning)
-        T, equilibrium = _mle_prinz_dense(C)
-        equilibrium = None
-    else:
-        T, equilibrium = _mle_prinz_dense(C)
+        stationary = None
 
-    C = sparsetype(C)
-    T = sparsetype(T)
-    return C, T, equilibrium
+    return repack(C), repack(T), stationary
+
+
+def _estimate(C, pseudo, want_eq, symmetrize):
+    """Shared core of the two closed-form estimators.
+
+    With ``symmetrize`` the counts are reversibilized as (C + Cᵀ)/2
+    first, which makes the stationary distribution a cheap row-mass
+    ratio; without it the stationary distribution needs the top left
+    eigenvector of T.
+    """
+    counts = _with_pseudocounts(C, pseudo)
+    work = counts + counts.T if symmetrize else counts
+    T = _stochasticize(work)
+
+    # symmetrization widens some sparse containers (e.g. dia -> csr);
+    # pin both outputs back to the caller's container
+    if not isinstance(T, type(counts)):
+        T = type(counts)(T)
+        work = type(counts)(work)
+
+    if symmetrize:
+        pi = None
+        if want_eq:
+            pi = np.ravel(np.asarray(work.sum(axis=1) / work.sum()))
+        # halve via scalar multiply: integer sparse types then upcast
+        # to float instead of truncating the half-counts
+        return work * 0.5, T, pi
+
+    return counts, T, (eq_probs(T) if want_eq else None)
 
 
 def transpose(C, prior_counts=None, calculate_eq_probs=True):
-    """Symmetrization estimator: T = rownorm(C + C.T), eq from row sums.
-    (reference: builders.py:83)"""
-    C = _apply_prior_counts(C, prior_counts)
-
-    C_sym = C + C.T
-    probs = _row_normalize(C_sym)
-
-    if type(C) is not type(probs):
-        probs = type(C)(probs)
-        C_sym = type(C)(C_sym)
-
-    equilibrium = None
-    if calculate_eq_probs:
-        equilibrium = np.array(C_sym.sum(axis=1) / C_sym.sum()).flatten()
-
-    # scalar multiply (not divide) so integer sparse types upcast to
-    # float instead of truncating the half-counts
-    return C_sym * 0.5, probs, equilibrium
+    """Symmetrization estimator: detailed balance imposed by averaging
+    forward and reverse counts, T = rownorm(C + Cᵀ)."""
+    return _estimate(C, prior_counts, calculate_eq_probs,
+                     symmetrize=True)
 
 
 def normalize(C, prior_counts=None, calculate_eq_probs=True):
-    """Simple row normalization; eq probs from the top left eigenvector.
-    (reference: builders.py:123)"""
-    C = _apply_prior_counts(C, prior_counts)
-
-    probs = _row_normalize(C)
-
-    equilibrium = None
-    if calculate_eq_probs:
-        equilibrium = eq_probs(probs)
-
-    return C, probs, equilibrium
-
-
-def _apply_prior_counts(C, prior_counts):
-    """(reference: builders.py:160)"""
-    if prior_counts is not None:
-        try:
-            C = C + prior_counts
-        except NotImplementedError:
-            C = np.array(C.todense()) + prior_counts
-    return C
-
-
-def _row_normalize(C):
-    """(reference: builders.py:171)"""
-    n_states = C.shape[0]
-
-    if scipy.sparse.issparse(C):
-        C_csr = scipy.sparse.csr_matrix(C).asfptype()
-        weights = np.asarray(C_csr.sum(axis=1)).flatten()
-        inv_weights = np.zeros(n_states)
-        inv_weights[weights > 0] = 1.0 / weights[weights > 0]
-        inv_weights = scipy.sparse.dia_matrix(
-            (inv_weights, 0), C_csr.shape).tocsr()
-        T = inv_weights.dot(C_csr)
-        T = type(C)(T)
-    else:
-        C = np.array(C)
-        weights = np.asarray(C.sum(axis=1)).flatten()
-        inv_weights = np.zeros(n_states)
-        inv_weights[weights > 0] = 1.0 / weights[weights > 0]
-        T = C * inv_weights.reshape((n_states, 1))
-    return T
+    """Plain row normalization (no detailed-balance constraint); the
+    stationary distribution comes from the top left eigenvector, which
+    is the expensive part and can be skipped."""
+    return _estimate(C, prior_counts, calculate_eq_probs,
+                     symmetrize=False)
 
 
 def mle_device(C, prior_counts=None, calculate_eq_probs=True,
@@ -131,7 +143,7 @@ def mle_device(C, prior_counts=None, calculate_eq_probs=True,
     import jax
     import jax.numpy as jnp
 
-    C_in = _apply_prior_counts(C, prior_counts)
+    C_in = _with_pseudocounts(C, prior_counts)
     if scipy.sparse.issparse(C_in):
         C_arr = np.asarray(C_in.todense(), dtype=np.float32)
         recast = type(C_in)

@@ -1,0 +1,127 @@
+"""Function-level similarity check vs the reference checkout.
+
+For each function in a repo file, strip docstrings and comments, then
+compare the normalized body against every function in the corresponding
+reference file(s) with difflib; report the best match. Used to verify
+that rewrites are genuinely original (target: < 0.5 for every function).
+
+Usage:
+    python tools/simcheck.py enspara_tpu/geometry/helix.py \
+        /root/reference/enspara/geometry/helix.py
+    python tools/simcheck.py --all   # the round-2 VERDICT flagged set
+"""
+
+import ast
+import difflib
+import io
+import sys
+import tokenize
+
+
+def _strip(src_lines, node):
+    """Return normalized body text of a function node: docstring gone,
+    comments gone, identifiers kept, whitespace collapsed."""
+    seg = '\n'.join(src_lines[node.lineno - 1:node.end_lineno])
+    try:
+        tree = ast.parse('\n'.join(
+            line[node.col_offset:] if i == 0 else line
+            for i, line in enumerate(seg.split('\n'))))
+    except SyntaxError:
+        # decorated or oddly indented; fall back to raw text
+        tree = None
+    if tree is not None:
+        fn = tree.body[0]
+        body = fn.body
+        if (body and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)):
+            body = body[1:]
+        seg = '\n'.join(ast.unparse(stmt) for stmt in body)
+    # drop comments via tokenize on the unparsed text (unparse already
+    # removes them, but the fallback path may keep them)
+    out = []
+    try:
+        for tok in tokenize.generate_tokens(io.StringIO(seg).readline):
+            if tok.type in (tokenize.COMMENT,):
+                continue
+            out.append(tok.string)
+    except tokenize.TokenizeError:
+        out = seg.split()
+    text = ' '.join(t for t in out if t.strip())
+    return text
+
+
+def functions(path):
+    src = open(path).read()
+    lines = src.split('\n')
+    tree = ast.parse(src)
+    fns = {}
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            fns[node.name] = _strip(lines, node)
+    return fns
+
+
+def compare(repo_path, ref_path, thresh=0.0):
+    ours = functions(repo_path)
+    theirs = functions(ref_path)
+    rows = []
+    for name, body in sorted(ours.items()):
+        if len(body) < 80:      # trivial bodies match by accident
+            continue
+        best, best_name = 0.0, ''
+        for rname, rbody in theirs.items():
+            r = difflib.SequenceMatcher(None, body, rbody).ratio()
+            if r > best:
+                best, best_name = r, rname
+        if best >= thresh:
+            rows.append((best, name, best_name))
+    return rows
+
+
+FLAGGED = [
+    ('enspara_tpu/geometry/helix.py',
+     '/root/reference/enspara/geometry/helix.py'),
+    ('enspara_tpu/geometry/dyes_from_expt_dist.py',
+     '/root/reference/enspara/geometry/dyes_from_expt_dist.py'),
+    ('enspara_tpu/geometry/dye_lifetimes.py',
+     '/root/reference/enspara/geometry/dye_lifetimes.py'),
+    ('enspara_tpu/info_theory/entropy.py',
+     '/root/reference/enspara/info_theory/entropy.py'),
+    ('enspara_tpu/info_theory/mutual_info.py',
+     '/root/reference/enspara/info_theory/mutual_info.py'),
+    ('enspara_tpu/info_theory/exposons.py',
+     '/root/reference/enspara/info_theory/exposons.py'),
+    ('enspara_tpu/msm/builders.py',
+     '/root/reference/enspara/msm/builders.py'),
+    ('enspara_tpu/tpt/tpt.py',
+     '/root/reference/enspara/tpt/tpt.py'),
+    ('enspara_tpu/cards/disorder.py',
+     '/root/reference/enspara/cards/disorder.py'),
+    ('enspara_tpu/geometry/explicit_r0_calc.py',
+     '/root/reference/enspara/geometry/explicit_r0_calc.py'),
+]
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] != '--all':
+        pairs = [(sys.argv[1], sys.argv[2])]
+    else:
+        pairs = FLAGGED
+    worst = 0.0
+    for repo_path, ref_path in pairs:
+        rows = compare(repo_path, ref_path)
+        flagged = [r for r in rows if r[0] >= 0.5]
+        print(f'== {repo_path}  '
+              f'({len(flagged)} functions >= 0.5 of {len(rows)})')
+        for best, name, rname in sorted(rows, reverse=True):
+            mark = ' <<<' if best >= 0.5 else ''
+            print(f'  {best:.2f}  {name}  ~  {rname}{mark}')
+            worst = max(worst, best)
+    print(f'\nmax similarity: {worst:.2f} '
+          f'({"FAIL >= 0.5" if worst >= 0.5 else "ok"})')
+    return 1 if worst >= 0.5 else 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
