@@ -36,30 +36,26 @@ def traj_ord_disord_times(transition_times):
     """Ordered/disordered characteristic times from a single dihedral's
     transition frames, plus their frame weights.
     (reference: disorder.py:46)"""
-    num_transitions = transition_times.shape[0]
+    tt = np.asarray(transition_times)
 
-    disord_time = 0.0
-    n_disord = 0.0
-    ord_time = 0.0
-    n_ord = 0.0
+    if tt.shape[0] == 0:
+        return 0.0, 0.0, 0.0, 0.0
 
-    if num_transitions == 1:
-        waiting_time = transition_times[0]
-        n_ord = waiting_time
-        ord_time = waiting_time * (waiting_time + 1.0) / 2
-    elif num_transitions > 1:
-        time_between = np.diff(transition_times)
-        disord_time = time_between.mean()
+    if tt.shape[0] == 1:
+        # a single event: triangular waiting-time sum, unnormalized
+        # (matching the reference's single-transition convention)
+        first = float(tt[0])
+        return first * (first + 1.0) / 2, first, 0.0, 0.0
 
-        max_waiting = np.concatenate(
-            [[transition_times[0]], time_between]).astype(float)
-        sum_waiting = max_waiting * (max_waiting + 1.0) / 2
-        ord_time = sum_waiting.sum() / max_waiting.sum()
+    gaps = np.diff(tt)
+    # waiting times: start -> first event, then event -> event
+    waits = np.concatenate([tt[:1], gaps]).astype(float)
+    per_segment = waits * (waits + 1.0) / 2
 
-        n_disord = transition_times[-1] - transition_times[0]
-        n_ord = transition_times[-1]
-
-    return ord_time, n_ord, disord_time, n_disord
+    return (per_segment.sum() / waits.sum(),   # ordered time
+            float(tt[-1]),                     # frames counting ordered
+            gaps.mean(),                       # disordered time
+            float(tt[-1] - tt[0]))             # frames counting disord.
 
 
 def create_disorder_traj(transition_times, traj_len, ord_time,
@@ -146,29 +142,23 @@ def assign_order_disorder(rotamer_trajs):
 def transition_stats(rotamer_trajs):
     """Transition frames plus trajectory-weighted mean ordered and
     disordered times per feature. (reference: disorder.py:185)"""
-    n_traj = len(rotamer_trajs)
     n_features = rotamer_trajs[0].shape[1]
 
+    # stats[i, j] = (ord_time, n_ord, disord_time, n_disord) for
+    # feature j of trajectory i
     transition_times = []
-    ordered_times = np.zeros((n_traj, n_features))
-    n_ordered = np.zeros((n_traj, n_features))
-    disordered_times = np.zeros((n_traj, n_features))
-    n_disordered = np.zeros((n_traj, n_features))
+    stats = np.zeros((len(rotamer_trajs), n_features, 4))
+    for i, traj in enumerate(rotamer_trajs):
+        per_feature = [transitions(traj[:, j])
+                       for j in range(n_features)]
+        transition_times.append(per_feature)
+        stats[i] = [traj_ord_disord_times(tt) for tt in per_feature]
 
-    for i in range(n_traj):
-        transition_times.append([])
-        for j in range(n_features):
-            tt = transitions(rotamer_trajs[i][:, j])
-            transition_times[i].append(tt)
-            (ordered_times[i, j], n_ordered[i, j],
-             disordered_times[i, j],
-             n_disordered[i, j]) = traj_ord_disord_times(tt)
-
-    trj_lengths = np.array([len(a) for a in rotamer_trajs])
-    mean_ordered = aggregate_mean_times(ordered_times, n_ordered,
-                                        trj_lengths)
-    mean_disordered = aggregate_mean_times(disordered_times,
-                                           n_disordered, trj_lengths)
+    spans = np.asarray([len(t) for t in rotamer_trajs])
+    mean_ordered = aggregate_mean_times(stats[..., 0], stats[..., 1],
+                                        spans)
+    mean_disordered = aggregate_mean_times(stats[..., 2],
+                                           stats[..., 3], spans)
     return transition_times, mean_ordered, mean_disordered
 
 

@@ -46,19 +46,20 @@ def exposons(trj, damping, weights=None, probe_radius=0.28,
 
 @cite('exposons')
 def exposons_from_sasas(sasas, damping, weights, threshold):
-    """Exposons from precomputed sidechain SASAs.
-    (reference: exposons.py:86)"""
-    sasa_mi = weighted_mi(sasas > threshold, weights)
+    """Exposons from precomputed sidechain SASAs: dichotomize exposure
+    at ``threshold``, take the frame-weighted MI between sidechains,
+    and cluster the MI matrix. (capability match: exposons.py:86)"""
+    exposure = np.asarray(sasas) > threshold
+    mi_mtx = weighted_mi(exposure, weights)
 
-    c = AffinityPropagation(
-        damping=damping,
-        affinity='precomputed',
-        preference=0,
-        max_iter=10000,
-        random_state=0)
-    c.fit(sasa_mi)
+    # clustering hyperparameters pinned to the publication: MI as a
+    # precomputed affinity, preference 0, random_state 0 (sklearn's
+    # behavior at publication time; also makes results deterministic)
+    ap_params = dict(affinity='precomputed', damping=damping,
+                     preference=0, random_state=0, max_iter=10000)
+    labels = AffinityPropagation(**ap_params).fit_predict(mi_mtx)
 
-    return sasa_mi, c.labels_
+    return mi_mtx, labels
 
 
 _BACKBONE_NAMES = frozenset(
@@ -85,17 +86,19 @@ def condense_sidechain_sasas(sasas, top):
             'Topology must have more than one residue.')
     if top.n_atoms != sasas.shape[1]:
         raise exception.DataInvalid(
-            "The number of atoms in top (%s) didn't match the number of "
-            "SASAs provided (%s). Make sure you computed atom-level "
-            "SASAs (mode='atom') and that you've passed the correct "
-            'topology file and array of SASAs'
-            % (top.n_atoms, sasas.shape[1]))
+            'need one SASA column per topology atom (%d columns, %d '
+            "atoms) -- were the SASAs computed with mode='atom' against "
+            'this topology?' % (sasas.shape[1], top.n_atoms))
 
     sc_ids = get_sidechain_atom_ids(top)
-    rsd_sasas = np.zeros((sasas.shape[0], len(sc_ids)), dtype='float32')
-    for i, aa in enumerate(sc_ids):
-        if len(aa) == 0:
-            logger.warning('Found 0 sidechain atoms for residue %s.', i)
-            continue
-        rsd_sasas[:, i] = np.sum(sasas[:, aa], axis=1)
-    return rsd_sasas
+
+    # one 0/1 membership matrix, so the condensation is a single
+    # (frames x atoms) @ (atoms x residues) product — MXU-friendly and
+    # free of per-residue host loops over the frame axis
+    member = np.zeros((sasas.shape[1], len(sc_ids)), dtype='float32')
+    for r, ids in enumerate(sc_ids):
+        if ids.size == 0:
+            logger.warning('Found 0 sidechain atoms for residue %s.', r)
+        member[ids, r] = 1.0
+
+    return np.asarray(sasas, dtype='float32') @ member

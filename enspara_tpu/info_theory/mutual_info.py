@@ -29,28 +29,27 @@ def mi_matrix(Xs, Ys, n_x, n_y, normalize=True, mesh=None):
     """All-pairs MI across trajectories of assigned (discretized)
     features. With ``mesh``, joint counting shards the frame axis
     across the device mesh (see ``libinfo.matrix_bincount2d``).
-    (reference: mutual_info.py:23)"""
-    jc = None
-    for i, (X, Y) in enumerate(zip(Xs, Ys)):
+    (capability match: mutual_info.py:23)"""
+    hi_x, hi_y = int(np.max(n_x)), int(np.max(n_y))
+
+    total = None
+    for k, (X, Y) in enumerate(zip(Xs, Ys)):
         # device arrays pass through untouched (joint_counts consumes
         # them in place; forcing np.asarray would pull them to host)
-        jc_i = joint_counts(X, Y,
-                            int(np.max(n_x)), int(np.max(n_y)),
-                            mesh=mesh)
-        if jc is None:
-            jc = jc_i.astype(np.int64)
-        else:
-            if jc.shape != jc_i.shape:
-                raise exception.DataInvalid(
-                    'Trajectory %s gave a joint counts matrix of shape '
-                    '%s where %s was expected. Are you sure all your '
-                    'trajectories have the same number of features?'
-                    % (i, jc_i.shape, jc.shape))
-            jc += jc_i
+        block = joint_counts(X, Y, hi_x, hi_y, mesh=mesh)
+        if total is None:
+            total = block.astype(np.int64)
+            continue
+        if total.shape != block.shape:
+            raise exception.DataInvalid(
+                'joint-count block %d has shape %s where %s was '
+                'expected -- do all trajectories carry the same '
+                'feature set?' % (k, block.shape, total.shape))
+        total += block
 
-    mi = mutual_information(jc)
+    mi = mutual_information(total)
     if normalize:
-        mi = channel_capacity_normalization(mi, n_x, n_y)
+        return channel_capacity_normalization(mi, n_x, n_y)
     return mi
 
 
@@ -83,7 +82,7 @@ def mutual_information(jc):
     """MI of a 4-D array of joint count matrices -> (Fa, Fb).
     (reference: mutual_info.py:272, devectorized there; vectorized
     here)"""
-    jc = _validate_joint_counts_matrix(jc).astype(np.float64)
+    jc = _require_4d_joint_counts(jc).astype(np.float64)
 
     n_obs_a = jc.sum(axis=-1)             # (Fa, Fb, n_x)
     n_obs_b = jc.sum(axis=-2)             # (Fa, Fb, n_y)
@@ -200,149 +199,136 @@ def weighted_mi(features, weights, n_feature_states=None, normalize=True):
 
 
 def mi_to_nmi_apc(mutual_information, H_marginal=None):
-    """NMI-APC (Lopez et al.): (MI - APC) / H_joint.
-    (reference: mutual_info.py:330)"""
-    _validate_mutual_information_matrix(mutual_information)
+    """NMI-APC score of Lopez et al. 2017: (MI - APC) / H_joint.
 
-    apc_arr = mi_to_apc(mutual_information)
-    nmi = mi_to_nmi(mutual_information, H_marginal)
+    H_joint is recovered from the NMI itself (NMI = MI / H_joint, so
+    H_joint = MI / NMI); cells where it degenerates to 0/0 are defined
+    as carrying no information.
+    """
+    _require_square_symmetric(mutual_information)
+    mi = np.asarray(mutual_information, dtype=np.float64)
 
-    with warnings.catch_warnings():
-        warnings.simplefilter('ignore')
-        H_joint = (nmi ** -1) * mutual_information
-
-    nmi_apc_arr = mutual_information - apc_arr
-    with warnings.catch_warnings():
-        warnings.simplefilter('ignore')
-        nmi_apc_arr = nmi_apc_arr / H_joint
-
-    nmi_apc_arr[np.isnan(nmi_apc_arr)] = 0
-    return nmi_apc_arr
+    nmi = mi_to_nmi(mi, H_marginal)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        pair_H = mi / nmi
+        score = (mi - mi_to_apc(mi)) / pair_H
+    return np.where(np.isnan(score), 0.0, score)
 
 
 def deconvolute_network(G_obs):
-    """Network deconvolution (Feizi et al. 2013): eigenvalue transform
-    v -> v/(1+v). (reference: mutual_info.py:405)"""
-    from numpy.linalg import eig, inv
-    v, w = eig(G_obs)
-    v_dir = v / (1 + v)
-    sig_dir = np.diagflat(v_dir)
-    return np.matmul(np.matmul(w, sig_dir), inv(w))
+    """Network deconvolution (Feizi et al. 2013).
+
+    Solves G_obs = G_dir + G_dir^2 + ... for the direct network: in the
+    eigenbasis of G_obs each eigenvalue shrinks as v -> v / (1 + v).
+    """
+    lam, V = np.linalg.eig(G_obs)
+    shrunk = lam / (lam + 1.0)
+    return (V * shrunk) @ np.linalg.inv(V)
 
 
 def mi_to_nmi(mutual_information, H_marginal=None):
-    """NMI(i,j) = MI(i,j)/H_joint(i,j). (reference: mutual_info.py:442)"""
-    _validate_mutual_information_matrix(mutual_information)
+    """Normalized MI: NMI(i,j) = MI(i,j) / H_joint(i,j), with
+    H_joint(i,j) = H_i + H_j - MI(i,j) from the marginal entropies
+    (taken from the MI diagonal when not given)."""
+    _require_square_symmetric(mutual_information)
+    mi = np.array(mutual_information, dtype=np.float64)  # leave caller's intact
 
     if H_marginal is None:
-        H_marginal = np.diag(mutual_information)
-    if np.any(H_marginal == 0):
+        H_marginal = np.diag(mi).copy()
+    H_marginal = np.asarray(H_marginal)
+
+    if (H_marginal == 0).any():
         warnings.warn('H_marginal contains zero entries. This may lead '
                       'to negative information.')
-    if len(H_marginal) != len(mutual_information):
+    if H_marginal.shape[0] != mi.shape[0]:
         raise exception.DataInvalid(
-            'H_marginal must be the same length as the mutual '
-            'information matrix. Got %s and %s.'
-            % (len(H_marginal), len(mutual_information)))
-    if np.all(H_marginal == 0) or np.any(np.isnan(H_marginal)):
+            'need one marginal entropy per feature: %d marginals for a '
+            '%d-feature MI matrix' % (H_marginal.shape[0], mi.shape[0]))
+    if np.isnan(H_marginal).any() or not H_marginal.any():
         raise exception.DataInvalid(
-            'The mutual information matrix must have non-zero entries '
-            'and cannot contain any nan values.')
+            'marginal entropies must be nan-free and not all zero; got '
+            '%s' % (H_marginal,))
 
-    mutual_information = mutual_information.copy()
-    mutual_information[np.diag_indices_from(mutual_information)] = \
-        H_marginal
+    np.fill_diagonal(mi, H_marginal)
+    pair_H = np.add.outer(H_marginal, H_marginal) - mi
+    with np.errstate(divide='ignore', invalid='ignore'):
+        nmi = mi / pair_H
 
-    H_joint = (H_marginal[:, None] + H_marginal[None, :]
-               - mutual_information)
-    with warnings.catch_warnings():
-        warnings.simplefilter('ignore')
-        nmi = mutual_information / H_joint
-
-    np.fill_diagonal(nmi, 1)
-    nmi[np.isnan(nmi)] = 0
-    return nmi
+    np.fill_diagonal(nmi, 1.0)
+    return np.where(np.isnan(nmi), 0.0, nmi)
 
 
 def mi_to_apc(mi_arr):
-    """Average product correlation: (MI @ MI) / n^2.
-    (reference: mutual_info.py:513)"""
-    _validate_mutual_information_matrix(mi_arr)
-    return np.matmul(mi_arr, mi_arr) / (len(mi_arr) * len(mi_arr))
+    """Average product correction of Dunn et al. 2008:
+    APC(i,j) = sum_r MI(i,r) MI(j,r) / n^2, i.e. (MI @ MI) / n^2."""
+    _require_square_symmetric(mi_arr)
+    scaled = np.asarray(mi_arr) / len(mi_arr)
+    return scaled @ scaled
 
 
 def channel_capacity_normalization(mi, n_x, n_y):
-    """Normalize by log(min(n_x_i, n_y_j)).
-    (reference: mutual_info.py:551)"""
-    mi = mi.copy()
-    n_x = _validate_feature_states_array(n_x, mi.shape[0])
-    n_y = _validate_feature_states_array(n_y, mi.shape[1])
+    """Scale each MI cell by its channel capacity, the log of the
+    smaller alphabet of the pair (orientation follows the reference:
+    cell (i, j) is capped by min(n_x[j], n_y[i]))."""
+    rows = _require_alphabet_sizes(n_x, np.shape(mi)[0])
+    cols = _require_alphabet_sizes(n_y, np.shape(mi)[1])
 
-    assert np.all(n_x >= 2)
-    assert np.all(n_y >= 2)
-
-    min_num_states = np.fmin(*np.meshgrid(n_x, n_y))
-    np.divide(mi, np.log(min_num_states), out=mi)
-    return mi
+    cap = np.minimum(rows[None, :], cols[:, None])
+    return np.asarray(mi, dtype=np.float64) / np.log(cap)
 
 
 def check_features_states(states, n_states):
-    """(reference: mutual_info.py:585)"""
-    n_features = len(n_states)
-    if len(states[0][0]) != n_features:
+    """Sanity-check that every trajectory of assigned features is as
+    wide as the number-of-states vector."""
+    widths = [len(traj[0]) for traj in states]
+    if widths[0] != len(n_states):
         raise exception.DataInvalid(
-            "The number-of-states vector's length ({s}) didn't match "
-            'the width of state assignments array with shape {a}.'
-            .format(s=len(n_states), a=len(states[0][0])))
-    if not all(len(t[0]) == len(states[0][0]) for t in states):
+            'number-of-states vector has %d entries but the state '
+            'assignments are %d features wide' % (len(n_states),
+                                                  widths[0]))
+    if len(set(widths)) != 1:
         raise exception.DataInvalid(
-            'The number of features differs between trajectories. '
-            'Numbers of features were: {l}.'
-            .format(l=[len(t[0]) for t in states]))
+            'feature count differs across trajectories: widths were %s'
+            % (widths,))
 
 
-def _validate_joint_counts_matrix(jc):
+def _require_4d_joint_counts(jc):
     jc = np.asarray(jc)
-    if len(jc.shape) == 2:
+    if jc.ndim != 4:
+        hint = (' -- a single joint-counts matrix can be lifted with '
+                'jc[None, None, ...]' if jc.ndim == 2 else '')
         raise exception.DataInvalid(
-            'Expected a 4D array of joint counts matrices, but got a 2D '
-            'array. If your dataset is a single joint counts matrix, '
-            'try `jc[None, None, ...]` to expand its dimensions.')
-    if len(jc.shape) != 4:
-        raise exception.DataInvalid(
-            'Expected a 4D array of joint counts matrices, but an array '
-            'with shape %s.' % (jc.shape,))
+            'joint counts must be 4-D (f_a, f_b, s_a, s_b); got '
+            '%d-D%s' % (jc.ndim, hint))
     return jc
 
 
-def _validate_mutual_information_matrix(mi):
-    if len(mi.shape) != 2:
+def _require_square_symmetric(mi):
+    shape = np.shape(mi)
+    if len(shape) != 2:
         raise exception.DataInvalid(
-            'MI arrays must be 2D. Got %s.' % len(mi.shape))
-    if mi.shape[0] != mi.shape[1]:
+            'an MI matrix is 2-D; this array is %d-D' % len(shape))
+    if shape[0] != shape[1]:
         raise exception.DataInvalid(
-            'Mutual information matrices must be square; got shape %s.'
-            % (mi.shape,))
-    if not np.allclose(mi.T, mi):
-        raise exception.DataInvalid(
-            'Mutual information matrices must be symmetric.')
+            'an MI matrix is square; this one is %s' % (shape,))
+    if not np.allclose(np.transpose(mi), mi):
+        raise exception.DataInvalid('an MI matrix is symmetric')
 
 
-def _validate_feature_states_array(n, mi_dim):
-    if not hasattr(n, '__len__'):
-        n = np.full(mi_dim, n, dtype='int')
-    else:
-        n = np.array(n)
+def _require_alphabet_sizes(n, mi_dim):
+    n = np.asarray(n)
+    if n.ndim == 0:
+        n = np.repeat(n, mi_dim)
 
-    if np.any(n < 2):
+    if (n < 2).any():
         raise exception.DataInvalid(
-            'Cannot normalize channel capacity for n_states < 1, got: %s'
-            % n)
-    if len(n) != mi_dim:
+            'channel capacity is undefined for features with fewer '
+            'than 2 states; alphabet sizes were %s' % (n,))
+    if n.shape[0] != mi_dim:
         raise exception.DataInvalid(
-            'Feature states array must match mi array dim 0 '
-            '(got %s and %s)' % (len(n), mi_dim))
-    if not issubclass(n.dtype.type, numbers.Integral):
+            'need one alphabet size per feature: got %d sizes for MI '
+            'dimension %d' % (n.shape[0], mi_dim))
+    if not np.issubdtype(n.dtype, np.integer):
         raise exception.DataInvalid(
-            'Feature states array must be integral (got %s).' % n.dtype)
+            'alphabet sizes must be integers (dtype was %s)' % n.dtype)
     return n
