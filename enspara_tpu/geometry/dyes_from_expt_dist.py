@@ -40,13 +40,15 @@ def FRET_efficiency(dists, r0, offset=0):
 
 
 def make_distribution(probs, bin_edges):
-    """(distance, probability) rows per state. (reference: :19)"""
-    probs_norm = ra.RaggedArray([np.asarray(p) / np.asarray(p).sum()
-                                 for p in probs])
-    dist_vals = (bin_edges[:, 1:] + bin_edges[:, :-1]) / 2.
-    return ra.RaggedArray(
-        np.vstack([dist_vals._data, probs_norm._data]).T,
-        lengths=probs_norm.lengths)
+    """(distance, probability) rows per state: bin centers paired with
+    unit-mass probabilities, one ragged row per state."""
+    rows = []
+    for p, edges in zip(probs, bin_edges):
+        p = np.asarray(p, dtype=np.float64)
+        e = np.asarray(edges)
+        centers = (e[1:] + e[:-1]) / 2.
+        rows.append(np.stack([centers, p / p.sum()], axis=1))
+    return ra.RaggedArray(rows)
 
 
 def load_dye(dye):
@@ -71,11 +73,12 @@ def load_dye(dye):
 
 
 def norm_vec(vec):
-    """(reference: :64)"""
+    """Unit-length row(s); accepts one vector or a stack of them."""
     vec = np.asarray(vec)
-    if vec.ndim == 2:
-        return vec / np.sqrt(np.einsum('ij,ij->i', vec, vec))[:, None]
-    return vec / np.sqrt(np.dot(vec, vec))
+    if vec.ndim == 1:
+        return vec / np.sqrt(vec @ vec)
+    mags = np.sqrt((vec * vec).sum(axis=-1))
+    return vec / mags[:, None]
 
 
 def divide_chunks(seq, n):
@@ -89,75 +92,68 @@ def int_norm(xs, ys):
 
 
 def find_atom_index(pdb, resSeq, atom_name):
-    """(reference: :127)"""
-    for residue in pdb.top.residues:
-        if residue.resSeq == resSeq:
-            for atom in residue.atoms:
-                if atom.name == atom_name:
-                    return atom.index
-    return None
+    """Index of the first atom called ``atom_name`` in the first
+    residue with the given resSeq (None when absent)."""
+    matches = pdb.top.select(
+        f'resSeq {int(resSeq)} and name {atom_name}')
+    return int(matches[0]) if len(matches) else None
 
 
 def calc_cb_coords(pdb, resSeqs=None):
     """Ideal CB positions from backbone geometry (handles GLY/PRO).
     (reference: :146)"""
-    L = 0.153  # average CA-CB distance
-    top = pdb.topology
+    CA_CB = 0.153   # canonical CA->CB bond length, nm
     if resSeqs is None:
-        ca_iis = top.select('name CA')
-        c_iis = top.select('name C')
-        n_iis = top.select('name N')
+        sel = pdb.topology.select
+        picks = {nm: sel('name ' + nm) for nm in ('N', 'CA', 'C')}
     else:
-        resSeqs = np.array(resSeqs).reshape(-1)
-        ca_iis = np.array([find_atom_index(pdb, r, 'CA')
-                           for r in resSeqs])
-        c_iis = np.array([find_atom_index(pdb, r, 'C')
-                          for r in resSeqs])
-        n_iis = np.array([find_atom_index(pdb, r, 'N')
-                          for r in resSeqs])
-    ca = pdb.xyz[0][ca_iis]
-    c = pdb.xyz[0][c_iis]
-    n = pdb.xyz[0][n_iis]
-    v1 = norm_vec(ca - n)
-    v2 = norm_vec(ca - c)
-    normal = norm_vec(np.cross(v1, v2))
-    ca_vec = norm_vec(ca - ((n + c) / 2.))
-    theta = np.pi / 6.
-    return ca + np.sin(theta) * L * ca_vec + np.cos(theta) * L * normal
+        wanted = np.asarray(resSeqs).reshape(-1)
+        picks = {nm: np.array([find_atom_index(pdb, r, nm)
+                               for r in wanted])
+                 for nm in ('N', 'CA', 'C')}
+    n, ca, c = (pdb.xyz[0][picks[nm]] for nm in ('N', 'CA', 'C'))
+
+    away_from_n = norm_vec(ca - n)
+    away_from_c = norm_vec(ca - c)
+    plane_normal = norm_vec(np.cross(away_from_n, away_from_c))
+    bisector = norm_vec(ca - ((n + c) / 2.))
+    tilt = np.pi / 6.   # CB sits 30 degrees out of the backbone plane
+    return (ca + np.sin(tilt) * CA_CB * bisector
+            + np.cos(tilt) * CA_CB * plane_normal)
 
 
 def determine_rot_mat(pdb, resSeq):
     """Local frame at a residue: z along CA->CB, N in the z-y plane.
     (reference: :90)"""
-    cb = calc_cb_coords(pdb, resSeqs=resSeq)[0]
-    ca = pdb.xyz[0, find_atom_index(pdb, resSeq, 'CA')]
-    n = pdb.xyz[0, find_atom_index(pdb, resSeq, 'N')]
-    z_vec = norm_vec(cb - ca)
-    x_vec = norm_vec(np.cross(norm_vec(n - ca), z_vec))
-    y_vec = norm_vec(np.cross(z_vec, x_vec))
-    return np.array([x_vec, y_vec, z_vec]), ca
+    origin = pdb.xyz[0, find_atom_index(pdb, resSeq, 'CA')]
+    n_xyz = pdb.xyz[0, find_atom_index(pdb, resSeq, 'N')]
+
+    z_axis = norm_vec(calc_cb_coords(pdb, resSeqs=resSeq)[0] - origin)
+    x_axis = norm_vec(np.cross(norm_vec(n_xyz - origin), z_axis))
+    y_axis = norm_vec(np.cross(z_axis, x_axis))
+    return np.array([x_axis, y_axis, z_axis]), origin
 
 
 def rodrigues_rotation(v, k, theta, centers=None):
     """Rotate coordinate frames around per-frame axes k by theta.
     (reference: :196)"""
-    if centers is None:
-        centers = np.array([0, 0, 0])
-    else:
-        centers = centers[:, None, :]
-    v_centered = v - centers
-    first = v_centered * np.cos(theta)
-    second = np.cross(k[:, None, :], v_centered) * np.sin(theta)
-    k_dot_v = np.einsum('ijk,ijk->ij', k[:, None, :], v_centered)
-    third = k[:, None, :] * k_dot_v[..., None] * (1 - np.cos(theta))
-    return first + second + third + centers
+    pivot = np.zeros(3) if centers is None else centers[:, None, :]
+    rel = v - pivot
+    axis = k[:, None, :]
+
+    in_plane = rel * np.cos(theta)
+    swung = np.cross(axis, rel) * np.sin(theta)
+    axial = np.einsum('ijk,ijk->ij', axis, rel)
+    along_axis = axis * axial[..., None] * (1 - np.cos(theta))
+    return in_plane + swung + along_axis + pivot
 
 
 def _remove_touches_protein(coords, pdb, probe_radius=0.17):
-    atomic_radii = np.array([a.radius for a in pdb.top.atoms])
-    dist_cutoffs = atomic_radii + probe_radius
-    dists = scipy.spatial.distance.cdist(pdb.xyz[0], coords)
-    return coords[np.all(dists > dist_cutoffs[:, None], axis=0)]
+    clearance = np.array([a.radius for a in pdb.top.atoms]) \
+        + probe_radius
+    separation = scipy.spatial.distance.cdist(coords, pdb.xyz[0])
+    untouched = (separation > clearance[None, :]).all(axis=1)
+    return coords[untouched]
 
 
 def remove_touches_protein(coords, pdb, probe_radius=0.17):
@@ -174,37 +170,41 @@ def remove_touches_protein(coords, pdb, probe_radius=0.17):
 
 def cluster_grids(point_cloud, spacing, n_clouds=all):
     """Keep the largest contiguous cloud(s). (reference: :295)"""
-    mapping = scipy.cluster.hierarchy.fclusterdata(
+    labels = scipy.cluster.hierarchy.fclusterdata(
         point_cloud, t=spacing, criterion='distance')
-    mapping -= mapping.min()
-    largest = np.argsort(-np.bincount(mapping))
-    if n_clouds is all:
-        n_clouds = np.unique(mapping).shape[0]
-    iis = np.hstack([np.where(mapping == lab)[0]
-                     for lab in largest[:n_clouds]])
-    return point_cloud[iis]
+    labels -= labels.min()
+
+    by_size = np.argsort(-np.bincount(labels))
+    keep = by_size if n_clouds is all else by_size[:n_clouds]
+    member_rows = [np.flatnonzero(labels == lab) for lab in keep]
+    return point_cloud[np.concatenate(member_rows)]
 
 
-def align_dye_to_res(pdb, dye_coords, resSeq):
-    """(reference: :333)"""
-    M, t = determine_rot_mat(pdb, resSeq)
-    return np.matmul(dye_coords, M) + t
+def align_dye_to_res(pdb, dye_coords, resSeq, placement=None):
+    """Place a dye cloud in the local frame of the given residue.
+
+    ``placement`` lets a caller reuse one residue frame for several
+    dye clouds (it is ``determine_rot_mat``'s return value).
+    """
+    rot, shift = placement if placement is not None \
+        else determine_rot_mat(pdb, resSeq=resSeq)
+    return np.add(dye_coords @ rot, shift)
 
 
 def bincount_dists(dists, bin_width=0.1):
-    nbins = int(dists.max() / bin_width) + 2
-    max_bin = nbins * bin_width
-    return np.histogram(dists, bins=nbins, range=[0, max_bin])
+    """Fixed-width histogram from zero, one spare bin past the max."""
+    top = float(np.max(dists))
+    n_bins = int(top / bin_width) + 2
+    return np.histogram(dists, range=(0, bin_width * n_bins),
+                        bins=n_bins)
 
 
 def int_norm_hist(xs, ys):
-    """(reference: :690)"""
-    if ys.shape[0] == xs.shape[0] - 1:
-        heights = ys
-    else:
-        heights = (ys[1:] + ys[:-1]) / 2.
-    dx = xs[1:] - xs[:-1]
-    return ys / np.sum(heights * dx)
+    """Scale ys to unit integral over xs; handles both bin-count
+    (len(ys) == len(xs) - 1) and sampled-curve (trapezoid) inputs."""
+    counts_per_bin = (ys if ys.shape[0] == xs.shape[0] - 1
+                      else (ys[1:] + ys[:-1]) / 2.)
+    return ys / np.sum(counts_per_bin * np.diff(xs))
 
 
 def _merge_histograms(counts, bin_edges, weights=None):
@@ -246,26 +246,27 @@ def pairwise_distance_distribution(coords1, coords2, bin_width=0.1):
 def _dye_distance_distribution(pdb, dye1, dye2, resSeq_list,
                                cluster_grid_points=False):
     """(reference: :455)"""
-    resSeq1, resSeq2 = resSeq_list[0], resSeq_list[1]
-    d1_r1 = align_dye_to_res(pdb, dye1.xyz[0], resSeq1)
-    d1_r2 = align_dye_to_res(pdb, dye1.xyz[0], resSeq2)
-    d2_r1 = align_dye_to_res(pdb, dye2.xyz[0], resSeq1)
-    d2_r2 = align_dye_to_res(pdb, dye2.xyz[0], resSeq2)
+    sites = (resSeq_list[0], resSeq_list[1])
 
-    d1_r1 = remove_touches_protein(d1_r1, pdb, probe_radius=0.2)
-    d1_r2 = remove_touches_protein(d1_r2, pdb, probe_radius=0.2)
-    d2_r1 = remove_touches_protein(d2_r1, pdb, probe_radius=0.2)
-    d2_r2 = remove_touches_protein(d2_r2, pdb, probe_radius=0.2)
+    # every (dye, labeling site) combination gets its own pruned cloud
+    clouds = {}
+    site_frames = {site: determine_rot_mat(pdb, site) for site in sites}
+    for tag, dye in (('donor', dye1), ('acceptor', dye2)):
+        for site in sites:
+            pts = align_dye_to_res(pdb, dye.xyz[0], site,
+                                   placement=site_frames[site])
+            pts = remove_touches_protein(pts, pdb, probe_radius=0.2)
+            if cluster_grid_points:
+                pts = cluster_grids(pts, spacing=0.25, n_clouds=1)
+            clouds[tag, site] = pts
 
-    if cluster_grid_points:
-        d1_r1 = cluster_grids(d1_r1, spacing=0.25, n_clouds=1)
-        d1_r2 = cluster_grids(d1_r2, spacing=0.25, n_clouds=1)
-        d2_r1 = cluster_grids(d2_r1, spacing=0.25, n_clouds=1)
-        d2_r2 = cluster_grids(d2_r2, spacing=0.25, n_clouds=1)
-
-    probs1, bin_edges1 = pairwise_distance_distribution(d1_r1, d2_r2)
-    probs2, bin_edges2 = pairwise_distance_distribution(d1_r2, d2_r1)
-    return _merge_histograms([probs1, probs2], [bin_edges1, bin_edges2],
+    # the labeling is orientation-agnostic: average the two ways of
+    # assigning the dye pair to the site pair
+    hists, edges = zip(
+        *(pairwise_distance_distribution(clouds['donor', a],
+                                         clouds['acceptor', b])
+          for a, b in (sites, sites[::-1])))
+    return _merge_histograms(list(hists), list(edges),
                              weights=[0.5, 0.5])
 
 
@@ -360,11 +361,13 @@ def sample_FRET_histograms(T, populations, dist_distribution,
 def convert_photon_times(inter_photon_times, lagtime, slowing_factor):
     """Inter-photon times (us) -> cumulative MSM steps.
     (reference: :669)"""
-    conversion_factor = 1000 / (lagtime * slowing_factor)
-    return np.array([
-        np.cumsum(np.multiply(inter_photon_times[i], conversion_factor),
-                  dtype=int)
-        for i in range(len(inter_photon_times))], dtype='O')
+    steps_per_us = 1000 / (lagtime * slowing_factor)
+
+    def to_steps(times):
+        return np.cumsum(np.asarray(times) * steps_per_us, dtype=int)
+
+    return np.array([to_steps(t) for t in inter_photon_times],
+                    dtype=object)
 
 
 def histogram_to_match_expt(pred_data, expt_data):
