@@ -44,7 +44,7 @@ N_ATOMS = 64
 N_CLUSTERS = 1000
 
 
-def _backend_alive(timeout_s=180):
+def _backend_alive_once(timeout_s=180):
     """True if the default jax backend can initialize AND execute.
     Probed in a subprocess: a black-holed device tunnel can hang at
     either stage — backend init, or (the sneakier mode) init succeeds
@@ -63,6 +63,22 @@ def _backend_alive(timeout_s=180):
         return r.returncode == 0 and b'128' in r.stdout
     except subprocess.TimeoutExpired:
         return False
+
+
+def _backend_alive(attempts=3, backoff_s=(30, 60)):
+    """Probe the device with retries: a transient tunnel outage should
+    delay the benchmark by ~2 minutes, not erase the round's TPU
+    record (round-2 postmortem: one failed probe degraded the official
+    BENCH artifact to a CPU number while the chip was fine)."""
+    for trial in range(attempts):
+        if _backend_alive_once():
+            return True
+        if trial < attempts - 1:
+            wait = backoff_s[min(trial, len(backoff_s) - 1)]
+            print('# device probe %d/%d failed; retrying in %ds'
+                  % (trial + 1, attempts, wait), flush=True)
+            time.sleep(wait)
+    return False
 
 
 def main():
@@ -190,9 +206,19 @@ def main():
              'vs_baseline': round(NORTHSTAR_BUDGET_S / northstar_s, 3)},
         ],
     }
+    result['provenance'] = {
+        'backend': jax.default_backend(),
+        'devices': [str(d) for d in jax.devices()],
+        'n_devices': jax.device_count(),
+        'jax_version': jax.__version__,
+        'timestamp': time.strftime('%Y-%m-%dT%H:%M:%S%z'),
+        'n_frames': N_FRAMES,
+        'n_clusters': N_CLUSTERS,
+    }
     if degraded:
-        result['degraded'] = ('device tunnel unavailable; measured on '
-                              'the CPU backend')
+        result['degraded'] = ('device tunnel unavailable after 3 '
+                              'probes with backoff; measured on the '
+                              'CPU backend')
     print(json.dumps(result))
 
 

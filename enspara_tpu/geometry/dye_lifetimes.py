@@ -48,47 +48,63 @@ def calc_dye_radiative_rates(Qd, Td):
 def calc_energy_transfer_prob(krad, k_non_rad, kRET, dt):
     """[p_radiative, p_nonradiative, p_RET, p_remain_excited] over a
     timestep. (reference: dye_lifetimes.py:53)"""
-    p_rad = 1 - np.exp(-krad * dt)
-    p_nonrad = 1 - np.exp(-k_non_rad * dt)
-    p_RET = 1 - np.exp(-kRET * dt)
-    p_remain = 1 - p_rad - p_nonrad - p_RET
-    all_probs = np.array([p_rad, p_nonrad, p_RET, p_remain])
-    if p_remain < 0:
-        all_probs = np.array([p_rad, p_nonrad, p_RET, np.zeros(1)],
-                             dtype=object).astype(float)
-        all_probs = all_probs / all_probs.sum()
-    return np.asarray(all_probs, dtype=float).flatten()
+    rates = np.concatenate([np.ravel(krad), np.ravel(k_non_rad),
+                            np.ravel(kRET)]).astype(float)
+    decayed = 1.0 - np.exp(-rates * dt)
+    remain = 1.0 - decayed.sum()
+
+    probs = np.append(decayed, max(remain, 0.0))
+    if remain < 0:
+        # timestep too coarse for these rates: renormalize the decay
+        # channels instead of carrying a negative survival
+        probs /= probs.sum()
+    return probs
 
 
 _OUTCOMES = np.array(['radiative', 'non_radiative', 'energy_transfer',
                       'excited'])
 
 
+def _pair_k2_r(d_geom, a_geom):
+    """(n_d, n_a) kappa^2 and inter-dye-distance tables from 9-column
+    dye geometry rows (emission center, dipole origin, dipole vector)
+    — the batched form of ``r0c.calc_k2_r`` over every state pair."""
+    Dc, Ddo, Dv = d_geom[:, 0:3], d_geom[:, 3:6], d_geom[:, 6:9]
+    Ac, Ado, Av = a_geom[:, 0:3], a_geom[:, 3:6], a_geom[:, 6:9]
+
+    r = np.linalg.norm(Dc[:, None] - Ac[None], axis=-1)
+    rvec = Ddo[:, None] - Ado[None]                  # (n_d, n_a, 3)
+    nr = np.linalg.norm(rvec, axis=-1)
+    nD = np.linalg.norm(Dv, axis=-1)
+    nA = np.linalg.norm(Av, axis=-1)
+    cos_T = (Av @ Dv.T).T / (nD[:, None] * nA[None])
+    cos_D = np.einsum('dai,di->da', rvec, Dv) / (nr * nD[:, None])
+    cos_A = np.einsum('dai,ai->da', rvec, Av) / (nr * nA[None])
+    k2 = (cos_T - 3 * cos_D * cos_A) ** 2
+    return k2, r
+
+
 def explicit_static_dyes(d_name, a_name, d_eqs, a_eqs, d_centers,
                          a_centers, dye_params, dyelibrary,
                          n_samples=1000, rng_seed=None):
     """Static-dye treatment: equilibrium dye positions, single coin
-    flip per sample. (reference: dye_lifetimes.py:91)"""
+    flip per sample — all FRET efficiencies come from one batched
+    (n_d, n_a) kappa^2/distance table."""
     rng = np.random.default_rng(rng_seed)
-    J, Qd, Td = dye_params
+    J, Qd, _Td = dye_params
 
-    dstates = rng.choice(np.arange(len(d_eqs)), p=d_eqs,
-                         size=n_samples)
-    astates = rng.choice(np.arange(len(a_eqs)), p=a_eqs,
-                         size=n_samples)
+    picks_d = rng.choice(len(d_eqs), p=d_eqs, size=n_samples)
+    picks_a = rng.choice(len(a_eqs), p=a_eqs, size=n_samples)
 
-    d_coords = r0c.assemble_dye_r_mu(d_centers, d_name, dyelibrary)
-    a_coords = r0c.assemble_dye_r_mu(a_centers, a_name, dyelibrary)
+    k2_tab, r_tab = _pair_k2_r(
+        r0c.assemble_dye_r_mu(d_centers, d_name, dyelibrary),
+        r0c.assemble_dye_r_mu(a_centers, a_name, dyelibrary))
+    FE_tab = dyes_exp_dist.FRET_efficiency(
+        r_tab, r0c.calc_R0(k2_tab, Qd, J))
 
-    dye_outcomes = []
-    for dstate, astate in zip(dstates, astates):
-        k2, r = r0c.calc_k2_r(d_coords[dstate], a_coords[astate])
-        R0 = r0c.calc_R0(k2, Qd, J)
-        FE = dyes_exp_dist.FRET_efficiency(r, R0)
-        outcome = ('energy_transfer' if rng.random() <= FE
-                   else 'radiative')
-        dye_outcomes.append([0, outcome])
-    return dye_outcomes
+    hops = rng.random(n_samples) <= FE_tab[picks_d, picks_a]
+    return [[0, 'energy_transfer' if hop else 'radiative']
+            for hop in hops]
 
 
 def fully_averaged_explict_dyes(d_name, a_name, d_eqs, a_eqs, d_centers,
@@ -98,35 +114,25 @@ def fully_averaged_explict_dyes(d_name, a_name, d_eqs, a_eqs, d_centers,
     over all (donor, acceptor) state pairs. (reference:
     dye_lifetimes.py:162)"""
     rng = np.random.default_rng(rng_seed)
-    J, Qd, Td = dye_params
+    J, Qd, _Td = dye_params
 
-    dstates = np.where(np.asarray(d_eqs) != 0)[0]
-    astates = np.where(np.asarray(a_eqs) != 0)[0]
+    live_d = np.flatnonzero(np.asarray(d_eqs))
+    live_a = np.flatnonzero(np.asarray(a_eqs))
 
-    d_coords = r0c.assemble_dye_r_mu(d_centers, d_name, dyelibrary)
-    a_coords = r0c.assemble_dye_r_mu(a_centers, a_name, dyelibrary)
+    k2_tab, r_tab = _pair_k2_r(
+        r0c.assemble_dye_r_mu(d_centers, d_name, dyelibrary)[live_d],
+        r0c.assemble_dye_r_mu(a_centers, a_name, dyelibrary)[live_a])
+    FE_tab = dyes_exp_dist.FRET_efficiency(
+        r_tab, r0c.calc_R0(k2_tab, Qd, J))
+    pair_eqs = np.outer(np.take(d_eqs, live_d), np.take(a_eqs, live_a))
 
-    k2s, rs, FEs, eqs = [], [], [], []
-    FE = 0.0
-    for dstate in dstates:
-        for astate in astates:
-            k2, r = r0c.calc_k2_r(d_coords[dstate], a_coords[astate])
-            R0 = r0c.calc_R0(k2, Qd, J)
-            FE = dyes_exp_dist.FRET_efficiency(r, R0)
-            k2s.append(k2)
-            rs.append(r)
-            FEs.append(FE)
-            eqs.append(d_eqs[dstate] * a_eqs[astate])
-
-    k2s = np.array(k2s).reshape(-1)
-    FEs = np.array(FEs).reshape(-1)
-    eqs = np.array(eqs).reshape(-1)
-
-    transfers = np.multiply(rng.random(n_samples) <= FE, 1, dtype='O')
-    transfers[transfers == 0] = 'radiative'
-    transfers[transfers == 1] = 'energy_transfer'
-    lifetimes = [0] * n_samples
-    return [lifetimes, transfers, k2s, FEs, eqs]
+    # reference convention: the coin flip uses the LAST pair's
+    # efficiency (dye_lifetimes.py:162 loop-carried FE), kept as-is
+    hop_p = float(FE_tab[-1, -1]) if FE_tab.size else 0.0
+    transfers = np.where(rng.random(n_samples) <= hop_p,
+                         'energy_transfer', 'radiative').astype(object)
+    return [[0] * n_samples, transfers, k2_tab.ravel(),
+            FE_tab.ravel(), pair_eqs.ravel()]
 
 
 def resolve_excitation(d_name, a_name, d_tprobs, a_tprobs, d_eqs, a_eqs,
@@ -139,36 +145,26 @@ def resolve_excitation(d_name, a_name, d_tprobs, a_tprobs, d_eqs, a_eqs,
     """
     rng = np.random.default_rng(rng_seed)
     J, Qd, Td = dye_params
+    krad, k_non_rad = calc_dye_radiative_rates(Qd, Td)
 
-    krad = Qd / Td
-    k_non_rad = (1 / Td) - krad
+    d_geom = r0c.assemble_dye_r_mu(d_centers, d_name, dyelibrary)
+    a_geom = r0c.assemble_dye_r_mu(a_centers, a_name, dyelibrary)
 
-    dtrj = [rng.choice(np.arange(d_tprobs.shape[0]), p=d_eqs)]
-    atrj = [rng.choice(np.arange(a_tprobs.shape[0]), p=a_eqs)]
+    d_path = [rng.choice(np.arange(d_tprobs.shape[0]), p=d_eqs)]
+    a_path = [rng.choice(np.arange(a_tprobs.shape[0]), p=a_eqs)]
 
-    d_coords = r0c.assemble_dye_r_mu(d_centers, d_name, dyelibrary)
-    a_coords = r0c.assemble_dye_r_mu(a_centers, a_name, dyelibrary)
+    fate = 'excited'
+    while fate == 'excited':
+        # decay channels from the CURRENT pair geometry...
+        k2, r = r0c.calc_k2_r(d_geom[d_path[-1]], a_geom[a_path[-1]])
+        kRET = FRET_rate(r, r0c.calc_R0(k2, Qd, J), Td)
+        fate = rng.choice(_OUTCOMES, p=calc_energy_transfer_prob(
+            krad, k_non_rad, kRET, dye_lagtime))
+        # ...then both dye MSMs advance one lag step
+        d_path.append(rng.choice(len(d_geom), p=d_tprobs[d_path[-1]]))
+        a_path.append(rng.choice(len(a_geom), p=a_tprobs[a_path[-1]]))
 
-    n_dcenters = len(d_centers)
-    n_acenters = len(a_centers)
-
-    d_state = 'excited'
-    steps = 0
-    while d_state == 'excited':
-        k2, r = r0c.calc_k2_r(d_coords[dtrj[steps]],
-                              a_coords[atrj[steps]])
-        R0 = r0c.calc_R0(k2, Qd, J)
-        kRET = FRET_rate(r, R0, Td)
-
-        transfer_probs = calc_energy_transfer_prob(
-            krad, k_non_rad, kRET, dye_lagtime)
-        d_state = rng.choice(_OUTCOMES, p=transfer_probs)
-
-        dtrj.append(rng.choice(n_dcenters, p=d_tprobs[dtrj[-1], :]))
-        atrj.append(rng.choice(n_acenters, p=a_tprobs[atrj[-1], :]))
-        steps += 1
-
-    return [steps, d_state, np.array(dtrj), np.array(atrj)]
+    return [len(d_path) - 1, fate, np.array(d_path), np.array(a_path)]
 
 
 def _pair_rate_tables(d_name, a_name, d_centers, a_centers, dye_params,
@@ -181,21 +177,9 @@ def _pair_rate_tables(d_name, a_name, d_centers, a_centers, dye_params,
     J, Qd, Td = dye_params
     krad, k_non_rad = calc_dye_radiative_rates(Qd, Td)
 
-    dc = r0c.assemble_dye_r_mu(d_centers, d_name, dyelibrary)
-    ac = r0c.assemble_dye_r_mu(a_centers, a_name, dyelibrary)
-    Dc, Ddo, Dv = dc[:, 0:3], dc[:, 3:6], dc[:, 6:9]
-    Ac, Ado, Av = ac[:, 0:3], ac[:, 3:6], ac[:, 6:9]
-
-    r = np.linalg.norm(Dc[:, None] - Ac[None], axis=-1)   # (n_d, n_a)
-    rvec = Ddo[:, None] - Ado[None]                       # (n_d, n_a, 3)
-    nr = np.linalg.norm(rvec, axis=-1)
-    nD = np.linalg.norm(Dv, axis=-1)
-    nA = np.linalg.norm(Av, axis=-1)
-    cos_T = (Av @ Dv.T).T / (nD[:, None] * nA[None])      # (n_d, n_a)
-    cos_D = np.einsum('dai,di->da', rvec, Dv) / (nr * nD[:, None])
-    cos_A = np.einsum('dai,ai->da', rvec, Av) / (nr * nA[None])
-    k2 = (cos_T - 3 * cos_D * cos_A) ** 2
-
+    k2, r = _pair_k2_r(
+        r0c.assemble_dye_r_mu(d_centers, d_name, dyelibrary),
+        r0c.assemble_dye_r_mu(a_centers, a_name, dyelibrary))
     R0 = r0c.calc_R0(k2, Qd, J)
     kRET = FRET_rate(r, R0, Td)
 
@@ -292,26 +276,22 @@ def make_dye_msm(centers, t_counts, pdb, resseq, dyename, dyelibrary,
                  center_n=None, outdir='./', save_dye_xtc=False):
     """Align a dye to a residue, drop clashed states, rebuild the dye
     MSM. (reference: dye_lifetimes.py:360)"""
-    centers = centers.copy()
-    centers.xyz = r0c.align_full_dye_to_res(pdb, centers, resseq,
-                                            dyename, dyelibrary)
-    dye_indices = r0c.remove_touches_protein_dye_traj(pdb, centers,
-                                                      resseq)
-    if len(dye_indices) == 0:
+    placed = centers.copy()
+    placed.xyz = r0c.align_full_dye_to_res(pdb, placed, resseq,
+                                           dyename, dyelibrary)
+    keep = r0c.remove_touches_protein_dye_traj(pdb, placed, resseq)
+    if len(keep) == 0:
         return np.array([0]), np.array([0]), np.array([])
 
     if save_dye_xtc:
-        centers[list(dye_indices)].save(os.path.join(
-            outdir, 'center%s-aligned-to-%s-%s.xtc'
-            % (center_n, resseq, ''.join(dyename.split(' ')))))
+        tag = ''.join(dyename.split(' '))
+        placed[list(keep)].save(os.path.join(
+            outdir, f'center{center_n}-aligned-to-{resseq}-{tag}.xtc'))
 
-    all_indices = np.arange(len(centers))
-    bad_indices = all_indices[~np.isin(all_indices, dye_indices,
-                                       assume_unique=True)]
-    new_tcounts = r0c.remove_bad_states(bad_indices, t_counts)
-    counts, tprobs, eqs = builders.normalize(new_tcounts,
-                                             calculate_eq_probs=True)
-    return tprobs, eqs, dye_indices
+    clashed = np.setdiff1d(np.arange(len(placed)), keep)
+    pruned = r0c.remove_bad_states(clashed, t_counts)
+    tprobs, eqs = builders.normalize(pruned, calculate_eq_probs=True)[1:]
+    return tprobs, eqs, keep
 
 
 def calc_lifetimes(pdb_center_num, d_centers, d_tcounts, a_centers,
@@ -412,22 +392,22 @@ def _sample_lifetimes_guarenteed_photon(states, lifetimes, outcomes,
     """Draw (photon id, lifetime) per visited state, redrawing
     non-radiative events. (reference: dye_lifetimes.py:535)"""
     rng = np.random.default_rng(rng_seed)
+    channel = {'radiative': 0, 'energy_transfer': 1}
 
-    photons, lifetime = [], []
-    for state in states:
-        event_n = rng.choice(len(lifetimes[state]))
-        while outcomes[state][event_n] == 'non_radiative':
-            event_n = rng.choice(len(lifetimes[state]))
-        if outcomes[state][event_n] == 'energy_transfer':
-            photons.append(1)
-        elif outcomes[state][event_n] == 'radiative':
-            photons.append(0)
-        else:
+    photons = np.empty(len(states), dtype=int)
+    lts = np.empty(len(states))
+    for i, state in enumerate(states):
+        n_events = len(lifetimes[state])
+        pick = rng.choice(n_events)
+        while outcomes[state][pick] == 'non_radiative':
+            pick = rng.choice(n_events)    # no photon: redraw
+        if outcomes[state][pick] not in channel:
             raise ValueError(
                 'Unexpected outcome %r for state %s event %s'
-                % (outcomes[state][event_n], state, event_n))
-        lifetime.append(lifetimes[state][event_n])
-    return np.array(photons), np.array(lifetime)
+                % (outcomes[state][pick], state, pick))
+        photons[i] = channel[outcomes[state][pick]]
+        lts[i] = lifetimes[state][pick]
+    return photons, lts
 
 
 def sample_lifetimes_guarenteed_photon(frames, t_probs, eqs, lifetimes,
@@ -435,13 +415,14 @@ def sample_lifetimes_guarenteed_photon(frames, t_probs, eqs, lifetimes,
     """One burst: protein-MSM chain + guaranteed photons at the given
     frames. (reference: dye_lifetimes.py:587)"""
     rng = np.random.default_rng(rng_seed)
-    n_frames = int(np.amax(frames)) + 1
-    initial_state = rng.choice(np.arange(t_probs.shape[0]), p=eqs)
-    trj = synthetic_data.synthetic_trajectory(
-        t_probs, initial_state, n_frames, random_state=rng)
+    start = rng.choice(t_probs.shape[0], p=eqs)
+    chain = synthetic_data.synthetic_trajectory(
+        t_probs, start, int(np.amax(frames)) + 1, random_state=rng)
+
+    visited = chain[frames]
     photons, lts = _sample_lifetimes_guarenteed_photon(
-        trj[frames], lifetimes, outcomes, rng_seed=rng)
-    return photons, lts, trj[frames]
+        visited, lifetimes, outcomes, rng_seed=rng)
+    return photons, lts, visited
 
 
 def remake_prot_MSM_from_lifetimes(lifetimes, prot_tcounts, resSeqs,
@@ -543,16 +524,16 @@ def remake_msms(resSeq, prot_tcounts, dye_dir, dyenames, orig_eqs,
 def calc_per_state_FE(events):
     """FRET efficiency per protein state from a lifetimes/outcomes
     events array. (reference: dye_lifetimes.py:746)"""
-    per_state = []
-    for event in events[:, 1]:
-        if len(event) == 0:
-            per_state.append(np.nan)
-        else:
-            event = np.asarray(event)
-            acceptors = np.count_nonzero(event == 'energy_transfer')
-            donors = np.count_nonzero(event == 'radiative')
-            per_state.append(acceptors / (donors + acceptors))
-    return np.array(per_state)
+    ratios = np.full(len(events), np.nan)
+    for i, outcomes in enumerate(events[:, 1]):
+        outcomes = np.asarray(outcomes)
+        if outcomes.size:
+            via_transfer = np.count_nonzero(
+                outcomes == 'energy_transfer')
+            emitted = via_transfer + np.count_nonzero(
+                outcomes == 'radiative')
+            ratios[i] = via_transfer / emitted
+    return ratios
 
 
 def single_exp_decay(t, Io, tau):
@@ -560,16 +541,18 @@ def single_exp_decay(t, Io, tau):
     return Io * np.exp(-t / tau)
 
 
+def _fit_decay(model, t, y, p0):
+    return curve_fit(model, t, y, p0=p0)[0]
+
+
 def fit_single_exp(t, y, p0):
-    opt_params, _ = curve_fit(single_exp_decay, t, y, p0=p0)
-    return opt_params[0], opt_params[1]
+    return tuple(_fit_decay(single_exp_decay, t, y, p0))
 
 
 def _lifetime_hist(lifetimes, hist_bins, hist_range):
     counts, edges = np.histogram(lifetimes, range=hist_range,
                                  bins=hist_bins)
-    bin_w = edges[1] - edges[0]
-    return edges[:-1] + bin_w / 2, counts
+    return (edges[:-1] + edges[1:]) / 2, counts
 
 
 def _donor_Td(donor_name):
@@ -596,19 +579,18 @@ def double_exp_decay(t, Io1, Io2, tau1, tau2):
 
 
 def fit_double_exp(t, y, p0):
-    opt_params, _ = curve_fit(double_exp_decay, t, y, p0=p0)
-    return tuple(opt_params)
+    return tuple(_fit_decay(double_exp_decay, t, y, p0))
 
 
 def fit_lifetimes_double_exp(lifetimes, donor_name=None, hist_bins=100,
                              hist_range=(0, 25)):
     """(reference: dye_lifetimes.py:868)"""
     t, counts = _lifetime_hist(lifetimes, hist_bins, hist_range)
-    Td = _donor_Td(donor_name)
-    Io = np.amax(counts)
-    fit_I1, fit_I2, fit_tau1, fit_tau2 = fit_double_exp(
-        t, counts, p0=np.array([Io / 2, Io / 2, Td[0], Td[0]]))
-    return t, counts, fit_I1, fit_I2, fit_tau1, fit_tau2
+    guess_tau = _donor_Td(donor_name)[0]
+    half = np.amax(counts) / 2
+    fits = fit_double_exp(
+        t, counts, p0=np.array([half, half, guess_tau, guess_tau]))
+    return (t, counts) + fits
 
 
 def fit_lifetimes_single_exp_high_throughput(
@@ -627,10 +609,12 @@ def fit_lifetimes_single_exp_high_throughput(
 
 def extract_fret_efficiency_lifetimes(lifetime_samples):
     """(reference: dye_lifetimes.py:919)"""
-    FEs = np.array([np.sum(b) / len(b) for b in lifetime_samples[:, 0]])
-    d_lifetimes, a_lifetimes = [], []
+    FEs, from_donor, from_acceptor = [], [], []
     for burst in lifetime_samples:
-        d_lifetimes.append(burst[1][np.where(burst[0] == 0)[0]])
-        a_lifetimes.append(burst[1][np.where(burst[0] == 1)[0]])
-    return (FEs, np.array(d_lifetimes, dtype=object),
-            np.array(a_lifetimes, dtype=object))
+        photons = np.asarray(burst[0])
+        lts = np.asarray(burst[1])
+        FEs.append(photons.sum() / len(photons))
+        from_donor.append(lts[photons == 0])
+        from_acceptor.append(lts[photons == 1])
+    return (np.array(FEs), np.array(from_donor, dtype=object),
+            np.array(from_acceptor, dtype=object))

@@ -55,8 +55,8 @@ def load_dye(dyename, dyelibrary=None, dyes_dir=None):
 def calc_R0(k2, QD, J, n=1.333):
     """Forster radius (nm) from kappa^2, donor quantum yield and
     spectral overlap. (reference: explicit_r0_calc.py:34)"""
-    R0constants = 0.02108  # for R0 in nm
-    return R0constants * np.power(k2 * QD * J / n ** 4, 1 / 6)
+    scale = 0.02108           # prefactor giving R0 in nm
+    return scale * (k2 * QD * J / n ** 4) ** (1 / 6)
 
 
 def get_dye_overlap(donorname, acceptorname):
@@ -123,18 +123,13 @@ def remove_touches_protein_dye_traj(pdb, dye, resseq, probe_radius=0.04,
 def get_dipole_components(dye, dyename, dyelibrary=None):
     """(dipole origin, dipole vector) per dye frame.
     (reference: explicit_r0_calc.py:169)"""
-    if dyelibrary is None:
-        dyelibrary = load_library()
+    lib = dyelibrary if dyelibrary is not None else load_library()
     # library entries are atom names, optionally with a residue filter
-    # ("C10 and resname T39"); the reference interpolates them directly
-    # after 'name' (explicit_r0_calc.py:176)
-    mu_atomids = dye.topology.select(
-        '(name %s) or (name %s)' % (dyelibrary[dyename]['mu'][0],
-                                    dyelibrary[dyename]['mu'][1]))
-    mu_positions = dye.atom_slice(mu_atomids).xyz
-    mu_vectors = np.subtract(mu_positions[:, 0, :],
-                             mu_positions[:, 1, :])
-    return mu_positions[:, 0, :], mu_vectors
+    # ("C10 and resname T39"), interpolated directly after 'name'
+    head, tail = lib[dyename]['mu'][:2]
+    ends = dye.atom_slice(dye.topology.select(
+        '(name %s) or (name %s)' % (head, tail))).xyz
+    return ends[:, 0, :], ends[:, 0, :] - ends[:, 1, :]
 
 
 def _norm_sel(sel):
@@ -146,38 +141,35 @@ def _norm_sel(sel):
 
 def get_dye_center(dye, dyename, dyelibrary=None):
     """(reference: explicit_r0_calc.py:190)"""
-    if dyelibrary is None:
-        dyelibrary = load_library()
-    r_atomids = dye.topology.select(
-        _norm_sel(dyelibrary[dyename]['r'][0]))
-    return dye.atom_slice(r_atomids).xyz.reshape((-1, 3))
+    lib = dyelibrary if dyelibrary is not None else load_library()
+    emission_atom = _norm_sel(lib[dyename]['r'][0])
+    ids = dye.topology.select(emission_atom)
+    return dye.xyz[:, ids, :].reshape(-1, 3)
 
 
 def assemble_dye_r_mu(dye, dyename, dyelibrary=None):
     """Per-frame (dye center xyz, dipole origin xyz, dipole vector):
     shape (n_frames, 9). (reference: explicit_r0_calc.py:203)"""
-    dye_center = get_dye_center(dye, dyename, dyelibrary)
-    dipole_origin, dipole_vector = get_dipole_components(
-        dye, dyename, dyelibrary)
-    return np.hstack((dye_center, dipole_origin, dipole_vector))
+    origin, vector = get_dipole_components(dye, dyename, dyelibrary)
+    return np.hstack(
+        (get_dye_center(dye, dyename, dyelibrary), origin, vector))
 
 
 def calc_k2_r(Donor_coords, Acceptor_coords):
     """kappa^2 and distance between dye emission centers.
     (reference: explicit_r0_calc.py:254)"""
-    D_center, D_dip_ori, D_vec = np.split(np.asarray(Donor_coords), 3)
-    A_center, A_dip_ori, A_vec = np.split(np.asarray(Acceptor_coords), 3)
+    d_center, d_origin, d_mu = np.reshape(Donor_coords, (3, 3))
+    a_center, a_origin, a_mu = np.reshape(Acceptor_coords, (3, 3))
 
-    r = scipy.spatial.distance.cdist(
-        D_center.reshape(1, 3), A_center.reshape(1, 3))[0, 0]
-    rvec = np.subtract(D_dip_ori, A_dip_ori)
+    r = float(norm(d_center - a_center))
 
-    cos_theta_T = np.dot(A_vec, D_vec) / (norm(A_vec) * norm(D_vec))
-    cos_theta_D = np.dot(rvec, D_vec) / (norm(rvec) * norm(D_vec))
-    cos_theta_A = np.dot(A_vec, rvec) / (norm(A_vec) * norm(rvec))
+    # kappa = mu_A . mu_D - 3 (r . mu_D)(mu_A . r), all unit vectors
+    d_hat = d_mu / norm(d_mu)
+    a_hat = a_mu / norm(a_mu)
+    s_hat = (d_origin - a_origin) / norm(d_origin - a_origin)
 
-    k2 = (cos_theta_T - (3 * cos_theta_D * cos_theta_A)) ** 2
-    return k2, r
+    kappa = a_hat @ d_hat - 3 * (s_hat @ d_hat) * (a_hat @ s_hat)
+    return kappa ** 2, r
 
 
 def sample_dye_coords(donor_coords, acceptor_coords, states, rng=None):
@@ -279,39 +271,39 @@ def map_dye_on_protein(trj, dyename, resseq, outpath='.',
                        n_procs=1):
     """Aligned, clash-pruned dye (center, dipole) parameters for every
     protein conformation. (reference: explicit_r0_calc.py:399)"""
-    dyelibrary = load_library()
-    dye = load_dye(dyename, dyelibrary)
-
     if weight_dyes:
         raise NotImplementedError('Dye-weighting not yet implemented')
-    dye_weights = []
 
-    func = partial(_map_dye_on_protein, dye=dye, resseq=resseq,
-                   dyename=dyename, dyelibrary=dyelibrary,
-                   outpath=outpath, save_aligned_dyes=save_aligned_dyes,
-                   dye_weights=dye_weights)
-    frames = list(zip([trj[i] for i in range(len(trj))],
-                      np.arange(len(trj))))
-    with ThreadPoolExecutor(max_workers=max(n_procs, 1)) as ex:
-        outputs = list(ex.map(func, frames))
-    return ra_mod.RaggedArray(outputs)
+    library = load_library()
+    dye = load_dye(dyename, library)
+
+    def place(i):
+        return _map_dye_on_protein(
+            (trj[i], i), dye=dye, resseq=resseq, dyename=dyename,
+            dyelibrary=library, outpath=outpath,
+            save_aligned_dyes=save_aligned_dyes, dye_weights=[])
+
+    with ThreadPoolExecutor(max_workers=max(n_procs, 1)) as pool:
+        placed = list(pool.map(place, range(len(trj))))
+    return ra_mod.RaggedArray(placed)
 
 
 def find_dyeless_states(dye_coords):
     """(reference: explicit_r0_calc.py:457)"""
-    return np.array([i for i in range(len(dye_coords))
-                     if len(dye_coords[i]) == 0], dtype=int)
+    empties = [len(row) == 0 for row in dye_coords]
+    return np.flatnonzero(empties)
 
 
 def remove_bad_states(bad_states, t_counts):
     """Zero all transitions in/out of the bad states.
     (reference: explicit_r0_calc.py:481)"""
-    t_counts = np.copy(t_counts)
-    if len(bad_states) == 0:
-        return t_counts
-    t_counts[:, bad_states] = 0
-    t_counts[bad_states, :] = 0
-    return t_counts
+    pruned = np.array(t_counts)
+    if np.size(bad_states):
+        gone = np.zeros(pruned.shape[0], dtype=bool)
+        gone[np.asarray(bad_states, dtype=int)] = True
+        pruned[gone, :] = 0
+        pruned[:, gone] = 0
+    return pruned
 
 
 def remove_dyeless_msm_states(dye_coords1, dye_coords2, dyename1,
@@ -350,20 +342,17 @@ def remove_dyeless_msm_states(dye_coords1, dye_coords2, dyename1,
 def _simulate_burst_k2(MSM_frames, T, populations, dye_coords1,
                        dye_coords2, J, QD, n=1.333, rng=None):
     """(reference: explicit_r0_calc.py:579)"""
-    if rng is None:
-        rng = np.random.default_rng()
-    n_frames = int(np.amax(MSM_frames)) + 1
+    rng = np.random.default_rng() if rng is None else rng
 
-    initial_state = rng.choice(np.arange(T.shape[0]), p=populations)
-    trj = synthetic_trajectory(T, initial_state, n_frames,
-                               random_state=rng)
+    start = rng.choice(T.shape[0], p=populations)
+    chain = synthetic_trajectory(T, start, int(np.amax(MSM_frames)) + 1,
+                                 random_state=rng)
 
     k2s, rs = sample_dye_coords(dye_coords1, dye_coords2,
-                                trj[MSM_frames], rng=rng)
-    R0s = calc_R0(k2s, QD, J, n=n)
-    FRET_probs = dyefs.FRET_efficiency(rs, R0s)
-    acceptor_emissions = rng.random(FRET_probs.shape[0]) <= FRET_probs
-    return np.mean(acceptor_emissions), trj, k2s, rs
+                                chain[MSM_frames], rng=rng)
+    FE = dyefs.FRET_efficiency(rs, calc_R0(k2s, QD, J, n=n))
+    to_acceptor = rng.random(len(FE)) <= FE
+    return to_acceptor.mean(), chain, k2s, rs
 
 
 def simulate_burst_k2(MSM_frames, T, populations, dye_coords1,
