@@ -22,6 +22,7 @@ Cite the FRETpredict paper if you use the dye libraries.
 """
 
 import argparse
+import hashlib
 import io
 import os
 import shutil
@@ -32,17 +33,63 @@ import urllib.request
 TARBALL = 'https://codeload.github.com/bowman-lab/enspara/tar.gz/{ref}'
 SUBTREE = 'enspara/data/dyes/'
 
+# Release ref this library's smFRET stack was validated against; this
+# is scientific oracle data, so the default fetch is PINNED — both the
+# ref and a content manifest of the extracted subtree. An upstream
+# change (or a tampered tarball) fails loudly instead of silently
+# altering downstream R0/lifetime numbers. The manifest hashes file
+# CONTENTS (sha256 of "relpath sha256" lines, sorted), so it is stable
+# across tarball recompression, unlike a tarball checksum.
+PINNED_REF = 'v0.3.1'
+# sha256 manifest of enspara/data/dyes at the validation checkout
+# (79 files; see tools/dye_manifest.py to recompute)
+PINNED_MANIFEST = \
+    '73847ff657ecc731d266ea0ea12e4396d063dc50d7317f0dc3e01857abb300c1'
+MAX_DOWNLOAD_BYTES = 256 * 1024 * 1024       # the repo tarball is ~50 MB
 
-def fetch(dest=None, ref='master', url=None):
-    """Download the dye library subtree into ``dest``. Returns dest."""
+
+def subtree_manifest(root):
+    """Content manifest of a directory tree: sha256 over sorted
+    ``"relpath sha256(file)"`` lines. Stable across tar/gzip metadata,
+    filesystem ordering, and mtimes."""
+    entries = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, root).replace(os.sep, '/')
+            with open(p, 'rb') as f:
+                h = hashlib.sha256(f.read()).hexdigest()
+            entries.append('%s %s' % (rel, h))
+    entries.sort()
+    return hashlib.sha256('\n'.join(entries).encode()).hexdigest()
+
+
+def fetch(dest=None, ref=None, url=None, expect_manifest=None):
+    """Download the dye library subtree into ``dest``. Returns dest.
+
+    With no ``ref``/``url`` override the pinned release is fetched and
+    the extracted subtree is verified against ``PINNED_MANIFEST``.
+    Overriding ``ref`` or ``url`` skips verification (with a warning)
+    unless ``expect_manifest`` supplies a hash to check instead.
+    """
     from . import _HERE
 
+    pinned = ref is None and url is None
+    if pinned:
+        ref = PINNED_REF
+        expect_manifest = PINNED_MANIFEST
     dest = dest or os.path.join(_HERE, 'dyes')
     url = url or TARBALL.format(ref=ref)
 
     print('Downloading %s ...' % url)
     with urllib.request.urlopen(url) as resp:
-        buf = io.BytesIO(resp.read())
+        raw = resp.read(MAX_DOWNLOAD_BYTES + 1)
+        if len(raw) > MAX_DOWNLOAD_BYTES:
+            raise RuntimeError(
+                'refusing download > %d MB from %s'
+                % (MAX_DOWNLOAD_BYTES // 2**20, url))
+        buf = io.BytesIO(raw)
 
     tmp = dest + '.partial'
     shutil.rmtree(tmp, ignore_errors=True)
@@ -66,6 +113,21 @@ def fetch(dest=None, ref='master', url=None):
     if n == 0:
         raise RuntimeError('no files under %s in %s' % (SUBTREE, url))
 
+    if expect_manifest:
+        got = subtree_manifest(tmp)
+        if got != expect_manifest:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                'dye library manifest mismatch for %s: expected %s, '
+                'got %s. The upstream data changed (or the download '
+                'was tampered with); pass --ref/--url explicitly to '
+                'accept a different dataset.' % (url, expect_manifest,
+                                                 got))
+        print('Verified subtree manifest %s' % got)
+    else:
+        print('WARNING: --ref/--url override given without an '
+              'expected manifest; the downloaded data is UNVERIFIED.')
+
     shutil.rmtree(dest, ignore_errors=True)
     os.replace(tmp, dest)
     print('Installed %d dye-library files into %s' % (n, dest))
@@ -81,13 +143,20 @@ def main(argv=None):
     p.add_argument('--dest', default=None,
                    help='target directory (default: the package data '
                         'dir, enspara_tpu/data/dyes)')
-    p.add_argument('--ref', default='master',
-                   help='upstream git ref to fetch (default: master)')
+    p.add_argument('--ref', default=None,
+                   help='upstream git ref to fetch (default: the '
+                        'pinned, manifest-verified release %s; an '
+                        'explicit ref skips verification)'
+                        % PINNED_REF)
     p.add_argument('--url', default=None,
                    help='override the tarball URL entirely (e.g. a '
-                        'local mirror)')
+                        'local mirror; skips verification)')
+    p.add_argument('--expect-manifest', default=None,
+                   help='subtree manifest sha256 to verify an '
+                        'overridden --ref/--url download against')
     args = p.parse_args(argv)
-    fetch(dest=args.dest, ref=args.ref, url=args.url)
+    fetch(dest=args.dest, ref=args.ref, url=args.url,
+          expect_manifest=args.expect_manifest)
     return 0
 
 

@@ -13,6 +13,8 @@ implied-timescales workload (BASELINE.md: 'eigsolve seconds for top-20
 timescales').
 """
 
+import functools
+
 import numpy as np
 import scipy.sparse
 import scipy.sparse.linalg  # bind the submodule explicitly (eigsh below)
@@ -35,13 +37,15 @@ def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto',
         symmetrization identity pi_i T_ij = pi_j T_ji via row sums of
         the counts-like matrix (falls back to host eigs).
     n_eigs : number of leading eigenpairs (default: all).
-    method : 'auto' | 'eigh' | 'arpack' | 'lobpcg'. 'auto' picks the
-        dense device eigh while n^2 fits HBM, else host ARPACK
-        Lanczos on the pi-symmetrized operator (k << n sparse matvec
-        is gather-bound on TPU — see the measured dispatch note in
-        the source). 'lobpcg' forces the device path.
+    method : 'auto' | 'eigh' | 'arpack' | 'filtered' ('lobpcg' is a
+        back-compat alias for 'filtered'). 'auto' picks the dense
+        device eigh while n^2 fits HBM; past that, sparse k << n
+        spectra go to the device Chebyshev-filtered subspace solver
+        when an accelerator backend is present, and to host ARPACK
+        Lanczos on CPU-only hosts (where scipy's fp64 SpMV beats an
+        fp32 emulated-device filter).
     tol : residual bound ``||S u - w u||_2`` per requested mode for the
-        lobpcg path (S has unit spectral radius, so this is already
+        filtered path (S has unit spectral radius, so this is already
         relative). Modes that do not reach ``tol`` after ``max_refine``
         host refinement sweeps trigger an automatic fallback to the
         host ARPACK solve (the reference's engine,
@@ -77,25 +81,29 @@ def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto',
             if return_info else out
 
     if method == 'lobpcg':
-        # LOBPCG requires search_dim * 5 < n (jax lobpcg_standard
-        # contract); with the guard block that bound binds at small n,
-        # where the dense device eigh is the better engine anyway
+        method = 'filtered'             # back-compat alias
+
+    if method == 'filtered':
+        # the filter block must leave unwanted spectrum to damp; at
+        # small n the dense device eigh is the better engine anyway
         k_guard = int(min(n - 1, n_eigs + max(8, n_eigs // 2)))
         if 5 * k_guard >= n:
             method = 'eigh'
 
     if method == 'auto':
-        # Dense device eigh wins while n^2 fits HBM comfortably; past
-        # that, the best engine for k << n sparse spectra is host
-        # Lanczos (ARPACK, the reference's engine): sparse matvec is
-        # gather-bound on TPU, and the measured 100k-state/1.5M-nnz
-        # top-21 point is 11-19 s ARPACK vs 116 s device LOBPCG +
-        # refinement with the ELL streaming matvec (was 359 s on
-        # BCOO scatter-adds; benchmarks/scale_points.py). 'lobpcg'
-        # stays available explicitly, with residual certificates and
-        # its own ARPACK fallback.
-        method = 'arpack' if (sparse_in and n > 4096
-                              and n_eigs < n // 8) else 'eigh'
+        # Dense device eigh wins while n^2 fits HBM comfortably. Past
+        # that, sparse k << n spectra: the device Chebyshev-filtered
+        # subspace solver (in-jit ELL SpMM sweeps + host fp64 polish)
+        # is the measured winner on real chips — 100k states/1.4M nnz
+        # top-21 in ~3 s on one v5e vs 16 s host ARPACK (see
+        # benchmarks/scale-points-result.json). On CPU-only hosts the
+        # fp32 'device' filter buys nothing over scipy's fp64 SpMV, so
+        # ARPACK Lanczos (the reference's engine) keeps that regime.
+        if sparse_in and n > 4096 and n_eigs < n // 8:
+            method = ('filtered' if _accelerator_present()
+                      else 'arpack')
+        else:
+            method = 'eigh'
 
     sqrt_pi = np.sqrt(pi)
     info = {'method': method, 'residuals': None, 'refine_sweeps': 0,
@@ -146,78 +154,222 @@ def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto',
     return w, vecs
 
 
+def _accelerator_present():
+    """True when the default jax backend is a real accelerator (not a
+    host-platform CPU mesh) — gates the auto-dispatch to the device
+    filtered solver."""
+    import jax
+    try:
+        return jax.default_backend() not in ('cpu',)
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=16)
+def _filter_sweep_fn(n, w_ell, k, use_ell):
+    """One jitted filtered-subspace sweep, cached per shape: Chebyshev
+    filter of traced degree on the unwanted interval ``[-1, b]``, QR
+    re-orthonormalization, and an on-device Rayleigh-Ritz with per-mode
+    residual norms. Everything stays in fp32 HBM; only the (k,) Ritz
+    values and residuals cross back to the host per sweep."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..ops.sparse import ell_spmm
+
+    @jax.jit
+    def sweep(cols, vals, V, b, degree):
+        if use_ell:
+            def spmm(X):
+                return ell_spmm(cols, vals, X)
+        else:
+            def spmm(X):
+                return cols @ X       # BCOO operand rides `cols`
+        e = (b + 1.0) * 0.5           # filter half-width
+        c = (b - 1.0) * 0.5           # filter center
+        Vp = V
+        Vc = (spmm(V) - c * V) / e
+
+        def body(_, carry):
+            Vp, Vc = carry
+            Vn = (2.0 / e) * (spmm(Vc) - c * Vc) - Vp
+            return (Vc, Vn)
+
+        _, Vc = lax.fori_loop(0, degree - 1, body, (Vp, Vc))
+        Q, _ = jnp.linalg.qr(Vc)
+        SQ = spmm(Q)
+        H = Q.T @ SQ
+        w_r, Z = jnp.linalg.eigh((H + H.T) * 0.5)   # ascending
+        w_r, Z = w_r[::-1], Z[:, ::-1]
+        Vr = Q @ Z
+        res = jnp.linalg.norm(SQ @ Z - Vr * w_r[None, :], axis=0)
+        return Vr, w_r, res
+
+    return sweep
+
+
+def _filtered_subspace_device(S, n_eigs, tol=5e-6, max_sweeps=24):
+    """Stage 1 of the sparse eigensolve: fp32 Chebyshev-filtered
+    subspace iteration ON DEVICE (Zhou & Saad-style) down to the fp32
+    residual floor. Returns the (n, k_block) fp64 host basis for the
+    fp64 refinement stage, plus a telemetry dict.
+
+    TPU-first design: the O(sweeps * degree * nnz * k) filter work —
+    99% of the flops — runs as ELL-form SpMMs (w row gathers, no
+    scatters) chained inside ONE jitted sweep; QR and Rayleigh-Ritz
+    also stay on device, so per sweep only 2k floats return to host.
+    Near-degenerate clusters wider than the block (common for
+    metastable MSMs: n_blocks eigenvalues within 1e-8 of 1) stall the
+    filter by construction — the driver detects the stall and GROWS
+    the block past the cluster instead of burning the sweep budget.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.sparse import ell_from_sparse
+
+    n = S.shape[0]
+    nnz_row = np.diff(S.indptr)
+    w_max = int(nnz_row.max()) if n else 0
+    use_ell = bool(w_max and
+                   w_max <= max(32.0, 8.0 * float(nnz_row.mean())))
+    if use_ell:
+        cols_d, vals_d = (jnp.asarray(a) for a in
+                          ell_from_sparse(S, dtype=np.float32))
+        w_ell = int(cols_d.shape[1])
+    else:
+        # hub-dominated graph: ELL padding would blow HBM; use BCOO
+        from jax.experimental import sparse as jsparse
+        cols_d = jsparse.BCOO.from_scipy_sparse(S.astype(np.float32))
+        vals_d, w_ell = None, 0
+
+    rng = np.random.default_rng(0)
+    k_block = int(min(max(n // 6, 1), max(64, 2 * n_eigs + 16)))
+    k_block = max(k_block, min(n_eigs + 4, n - 2))
+    grow_left = 2
+
+    def fresh(V_keep=None):
+        extra = k_block - (0 if V_keep is None else V_keep.shape[1])
+        Vr = jnp.asarray(rng.normal(size=(n, extra)), jnp.float32)
+        V = Vr if V_keep is None else jnp.concatenate([V_keep, Vr], 1)
+        return jnp.linalg.qr(V)[0]
+
+    V = fresh()
+    sweep = _filter_sweep_fn(n, w_ell, k_block, use_ell)
+    # plain power step (degree 1, b=0) seeds the Ritz estimates
+    V, w_r, res = sweep(cols_d, vals_d, V, jnp.float32(0.0),
+                        jnp.int32(1))
+    best, stall, sweeps, grew = np.inf, 0, 0, 0
+    for _ in range(max_sweeps):
+        w_h = np.asarray(w_r, np.float64)
+        res_h = np.asarray(res, np.float64)
+        cur = float(res_h[:n_eigs].max())
+        if cur < tol:
+            break
+        stall = stall + 1 if cur > 0.7 * best else 0
+        best = min(best, cur)
+        if stall >= 2:
+            if cur < 1e-3:
+                # sitting on the fp32 rounding floor (residuals of
+                # O(eps_f32 * sqrt(n)) are expected at 10^5 states):
+                # the SUBSPACE is converged even though the fp32
+                # certificate can't show it — growing the block here
+                # only multiplies stage-2 cost. Hand off to fp64.
+                break
+            if grow_left and 2 * k_block < max(n // 3, k_block + 1):
+                # cluster wider than the block: double past it
+                k_block = int(min(2 * k_block, 512, n - 2))
+                V = fresh(V)
+                sweep = _filter_sweep_fn(n, w_ell, k_block, use_ell)
+                grow_left -= 1
+                grew += 1
+                best, stall = np.inf, 0
+                V, w_r, res = sweep(cols_d, vals_d, V,
+                                    jnp.float32(0.0), jnp.int32(1))
+                sweeps += 1
+                continue
+            break                       # gapless: stage 2 / ARPACK
+        # filter cutoff: the smallest Ritz value in the block,
+        # kept strictly below the wanted modes and above -1
+        b = min(float(w_h[k_block - 1]),
+                float(w_h[n_eigs - 1]) - 1e-7)
+        b = float(np.clip(b, -1.0 + 1e-6, 1.0 - 1e-9))
+        # degree bound keeps the fp32 filter from overflowing:
+        # amplification at the top of the spectrum is
+        # cosh(d * acosh(t(1))) with t(1) = (3 - b) / (1 + b)
+        t1 = (3.0 - b) / (1.0 + b)
+        d = int(np.clip(70.0 / max(np.arccosh(max(t1, 1.0)), 1e-3),
+                        3, 16))
+        V, w_r, res = sweep(cols_d, vals_d, V, jnp.float32(b),
+                            jnp.int32(d))
+        sweeps += 1
+
+    return (np.asarray(V, dtype=np.float64),
+            {'stage1_sweeps': sweeps, 'stage1_res':
+             float(np.asarray(res)[:n_eigs].max()),
+             'stage1_block': k_block, 'stage1_grown': grew})
+
+
 def _lobpcg_refined(S, n_eigs, tol=1e-9, max_refine=30):
     """Top-``n_eigs`` eigenpairs of a sparse symmetric S with spectrum
-    in [-1, 1]: device fp32 LOBPCG for the bulk of the convergence,
+    in [-1, 1]: device fp32 Chebyshev-filtered subspace iteration for
+    the bulk of the convergence (:func:`_filtered_subspace_device`),
     then Chebyshev-filtered fp64 subspace refinement on the host until
     every requested mode's residual ``||S u - w u||`` is below ``tol``
     — with an automatic host-ARPACK fallback if the budget runs out.
 
-    Why this shape: fp32 LOBPCG stalls near residuals ~1e-3 on
-    clustered MSM spectra (eigenvalues bunched under 1), and plain
-    subspace iteration inherits that clustering as a convergence ratio
-    near 1. A degree-``d`` Chebyshev filter on the unwanted interval
-    ``[-1, b]`` (Zhou & Saad-style filtered subspace iteration) damps
-    the unwanted spectrum by ~cosh(d*acosh(t(w_wanted))) per sweep,
-    which is orders of magnitude per sweep even for tightly clustered
-    spectra. Each sweep is O(d * nnz * k) host flops — microseconds to
-    milliseconds at MSM sizes — so the device does the heavy O(n*k^2)
-    orthogonalization work and the host buys the last 6 digits.
+    Why this shape: fp32 stalls near residuals ~5e-6 (its rounding
+    floor), and plain subspace iteration inherits eigenvalue
+    clustering as a convergence ratio near 1. A degree-``d`` Chebyshev
+    filter on the unwanted interval ``[-1, b]`` damps the unwanted
+    spectrum by ~cosh(d*acosh(t(w_wanted))) per sweep — orders of
+    magnitude even for tightly clustered spectra. The device does all
+    the O(d * nnz * k) filtering and O(n * k^2) orthogonalization in
+    fp32; the host buys the last 4-5 digits with a few fp64 sweeps of
+    the same filter (TPU fp64 is emulated, so the precision tail is
+    the one part that belongs on the host).
 
     Returns ``(w, u, info)`` with w descending, u column-orthonormal.
     """
-    import jax.numpy as jnp
-    from jax.experimental.sparse.linalg import lobpcg_standard
-
-    from ..ops.sparse import ell_from_sparse, ell_spmm
+    import time as _time
 
     n = S.shape[0]
-    # guard block: convergence error concentrates in the trailing
-    # modes, so solve wider and discard the extras
-    k_guard = int(min(n - 1, n_eigs + max(8, n_eigs // 2)))
 
-    # --- stage 1: device fp32 LOBPCG on the +1-shifted operator (its
-    # spectrum lies in [0, 2], as the PSD form LOBPCG wants). The
-    # matvec streams in ELL form — w row-gathers, no scatters — unless
-    # hub rows would blow the pad factor past 8x, where generic BCOO
-    # (scatter-add lowering) is the lesser evil.
-    nnz_row = np.diff(S.tocsr().indptr)
-    w_max = int(nnz_row.max()) if n else 0
-    mean_nnz = float(nnz_row.mean()) if n else 0.0
-    if w_max and w_max <= max(32.0, 8.0 * mean_nnz):
-        cols_d, vals_d = (jnp.asarray(a) for a in
-                          ell_from_sparse(S, dtype=np.float32))
+    # --- stage 1: device fp32 filtered subspace iteration
+    t0 = _time.perf_counter()
+    V, s1 = _filtered_subspace_device(S, n_eigs)
+    s1['stage1_s'] = round(_time.perf_counter() - t0, 3)
+    k_guard = V.shape[1]
 
-        def matvec(X):
-            return ell_spmm(cols_d, vals_d, X, shift=1.0)
-    else:
-        from jax.experimental import sparse as jsparse
-        S_bcoo = jsparse.BCOO.from_scipy_sparse(S.astype(np.float32))
+    # --- stage 2: host fp64 Chebyshev-filtered refinement.
+    # GEMM-ONLY by design: on a 1-core host LAPACK's tall-skinny QR
+    # runs ~200x below dgemm peak (measured 11.5 s for (1e5, 64)
+    # dgeqrf vs 50 ms for the same-size V^T V), so orthonormalization
+    # comes from the GENERALIZED Rayleigh-Ritz instead — eigh(H, G)
+    # returns a G-orthonormal rotation Z, making V @ Z orthonormal
+    # with nothing but matmuls.
+    t0 = _time.perf_counter()
+    import scipy.linalg
 
-        def matvec(X):
-            return S_bcoo @ X + X
-
-    rng = np.random.default_rng(0)
-    X0 = jnp.asarray(rng.normal(size=(n, k_guard)), jnp.float32)
-    _, U, _ = lobpcg_standard(matvec, X0, m=200)
-
-    # --- stage 2: host fp64 Chebyshev-filtered refinement
     S64 = S.astype(np.float64)
-    V = np.linalg.qr(np.asarray(U, dtype=np.float64))[0]
+    V = np.asarray(V, dtype=np.float64)
+    V /= np.linalg.norm(V, axis=0)
 
-    def rayleigh_ritz(V):
-        SV = S64 @ V
+    def rayleigh_ritz(V, SV):
+        G = V.T @ V
         H = V.T @ SV
-        w_all, Z = np.linalg.eigh((H + H.T) * 0.5)
+        w_all, Z = scipy.linalg.eigh((H + H.T) * 0.5,
+                                     (G + G.T) * 0.5)
         order = np.argsort(-w_all)
         w_all, Z = w_all[order], Z[:, order]
-        Vr = V @ Z
+        Vr = V @ Z                     # orthonormal: Z^T G Z = I
         R = SV @ Z - Vr * w_all[None, :]
         return w_all, Vr, np.linalg.norm(R, axis=0)
 
-    w_all, V, res = rayleigh_ritz(V)
+    w_all, V, res = rayleigh_ritz(V, S64 @ V)
     sweeps = 0
     stalled = 0
+    degree = 8
     for sweeps in range(1, max_refine + 1):
         if np.all(res[:n_eigs] < tol):
             break
@@ -230,14 +382,28 @@ def _lobpcg_refined(S, n_eigs, tol=1e-9, max_refine=30):
         b = max(b, -1.0 + 1e-12)
         e = (b - (-1.0)) / 2.0          # half-width
         c = (b + (-1.0)) / 2.0          # center
-        # degree-8 Chebyshev: V_j+1 = 2/e (S - c) V_j - V_j-1
+        # Chebyshev filter V_j+1 = 2/e (S - c) V_j - V_j-1, degree
+        # chosen to finish in THIS sweep when the measured per-matvec
+        # contraction says the target is within reach (each sweep also
+        # pays ~4 (n, k) gemms — overshooting the degree slightly is
+        # cheaper than an extra sweep)
         Vp = V
         Vc = (S64 @ V - c * V) / e
-        for _ in range(7):
+        for _ in range(degree - 1):
             Vn = (2.0 / e) * (S64 @ Vc - c * Vc) - Vp
             Vp, Vc = Vc, Vn
-        V = np.linalg.qr(Vc)[0]
-        w_all, V, res = rayleigh_ritz(V)
+        # unit columns keep the generalized RR well conditioned (the
+        # filter amplifies columns by wildly different factors)
+        Vc /= np.linalg.norm(Vc, axis=0)
+        w_all, V, res = rayleigh_ritz(Vc, S64 @ Vc)
+        cur = float(res[:n_eigs].max())
+        if tol < cur < prev:
+            # per-matvec contraction this sweep -> degree that lands
+            # the NEXT sweep at ~tol/3
+            f = (cur / prev) ** (1.0 / (degree + 1))
+            if f < 0.95:
+                need = np.log(cur / (tol / 10.0)) / -np.log(f)
+                degree = int(np.clip(np.ceil(need), 4, 24))
         # gapless (bulk) spectra stall: wanted and guard modes are
         # separated by O(1/n), so the filter can't amplify one over
         # the other — detect the stall and bail to ARPACK early
@@ -251,12 +417,15 @@ def _lobpcg_refined(S, n_eigs, tol=1e-9, max_refine=30):
     else:
         sweeps = max_refine
 
+    s1['stage2_s'] = round(_time.perf_counter() - t0, 3)
+
     if not np.all(res[:n_eigs] < tol):
         # pathological clustering: hand the problem to host ARPACK
         # (symmetric Lanczos), the reference's engine
         import logging
         logging.getLogger(__name__).warning(
-            'device LOBPCG + %d Chebyshev refinement sweeps left '
+            'device filtered subspace iteration + %d fp64 '
+            'Chebyshev refinement sweeps left '
             'max residual %.2e > tol %.2e at n=%d; falling back to '
             'host ARPACK', sweeps, float(res[:n_eigs].max()), tol, n)
         w, u = scipy.sparse.linalg.eigsh(S64, k=n_eigs, which='LA',
@@ -264,12 +433,12 @@ def _lobpcg_refined(S, n_eigs, tol=1e-9, max_refine=30):
         order = np.argsort(-w)
         w, u = w[order], u[:, order]
         res = np.linalg.norm(S64 @ u - u * w[None, :], axis=0)
-        return w, u, {'method': 'lobpcg', 'residuals': res,
-                      'refine_sweeps': sweeps, 'fallback': True}
+        return w, u, {'method': 'filtered', 'residuals': res,
+                      'refine_sweeps': sweeps, 'fallback': True, **s1}
 
     return (w_all[:n_eigs], V[:, :n_eigs],
-            {'method': 'lobpcg', 'residuals': res[:n_eigs],
-             'refine_sweeps': sweeps, 'fallback': False})
+            {'method': 'filtered', 'residuals': res[:n_eigs],
+             'refine_sweeps': sweeps, 'fallback': False, **s1})
 
 
 def _counts_at_traced_lag(a, m, lag, n_states, sliding_window):

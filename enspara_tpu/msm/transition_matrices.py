@@ -264,9 +264,24 @@ def assigns_to_counts_sharded(assigns_padded, mask, lag_time, n_states,
                                         a.dtype)])
         m = np.concatenate([m, np.zeros((pad,) + m.shape[1:], bool)])
 
+    # PRESHARD the inputs onto the mesh before entering jit: arrays
+    # committed to one device force the compiled program to open with
+    # an implicit reshard, which XLA:CPU compiles pathologically
+    # (measured at 262k frames x 8 virtual devices: 206 s compile /
+    # 0.46 s per call with committed inputs vs 1.97 s / 0.031 s
+    # presharded — the round-2 northstar-mesh "961.9 s counting"
+    # artifact was exactly this)
+    import jax
+    from jax.sharding import NamedSharding
+
+    from ..parallel.mesh import FRAME_AXIS, P
+
+    sharding = NamedSharding(mesh, P(FRAME_AXIS))
+    a_d = jax.device_put(np.ascontiguousarray(a, np.int32), sharding)
+    m_d = jax.device_put(np.ascontiguousarray(m), sharding)
     fn = _counts_sharded_fn(mesh, int(lag_time), int(n_states),
                             bool(sliding_window))
-    return fn(jnp.asarray(a, jnp.int32), jnp.asarray(m))
+    return fn(a_d, m_d)
 
 
 @functools.lru_cache(maxsize=32)

@@ -92,7 +92,7 @@ def test_lobpcg_hub_fallback_routing():
     pi = row / row.sum()
     w, v, info = eigenspectrum_reversible(
         T.tocsr(), pi=pi, n_eigs=5, method='lobpcg', return_info=True)
-    assert info['method'] == 'lobpcg'
+    assert info['method'] == 'filtered'
     assert np.all(np.asarray(info['residuals']) < 1e-6)
     assert abs(w[0] - 1.0) < 1e-8
 
