@@ -74,7 +74,17 @@ def main():
     assert len(devs) >= N_DEVICES, (len(devs), N_DEVICES)
     mesh = Mesh(np.array(devs[:N_DEVICES]), (FRAME_AXIS,))
 
-    result = {'n_devices': N_DEVICES, 'n_frames': N_FRAMES,
+    result = {'backend': 'cpu (host-platform virtual mesh)',
+              'n_devices': N_DEVICES,
+              'jax_version': jax.__version__,
+              'timestamp_source': 'end-of-run wall clock, this file '
+                                  'written by benchmarks/northstar_mesh.py',
+              'note': 'compile_s and warm per-call times are reported '
+                      'SEPARATELY: XLA:CPU compile of the sharded '
+                      'programs dominates first-call latency and is '
+                      'paid once per (shape, mesh) per machine with '
+                      'the persistent compile cache',
+              'n_frames': N_FRAMES,
               'n_atoms': N_ATOMS, 'k': N_CLUSTERS, 'lag': LAG}
 
     rng = np.random.default_rng(0)
@@ -89,6 +99,11 @@ def main():
     t0 = time.perf_counter()
     res_sh = kcenters_device(frames, metric='rmsd',
                              n_clusters=N_CLUSTERS, mesh=mesh)
+    result['kcenters_sharded_first_call_s'] = round(
+        time.perf_counter() - t0, 2)        # includes XLA:CPU compile
+    t0 = time.perf_counter()
+    res_sh = kcenters_device(frames, metric='rmsd',
+                             n_clusters=N_CLUSTERS, mesh=mesh)
     result['kcenters_sharded_s'] = round(time.perf_counter() - t0, 2)
     assert res_sh.n_found == N_CLUSTERS
 
@@ -97,7 +112,14 @@ def main():
     t0 = time.perf_counter()
     C_sh = np.asarray(assigns_to_counts_sharded(
         a2d_sh, mask, LAG, N_CLUSTERS, mesh=mesh))
-    result['counts_sharded_s'] = round(time.perf_counter() - t0, 2)
+    result['counts_sharded_first_call_s'] = round(
+        time.perf_counter() - t0, 2)        # includes XLA:CPU compile
+    t0 = time.perf_counter()
+    for _ in range(5):
+        C_sh = np.asarray(assigns_to_counts_sharded(
+            a2d_sh, mask, LAG, N_CLUSTERS, mesh=mesh))
+    result['counts_sharded_s'] = round(
+        (time.perf_counter() - t0) / 5, 4)  # warm per-call
 
     _, T, pi = builders.transpose(C_sh.astype(np.float64))
     vals_sh, _ = eigenspectrum_reversible(T, pi=pi, n_eigs=21,
@@ -114,10 +136,21 @@ def main():
     t0 = time.perf_counter()
     res_1 = kcenters_device(frames, metric='rmsd',
                             n_clusters=N_CLUSTERS, mesh=mesh_1)
+    result['kcenters_serial_first_call_s'] = round(
+        time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    res_1 = kcenters_device(frames, metric='rmsd',
+                            n_clusters=N_CLUSTERS, mesh=mesh_1)
     result['kcenters_serial_s'] = round(time.perf_counter() - t0, 2)
 
+    t0 = time.perf_counter()
+    for _ in range(5):
+        C_1d = np.asarray(assigns_to_counts_sharded(
+            a2d_sh, mask, LAG, N_CLUSTERS, mesh=mesh_1))
+    result['counts_serial_s'] = round((time.perf_counter() - t0) / 5, 4)
     C_1 = assigns_to_counts(a2d_sh, lag_time=LAG,
                             max_n_states=N_CLUSTERS).toarray()
+    assert (C_1d == C_1).all()
     its_1 = implied_timescales_batched(a2d_sh, lags, n_times=20)
 
     # --- sharded == serial (the MPI-phase oracle; see module doc for

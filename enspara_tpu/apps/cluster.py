@@ -210,7 +210,27 @@ def main(argv=None):
     select_platform()   # honors $ENSPARA_TPU_PLATFORM
     from ..util.compile_cache import enable_compilation_cache
     enable_compilation_cache()
+
+    # Multi-host mode (the analog of the reference's `mpirun -n N
+    # cluster ...`, apps/cluster.py:287 under MPI): when the
+    # coordinator env triple is set, join the jax.distributed world
+    # BEFORE any jax use. Every process runs the same SPMD program
+    # over the global frame mesh; only process 0 writes outputs.
+    coord = os.environ.get('ENSPARA_TPU_COORDINATOR')
+    if coord:
+        from ..parallel.mesh import initialize_distributed
+        initialize_distributed(
+            coordinator_address=coord,
+            num_processes=int(os.environ['ENSPARA_TPU_NUM_PROCESSES']),
+            process_id=int(os.environ['ENSPARA_TPU_PROCESS_ID']))
+
     args = process_command_line(argv)
+
+    import jax as _jax
+    if _jax.process_count() > 1 and args.subsample > 1:
+        raise exception.ImproperlyConfigured(
+            'multi-host runs do not support --subsample reassignment '
+            'yet; reassign separately with the reassign app')
 
     lengths, data = util.load_trjs_or_features(args)
 
@@ -281,13 +301,21 @@ def main(argv=None):
 
     result = clustering.result_.partition(lengths)
 
-    with timed('Wrote center indices in %.2f sec.', logger.info):
-        util.write_centers_indices(
-            args.center_indices,
-            [(t, f * args.subsample) for t, f in result.center_indices])
-    with timed('Wrote center structures in %.2f sec.', logger.info):
-        util.write_centers(result, args)
-    util.write_assignments_and_distances_with_reassign(result, args)
+    if _jax.process_index() == 0:
+        # pure-host I/O happens on one process (the reference's
+        # rank-0 writes, apps/cluster.py:359-366); all device compute
+        # above ran SPMD on every process
+        with timed('Wrote center indices in %.2f sec.', logger.info):
+            util.write_centers_indices(
+                args.center_indices,
+                [(t, f * args.subsample)
+                 for t, f in result.center_indices])
+        with timed('Wrote center structures in %.2f sec.', logger.info):
+            util.write_centers(result, args)
+        util.write_assignments_and_distances_with_reassign(result, args)
+    if _jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices('cluster app outputs')
 
     logger.info('Success! Data can be found in %s.',
                 os.path.dirname(args.distances))

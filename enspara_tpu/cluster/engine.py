@@ -228,10 +228,10 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
         np.int32(n_init_centers), n_clusters_eff, cutoff_eff,
         k_max, metric)
 
-    dists = np.asarray(dists)[:n].astype(np.float64)
-    assigs = np.asarray(assigs)[:n].astype(np.int64)
-    n_found = int(n_found)
-    ctr_inds = np.asarray(ctrs)[:n_found].astype(np.int64)
+    dists = pmesh.host_fetch(dists)[:n].astype(np.float64)
+    assigs = pmesh.host_fetch(assigs)[:n].astype(np.int64)
+    n_found = int(pmesh.host_fetch(n_found))
+    ctr_inds = pmesh.host_fetch(ctrs)[:n_found].astype(np.int64)
     if init_center_indices is not None:
         ctr_inds[:n_init_centers] = init_center_indices
     return KCentersDeviceResult(dists, assigs, ctr_inds, n_found)
@@ -734,10 +734,10 @@ def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
             np.int32(n_init_centers), n_clusters_eff, cutoff_eff,
             k_max, A, interpret=bool(interpret), tile=int(tile))
 
-    dists = np.asarray(d)[0, :n].astype(np.float64)
-    assigs = np.asarray(a)[0, :n].astype(np.int64)
-    n_found = int(n_found)
-    ctr_inds = np.asarray(c)[:n_found].astype(np.int64)
+    dists = pmesh.host_fetch(d)[0, :n].astype(np.float64)
+    assigs = pmesh.host_fetch(a)[0, :n].astype(np.int64)
+    n_found = int(pmesh.host_fetch(n_found))
+    ctr_inds = pmesh.host_fetch(c)[:n_found].astype(np.int64)
     if init_center_indices is not None:
         ctr_inds[:n_init_centers] = init_center_indices
     return KCentersDeviceResult(dists, assigs, ctr_inds, n_found)

@@ -132,6 +132,26 @@ def pad_to_multiple(n, m):
     return ((n + m - 1) // m) * m
 
 
+def host_fetch(x):
+    """Materialize a (possibly multi-process global) jax array on the
+    host of EVERY process.
+
+    Single-process (or fully addressable) arrays fetch directly. In a
+    ``jax.distributed`` job, arrays sharded over a global mesh have
+    non-addressable shards, so the fetch is a ``process_allgather``
+    over DCN — the analog of the reference's
+    ``assemble_striped_array`` round-robin bcast (mpi/ops.py:42).
+    Fully-replicated global arrays read their local shard, no
+    communication.
+    """
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    if x.sharding.is_fully_replicated:
+        return np.asarray(x.addressable_data(0))
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def shard_frames(arr, mesh=None, pad_value=0):
     """Pad the leading axis to a multiple of the mesh size and place the
     array sharded over the 'frames' axis.
