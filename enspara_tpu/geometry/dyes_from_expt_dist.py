@@ -186,9 +186,10 @@ def align_dye_to_res(pdb, dye_coords, resSeq, placement=None):
     ``placement`` lets a caller reuse one residue frame for several
     dye clouds (it is ``determine_rot_mat``'s return value).
     """
-    rot, shift = placement if placement is not None \
-        else determine_rot_mat(pdb, resSeq=resSeq)
-    return np.add(dye_coords @ rot, shift)
+    if placement is None:
+        placement = determine_rot_mat(pdb, resSeq=resSeq)
+    frame, origin = placement
+    return np.einsum('...j,jk->...k', dye_coords, frame) + origin
 
 
 def bincount_dists(dists, bin_width=0.1):

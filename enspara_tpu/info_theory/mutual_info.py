@@ -131,6 +131,12 @@ def weighted_mi(features, weights, n_feature_states=None, normalize=True):
     (P_joint = (onehot(X) * w).T @ onehot(X)).
     (reference: mutual_info.py:78; matmul form :149-153)"""
     features = np.asarray(features)
+    if weights is None:
+        # uniform weighting (the documented exposons_from_sasas
+        # contract: "If None, frames will be weighted equally",
+        # reference exposons.py:100-103)
+        weights = np.full(features.shape[0],
+                          1.0 / max(features.shape[0], 1))
     weights = np.array(weights, dtype=np.float64, copy=True)
 
     assert features.ndim == 2
