@@ -18,9 +18,11 @@ import pytest
 DOCS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), 'docs', 'tutorials')
 
+# fences anchored at line start: prose that *mentions* ```python
+# (e.g. the README index) must not be parsed as an open fence
 BLOCK_RE = re.compile(
     r'(?P<skip><!--\s*skip-test[^>]*-->\s*\n)?'
-    r'```python\n(?P<code>.*?)```', re.DOTALL)
+    r'^```python\n(?P<code>.*?)^```', re.DOTALL | re.MULTILINE)
 
 
 def _blocks(path):
@@ -32,7 +34,9 @@ def _blocks(path):
     return out
 
 
-TUTORIALS = sorted(glob.glob(os.path.join(DOCS, '*.md')))
+# README.md is the index page — no runnable snippets by design
+TUTORIALS = sorted(p for p in glob.glob(os.path.join(DOCS, '*.md'))
+                   if os.path.basename(p) != 'README.md')
 
 
 @pytest.mark.parametrize(
