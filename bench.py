@@ -81,6 +81,14 @@ def _backend_alive(attempts=3, backoff_s=(30, 60)):
     return False
 
 
+def _stage(msg):
+    # progress markers on stderr (stdout stays one JSON line) so a
+    # wall-clock watcher can tell a long remote compile from a hang
+    import sys
+    print('# %s %s' % (time.strftime('%H:%M:%S'), msg),
+          file=sys.stderr, flush=True)
+
+
 def main():
     global N_FRAMES, N_CLUSTERS
     degraded = False
@@ -119,7 +127,10 @@ def main():
         frames = base[None] + 0.3 * drift * base[None] + 0.1 * noise
         return frames - jnp.mean(frames, axis=1, keepdims=True)
 
+    _stage('backend up: %s; synthesizing frames' % jax.default_backend())
     frames = synth(jax.random.PRNGKey(42))
+    frames.block_until_ready()
+    _stage('frames in HBM; preparing layout')
     if jax.default_backend() == 'tpu':
         # production steady state: frames ingested ONCE into the fused
         # kernels' device layout, then clustered (fp32)
@@ -139,7 +150,9 @@ def main():
                                    mesh=mesh)
 
     # compile at the real shapes (tiny k, same static k_max)
+    _stage('layout ready; compiling clustering loop')
     cluster(2)
+    _stage('compiled; measuring')
 
     best = np.inf
     res = None
@@ -148,6 +161,7 @@ def main():
         res = cluster(N_CLUSTERS)
         best = min(best, time.perf_counter() - t0)
 
+    _stage('clustering measured; MSM tail')
     assert res.n_found == N_CLUSTERS
     assert res.assignments.max() == N_CLUSTERS - 1
 
