@@ -387,9 +387,80 @@ def trim_disconnected(counts, threshold=1, renumber_states=True):
     return mapping, trimmed_counts
 
 
+def _eq_probs_detailed_balance(T, rel_tol=1e-10):
+    """O(nnz) stationary distribution for a reversible chain, or None.
+
+    If T is row-stochastic and satisfies detailed balance w.r.t. some
+    pi, then along any edge with T_ij > 0 and T_ji > 0,
+    ``log pi_j - log pi_i = log T_ij - log T_ji``. Propagating those
+    increments over a BFS spanning tree of the symmetric-support graph
+    determines log-pi up to the normalization constant — no eigensolve.
+    The candidate is then *certified* on every stored entry
+    (max |pi_i T_ij - pi_j T_ji| <= rel_tol * max |pi_i T_ij|) and on
+    row-stochasticity; any violation returns None so the caller falls
+    back to the eigensolver. Builders that symmetrize counts
+    (transpose, Prinz MLE) produce exact detailed balance, so their
+    chains always take this path.
+    """
+    S = scipy.sparse.csr_matrix(T, dtype=np.float64)
+    n = S.shape[0]
+    if n == 0 or S.shape[0] != S.shape[1]:
+        return None
+    rows = np.asarray(S.sum(axis=1)).ravel()
+    if not np.all(np.isfinite(rows)) or np.abs(rows - 1.0).max() > 1e-8:
+        return None
+    if S.nnz == 0 or (S.data < 0).any():
+        return None
+
+    # spanning tree over edges present in BOTH directions
+    support = (S != 0)
+    sym = support.multiply(support.T).tocsr()
+    n_comp, _ = connected_components(sym, directed=False)
+    if n_comp != 1:
+        return None
+    order, pred = scipy.sparse.csgraph.breadth_first_order(
+        sym, 0, directed=False, return_predecessors=True)
+    if order.shape[0] != n:
+        return None
+
+    # log-space walk: children appear after their predecessor in BFS
+    # order, so one pass assigns every node
+    children = order[1:]
+    parents = pred[children]
+    with np.errstate(divide='ignore'):
+        fwd = np.log(np.asarray(
+            S[parents, children]).ravel())          # T[parent, child]
+        bwd = np.log(np.asarray(
+            S[children, parents]).ravel())          # T[child, parent]
+    delta = fwd - bwd
+    log_pi = np.zeros(n)
+    for c, p, d in zip(children, parents, delta):
+        log_pi[c] = log_pi[p] + d
+    log_pi -= log_pi.max()
+    pi = np.exp(log_pi)
+    pi /= pi.sum()
+
+    # certify detailed balance on EVERY stored entry, not just the tree
+    F = S.multiply(pi[:, None]).tocoo()             # flux pi_i T_ij
+    asym = np.abs((F - F.T).tocoo().data)
+    bound = rel_tol * F.data.max()
+    if asym.size and asym.max() > bound:
+        return None
+    return pi
+
+
 def eq_probs(T, maxiter=100000, tol=1E-30):
     """Equilibrium populations: the top left eigenvector, normalized.
-    (reference: transition_matrices.py:304)"""
+    (reference: transition_matrices.py:304)
+
+    Reversible chains (builders.transpose / builders.mle output) skip
+    the eigensolver entirely: detailed balance determines pi along a
+    spanning tree in O(nnz), certified on every entry — the ARPACK
+    left-eigenvector solve only runs for non-reversible input.
+    """
+    pi = _eq_probs_detailed_balance(T)
+    if pi is not None:
+        return pi
     val, vec = eigenspectrum(T, n_eigs=3, left=True, maxiter=maxiter,
                              tol=tol)
     return vec[:, 0]

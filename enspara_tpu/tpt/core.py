@@ -26,7 +26,8 @@ import scipy.sparse
 import scipy.sparse.linalg
 
 from ..citation import cite
-from ..msm.transition_matrices import eq_probs
+from ..msm.transition_matrices import (_eq_probs_detailed_balance,
+                                       eq_probs)
 
 logger = logging.getLogger(__name__)
 
@@ -165,6 +166,11 @@ def _stationary_estimate(T_csr):
     forever): a generous Krylov width plus a few hundred restarts
     either converges in seconds-to-minutes or we fall back. Callers
     who HAVE pi (any builder output) should pass it and skip this."""
+    # reversible chains never need Arnoldi: detailed balance fixes pi
+    # along a spanning tree in O(nnz), certified on every entry
+    pi = _eq_probs_detailed_balance(T_csr)
+    if pi is not None:
+        return pi
     n = T_csr.shape[0]
     try:
         w, v = scipy.sparse.linalg.eigs(

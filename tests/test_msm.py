@@ -259,6 +259,47 @@ def test_eigenspectrum_left_right():
     assert_allclose(vecs_l[:, 0] @ T, vecs_l[:, 0], atol=1e-12)
 
 
+def test_eq_probs_detailed_balance_fast_path():
+    from enspara_tpu.msm.transition_matrices import \
+        _eq_probs_detailed_balance
+    from enspara_tpu.msm.synthetic_data import sparse_metastable_counts
+
+    # reversible (transpose-built) chain: O(nnz) tree walk must agree
+    # with the builder's pi and with the ARPACK left eigenvector
+    C = sparse_metastable_counts(3000, 4, seed=3)
+    _, T, pi_builder = builders.transpose(C)
+    pi_fast = _eq_probs_detailed_balance(T)
+    assert pi_fast is not None
+    assert_allclose(pi_fast, pi_builder, atol=1e-14)
+    assert_allclose(msm.eq_probs(T), pi_builder, atol=1e-12)
+    # certified stationary: pi T == pi
+    assert np.abs(pi_fast @ T - pi_fast).max() < 1e-14
+
+    # non-reversible chain must be detected and refused
+    rng = np.random.default_rng(0)
+    Cd = scipy.sparse.random(
+        150, 150, density=0.2, random_state=1,
+        data_rvs=lambda k: rng.integers(1, 10, k).astype(float))
+    Cd = (Cd + scipy.sparse.eye(150)).tocsr()
+    _, Tn, _ = builders.normalize(Cd)
+    assert _eq_probs_detailed_balance(Tn) is None
+    pi_n = msm.eq_probs(Tn)             # eigensolver fallback
+    assert abs(pi_n.sum() - 1) < 1e-9
+    assert np.abs(pi_n @ Tn - pi_n).max() < 1e-9
+
+    # rows not stochastic -> refused
+    assert _eq_probs_detailed_balance(np.eye(5) * 0.7) is None
+    # symmetric support graph disconnected -> refused (one-way links
+    # between two reversible blocks)
+    B = np.array(builders.transpose(np.ones((2, 2)))[1])
+    Td = np.zeros((4, 4))
+    Td[:2, :2] = B * 0.9
+    Td[2:, 2:] = B
+    Td[0, 2] = 0.2                      # forward-only bridge
+    Td /= Td.sum(axis=1, keepdims=True)
+    assert _eq_probs_detailed_balance(Td) is None
+
+
 def test_synthetic_trajectory_distribution():
     T = np.array([[0.9, 0.1], [0.4, 0.6]])
     traj = msm.synthetic_trajectory(T, 0, 8000, random_state=0)
