@@ -48,29 +48,27 @@ def one_point(n_states, n_blocks, with_device_eig=False):
     # --- committors: first well -> last well (10 source/sink states
     # each, the realistic folding-reaction query shape). pi known from
     # the builder -> pi-symmetrized CG path; a second call without pi
-    # exercises (and times) the ARPACK stationary-vector estimate.
+    # exercises (and times) the stationary-distribution estimate (the
+    # O(nnz) detailed-balance tree walk for these reversible chains;
+    # ARPACK only for non-reversible input).
     m = n // n_blocks
     sources = np.arange(10)
     sinks = np.arange(n - 10, n)
     t0 = time.perf_counter()
     q = committors(T, sources, sinks, pi=pi)
     out['committors_s'] = round(time.perf_counter() - t0, 3)
-    if n_states <= 100_000:
-        # the no-pi probe (bounded ARPACK stationary estimate) stays
-        # at the 100k point: at 1M a failed estimate's GMRES fallback
-        # is hours, and real builders always provide pi anyway
-        t0 = time.perf_counter()
-        q_nopi = committors(T, sources, sinks)
-        out['committors_estimated_pi_s'] = round(
-            time.perf_counter() - t0, 3)
-        # both solutions carry their own exact-system residual
-        # certificate (checked below for q); their mutual distance is
-        # only bounded by cond(I-Q) * residual — with timescales ~1e8
-        # that condition number is ~1e9, so record the gap rather
-        # than asserting solver-precision agreement
-        out['committor_pi_vs_estimated_max_diff'] = float(
-            np.abs(q - q_nopi).max())
-        assert out['committor_pi_vs_estimated_max_diff'] < 1e-4
+    t0 = time.perf_counter()
+    q_nopi = committors(T, sources, sinks)
+    out['committors_estimated_pi_s'] = round(
+        time.perf_counter() - t0, 3)
+    # both solutions carry their own exact-system residual
+    # certificate (checked below for q); their mutual distance is
+    # only bounded by cond(I-Q) * residual — with timescales ~1e8
+    # that condition number is ~1e9, so record the gap rather
+    # than asserting solver-precision agreement
+    out['committor_pi_vs_estimated_max_diff'] = float(
+        np.abs(q - q_nopi).max())
+    assert out['committor_pi_vs_estimated_max_diff'] < 1e-4
 
     t0 = time.perf_counter()
     mf = mfpts(T, sinks=sinks, populations=pi)
