@@ -19,7 +19,8 @@ import numbers
 import numpy as np
 import scipy.sparse
 import scipy.sparse.linalg
-from scipy.sparse.csgraph import connected_components
+from scipy.sparse.csgraph import (breadth_first_order,
+                                  connected_components)
 
 from .. import exception
 from ..ra import RaggedArray
@@ -418,7 +419,7 @@ def _eq_probs_detailed_balance(T, rel_tol=1e-10):
     n_comp, _ = connected_components(sym, directed=False)
     if n_comp != 1:
         return None
-    order, pred = scipy.sparse.csgraph.breadth_first_order(
+    order, pred = breadth_first_order(
         sym, 0, directed=False, return_predecessors=True)
     if order.shape[0] != n:
         return None
