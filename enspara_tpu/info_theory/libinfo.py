@@ -140,9 +140,12 @@ def _matrix_bincount2d_device(a, b, n_a, n_b, mesh=None):
                 # out-of-range pad states one-hot to zero rows; upcast
                 # first so the sentinel can't wrap in a saturated label
                 # dtype (e.g. uint8 with n_a=256 would alias state 0)
-                if np.iinfo(ac.dtype).max < n_a:
-                    ac = ac.astype(np.int32)
-                if np.iinfo(bc.dtype).max < n_b:
+                def _fits(dt, n):
+                    return (np.issubdtype(dt, np.integer)
+                            and np.iinfo(dt).max >= n)
+                if not _fits(ac.dtype, n_a):
+                    ac = ac.astype(np.int32)   # incl. bool labels
+                if not _fits(bc.dtype, n_b):
                     bc = bc.astype(np.int32)
                 ac = np.concatenate(
                     [ac, np.full((pad, Fa), n_a, dtype=ac.dtype)])

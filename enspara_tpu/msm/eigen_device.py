@@ -368,15 +368,27 @@ def _lobpcg_refined(S, n_eigs, tol=1e-9, max_refine=30):
     def rayleigh_ritz(V, SV):
         G = V.T @ V
         H = V.T @ SV
-        w_all, Z = scipy.linalg.eigh((H + H.T) * 0.5,
-                                     (G + G.T) * 0.5)
+        try:
+            w_all, Z = scipy.linalg.eigh((H + H.T) * 0.5,
+                                         (G + G.T) * 0.5)
+        except (np.linalg.LinAlgError, scipy.linalg.LinAlgError):
+            # numerically singular Gram matrix: a hard filter
+            # (degree ~24 at low b amplifies ~1e16) can collapse the
+            # unit-normalized block onto a few eigendirections; let
+            # the ARPACK fallback below take over instead of crashing
+            return None
         order = np.argsort(-w_all)
         w_all, Z = w_all[order], Z[:, order]
         Vr = V @ Z                     # orthonormal: Z^T G Z = I
         R = SV @ Z - Vr * w_all[None, :]
         return w_all, Vr, np.linalg.norm(R, axis=0)
 
-    w_all, V, res = rayleigh_ritz(V, S64 @ V)
+    rr = rayleigh_ritz(V, S64 @ V)
+    if rr is None:
+        w_all, res = None, np.full(max(n_eigs, 1), np.inf)
+        max_refine = 0                 # straight to the fallback
+    else:
+        w_all, V, res = rr
     sweeps = 0
     stalled = 0
     degree = 8
@@ -405,7 +417,10 @@ def _lobpcg_refined(S, n_eigs, tol=1e-9, max_refine=30):
         # unit columns keep the generalized RR well conditioned (the
         # filter amplifies columns by wildly different factors)
         Vc /= np.linalg.norm(Vc, axis=0)
-        w_all, V, res = rayleigh_ritz(Vc, S64 @ Vc)
+        rr = rayleigh_ritz(Vc, S64 @ Vc)
+        if rr is None:
+            break                      # keep last good V; fallback fires
+        w_all, V, res = rr
         cur = float(res[:n_eigs].max())
         if tol < cur < prev:
             # per-matvec contraction this sweep -> degree that lands

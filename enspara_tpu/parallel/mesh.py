@@ -40,13 +40,20 @@ SMALL_JOB_WORK = float(os.environ.get('ENSPARA_TPU_SMALL_JOB_WORK',
 
 def initialize_distributed(**kwargs):
     """Multi-host bootstrap (jax.distributed.initialize). No-op if
-    already initialized or single-host. Also installs the abort
-    excepthook so a crash on one host kills the whole job (see
-    :func:`install_abort_excepthook`)."""
+    already initialized. Also installs the abort excepthook so a
+    crash on one host kills the whole job (see
+    :func:`install_abort_excepthook`).
+
+    A *failed* bootstrap (unreachable coordinator, inconsistent
+    process_id/num_processes) raises: swallowing it would leave every
+    process believing it is rank 0 of a single-host world, and N
+    processes would then race to write the same output files."""
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass
+    except RuntimeError as e:
+        # benign double-init only; anything else is a real failure
+        if 'already' not in str(e) and 'once' not in str(e):
+            raise
     install_abort_excepthook()
 
 

@@ -193,6 +193,31 @@ def test_lobpcg_falls_back_to_arpack_when_budget_exhausted():
     assert_allclose(vals, w_ref, atol=1e-10)
 
 
+def test_singular_gram_falls_back_to_arpack(monkeypatch):
+    """A numerically singular Gram matrix inside the stage-2
+    generalized Rayleigh-Ritz (hard filters can collapse the block
+    onto a few eigendirections) must route to the ARPACK fallback,
+    not crash the pipeline."""
+    import scipy.linalg
+
+    real_eigh = scipy.linalg.eigh
+
+    def breaking_eigh(a, b=None, **kw):
+        if b is not None:
+            raise np.linalg.LinAlgError('leading minor not positive '
+                                        'definite (simulated)')
+        return real_eigh(a, **kw)
+
+    monkeypatch.setattr(scipy.linalg, 'eigh', breaking_eigh)
+    n, k = 5000, 6
+    T, pi = _sparse_metastable_msm(n, seed=5)
+    vals, _, info = eigenspectrum_reversible(
+        T, pi=pi, n_eigs=k, method='lobpcg', return_info=True)
+    assert info['fallback']
+    w_ref = _arpack_oracle(T, pi, k)
+    assert_allclose(vals, w_ref, atol=1e-10)
+
+
 def test_implied_timescales_device_matches_host():
     rng = np.random.default_rng(1)
     assigns = rng.integers(0, 5, size=(3, 400))

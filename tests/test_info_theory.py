@@ -34,6 +34,23 @@ def test_matrix_bincount2d_device_vs_host():
     assert api.dtype == np.uint32
 
 
+def test_matrix_bincount2d_mesh_bool_labels():
+    """Dichotomized (bool) features through the mesh path: the pad
+    sentinel's dtype guard must upcast bools (np.iinfo rejects them)
+    so the sharded device path works instead of silently demoting to
+    the host loop."""
+    from enspara_tpu.parallel.mesh import frame_mesh
+    rng = np.random.default_rng(2)
+    # 501 frames: not divisible by the device count -> padding engages
+    a = rng.integers(0, 2, size=(501, 6)).astype(bool)
+    b = rng.integers(0, 2, size=(501, 3)).astype(bool)
+    host = libinfo.matrix_bincount2d_np(
+        a.astype(np.int32), b.astype(np.int32), 2, 2)
+    dev = libinfo._matrix_bincount2d_device(a, b, 2, 2,
+                                            mesh=frame_mesh())
+    assert_array_equal(np.asarray(dev), host)
+
+
 def test_matrix_bincount2d_totals():
     rng = np.random.default_rng(1)
     a = rng.integers(0, 3, size=(200, 4))

@@ -8,9 +8,11 @@ verifies pinned downloads against (sha256 over sorted
 ``"relpath sha256(file)"`` lines).
 """
 
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit('/', 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 from enspara_tpu.data.fetch_dye_library import subtree_manifest
 

@@ -45,7 +45,7 @@ def _strip(src_lines, node):
             if tok.type in (tokenize.COMMENT,):
                 continue
             out.append(tok.string)
-    except tokenize.TokenizeError:
+    except tokenize.TokenError:
         out = seg.split()
     text = ' '.join(t for t in out if t.strip())
     return text
