@@ -233,6 +233,27 @@ def main():
         result['degraded'] = ('device tunnel unavailable after 3 '
                               'probes with backoff; measured on the '
                               'CPU backend')
+        # the dev-box tunnel has multi-hour outages (STATUS.md): point
+        # at the most recent committed ON-CHIP record so a degraded
+        # run never erases the chip evidence for the round
+        import os
+        rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'benchmarks', 'bench-v5e-result.json')
+        if os.path.exists(rec):
+            with open(rec) as f:
+                result['latest_onchip_record'] = json.load(f)
+    else:
+        # healthy chip run: persist this measurement as the round's
+        # on-chip record (same shape as the stdout line)
+        import os
+        rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'benchmarks', 'bench-v5e-result.json')
+        if jax.default_backend() == 'tpu':
+            try:
+                with open(rec, 'w') as f:
+                    json.dump(result, f, indent=1)
+            except OSError:
+                pass
     print(json.dumps(result))
 
 
