@@ -3,7 +3,6 @@
 """
 
 import logging
-import time
 
 import numpy as np
 from sklearn.utils import check_random_state
@@ -11,6 +10,7 @@ from sklearn.utils import check_random_state
 from ..citation import cite
 from ..exception import ImproperlyConfigured
 from . import util
+from .util import run_timed
 from .kcenters import kcenters as _kcenters
 from .kmedoids import _kmedoids_iterations
 
@@ -40,9 +40,8 @@ class KHybrid(util.MolecularClusterMixin):
         self.mesh = mesh
 
     def fit(self, X, init_centers=None):
-        t0 = time.perf_counter()
-        self.result_ = hybrid(
-            X, self.metric,
+        self.result_, self.runtime_ = run_timed(
+            hybrid, X, self.metric,
             n_iters=self.kmedoids_updates,
             n_clusters=self.n_clusters,
             dist_cutoff=self.cluster_radius,
@@ -50,7 +49,6 @@ class KHybrid(util.MolecularClusterMixin):
             init_centers=init_centers,
             random_state=self.random_state,
             mesh=self.mesh)
-        self.runtime_ = time.perf_counter() - t0
         return self
 
 

@@ -15,13 +15,13 @@ same wall-clock win (and more) comes from the kernel fusion instead.
 """
 
 import logging
-import time
 
 import numpy as np
 
 from ..citation import cite
 from ..exception import ImproperlyConfigured
 from . import util
+from .util import run_timed
 from . import engine
 
 logger = logging.getLogger(__name__)
@@ -68,15 +68,13 @@ class KCenters(util.MolecularClusterMixin):
         self.precision = precision
 
     def fit(self, X, init_centers=None):
-        t0 = time.perf_counter()
-        self.result_ = kcenters(
-            X, distance_method=self.metric,
+        self.result_, self.runtime_ = run_timed(
+            kcenters, X, distance_method=self.metric,
             n_clusters=self.n_clusters,
             dist_cutoff=self.cluster_radius,
             init_centers=init_centers,
             random_first_center=self.random_first_center,
             mesh=self.mesh, precision=self.precision)
-        self.runtime_ = time.perf_counter() - t0
         return self
 
     # sklearn-compatible params plumbing

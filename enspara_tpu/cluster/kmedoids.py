@@ -10,13 +10,13 @@ kernels. This preserves the reference's exact update semantics (the
 """
 
 import logging
-import time
 
 import numpy as np
 from sklearn.utils import check_random_state
 
 from ..exception import ImproperlyConfigured, DataInvalid
 from . import util
+from .util import run_timed
 
 
 def _tpu_present():
@@ -85,14 +85,12 @@ class KMedoids(util.MolecularClusterMixin):
 
     def fit(self, X, assignments=None, distances=None,
             cluster_center_inds=None):
-        t0 = time.perf_counter()
-        self.result_ = kmedoids(
-            X, distance_method=self.metric,
+        self.result_, self.runtime_ = run_timed(
+            kmedoids, X, distance_method=self.metric,
             n_clusters=self.n_clusters, n_iters=self.n_iters,
             assignments=assignments, distances=distances,
             cluster_center_inds=cluster_center_inds,
             random_state=self.random_state)
-        self.runtime_ = time.perf_counter() - t0
         return self
 
 

@@ -3,6 +3,7 @@ metric dispatch. (reference: enspara/cluster/util.py)
 """
 
 import logging
+import time
 from collections import namedtuple
 
 import numpy as np
@@ -29,22 +30,23 @@ class ClusterResult(namedtuple('ClusterResult',
         """Split concatenated per-frame arrays back into per-trajectory
         rows; ndarray when lengths are uniform, RaggedArray otherwise.
         (reference: cluster/util.py:111)"""
-        square = all(lengths[0] == ln for ln in lengths)
-        if square:
-            return ClusterResult(
-                assignments=np.array(
-                    partition_list(self.assignments, lengths)),
-                distances=np.array(
-                    partition_list(self.distances, lengths)),
-                center_indices=partition_indices(
-                    self.center_indices, lengths),
-                centers=self.centers)
-        return ClusterResult(
-            assignments=ra.RaggedArray(self.assignments, lengths=lengths),
-            distances=ra.RaggedArray(self.distances, lengths=lengths),
-            center_indices=partition_indices(
-                self.center_indices, lengths),
-            centers=self.centers)
+        if len(set(int(n) for n in lengths)) <= 1:
+            def chop(flat):
+                return np.array(partition_list(flat, lengths))
+        else:
+            def chop(flat):
+                return ra.RaggedArray(flat, lengths=lengths)
+        return self._replace(
+            assignments=chop(self.assignments),
+            distances=chop(self.distances),
+            center_indices=partition_indices(self.center_indices, lengths))
+
+
+def run_timed(fn, *args, **kwargs):
+    """Call ``fn(*args, **kwargs)``; return ``(result, wall_seconds)``."""
+    tick = time.perf_counter()
+    out = fn(*args, **kwargs)
+    return out, time.perf_counter() - tick
 
 
 def gather_frames(X, indices):
@@ -72,15 +74,25 @@ def assign_to_nearest_center(trajectory, cluster_centers, distance_method):
     For the batched device form used in hot paths see
     :func:`enspara_tpu.cluster.engine.assign_device`.
     """
-    assignments = np.zeros(len(trajectory), dtype=int)
-    distances = np.full(len(trajectory), np.inf, dtype=float)
+    n_frames = len(trajectory)
+    best_dist = np.full(n_frames, np.inf, dtype=float)
+    best_ctr = np.zeros(n_frames, dtype=int)
 
-    for i, center in enumerate(cluster_centers):
-        dist = np.asarray(distance_method(trajectory, center)).reshape(-1)
-        inds = dist < distances
-        distances[inds] = dist[inds]
-        assignments[inds] = i
-    return assignments, distances
+    # evaluate centers in blocks: one argmin per block instead of one
+    # masked update per center, with first-minimum ties preserved both
+    # within a block (np.argmin) and across blocks (strict <)
+    block_len = 32
+    for lo in range(0, len(cluster_centers), block_len):
+        block = cluster_centers[lo:lo + block_len]
+        dmat = np.stack(
+            [np.asarray(distance_method(trajectory, ctr)).reshape(-1)
+             for ctr in block])
+        winner = dmat.argmin(axis=0)
+        winning_dist = dmat[winner, np.arange(n_frames)]
+        improved = winning_dist < best_dist
+        best_dist[improved] = winning_dist[improved]
+        best_ctr[improved] = winner[improved] + lo
+    return best_ctr, best_dist
 
 
 def find_cluster_centers(assignments, distances):
@@ -90,14 +102,16 @@ def find_cluster_centers(assignments, distances):
         raise DataInvalid(
             'Length of distances (%s) must match length of assignments '
             '(%s).' % (len(distances), len(assignments)))
-    assignments = np.asarray(assignments)
-    distances = np.asarray(distances)
-    unique = np.unique(assignments)
-    center_inds = np.zeros_like(unique)
-    for i, c in enumerate(unique):
-        frames = np.where(assignments == c)[0]
-        center_inds[i] = frames[np.argmin(distances[frames])]
-    return center_inds
+    labels = np.ravel(assignments)
+    gaps = np.ravel(distances)
+    # sort by (label, distance, frame index): the first row of each
+    # label group is that cluster's minimum-distance frame, with the
+    # frame-index key reproducing numpy argmin's first-hit tie-break
+    order = np.lexsort((np.arange(labels.size), gaps, labels))
+    ranked = labels[order]
+    group_head = np.flatnonzero(
+        np.r_[True, ranked[1:] != ranked[:-1]] if ranked.size else [])
+    return order[group_head]
 
 
 def _rmsd_metric(trajectory, center):
@@ -156,13 +170,11 @@ class MolecularClusterMixin:
             raise ImproperlyConfigured(
                 'To predict the clustering result for new data, the '
                 'clusterer first must have fit some data.')
-        pred_assigs, pred_dists = assign_to_nearest_center(
+        labels, gaps = assign_to_nearest_center(
             X, self.centers_, _get_distance_method(self.metric))
-        pred_centers = find_cluster_centers(pred_assigs, pred_dists)
         return ClusterResult(
-            assignments=pred_assigs,
-            distances=pred_dists,
-            center_indices=pred_centers,
+            assignments=labels, distances=gaps,
+            center_indices=find_cluster_centers(labels, gaps),
             centers=self.centers_)
 
     @property
@@ -296,17 +308,15 @@ def load_frames(filenames, indices, **kwargs):
     from .. import io as io_mod
 
     stride = kwargs.pop('stride', 1) or 1
-    centers = []
-    for i, j in indices:
+    out = []
+    for file_id, frame_id in indices:
+        name, pos = filenames[file_id], frame_id * stride
         try:
-            c = io_mod.load_frame(filenames[i], index=j * stride,
-                                  **kwargs)
-        except Exception:
+            out.append(io_mod.load_frame(name, index=pos, **kwargs))
+        except Exception as err:
             raise ImproperlyConfigured(
-                'Failed to load frame {fr} of {fn}.'.format(
-                    fn=filenames[i], fr=j * stride))
-        centers.append(c)
-    return centers
+                'Failed to load frame %s of %s (%s).' % (pos, name, err))
+    return out
 
 
 def load_asymm_frames(center_indices, trajectories, topology, subsample):
@@ -397,17 +407,19 @@ def write_assignments_and_distances_with_reassign(result, args,
 
 
 def compute_batches(lengths, batch_size):
-    """(reference: cluster/util.py:551)"""
-    batch_sizes = [[]]
-    batch_indices = [[]]
+    """Greedily pack trajectory indices into batches whose summed
+    frame counts stay under ``batch_size``.
+    (reference: cluster/util.py:551)"""
+    batches = [[]]
+    room = batch_size
     for i, ln in enumerate(lengths):
-        if sum(batch_sizes[-1]) + ln < batch_size:
-            batch_sizes[-1].append(ln)
-            batch_indices[-1].append(i)
+        if ln < room:
+            batches[-1].append(i)
+            room -= ln
         else:
-            batch_sizes.append([ln])
-            batch_indices.append([i])
-    return batch_indices
+            batches.append([i])
+            room = batch_size - ln
+    return batches
 
 
 def determine_batch_size(n_atoms, dtype_bytes, frac_mem):

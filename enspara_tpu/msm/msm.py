@@ -37,13 +37,10 @@ class MSM(object):
     def __init__(self, lag_time, method, trim=False, sliding_window=True,
                  max_n_states=None):
         self.lag_time = lag_time
+        self.method = method if callable(method) else getattr(builders, method)
+        self.sliding_window = sliding_window
         self.trim = trim
         self.max_n_states = max_n_states
-        if callable(method):
-            self.method = method
-        else:
-            self.method = getattr(builders, method)
-        self.sliding_window = sliding_window
 
     def fit(self, assigns):
         tcounts = assigns_to_counts(
@@ -58,26 +55,27 @@ class MSM(object):
         counts are additive over trajectories, so callers that already
         hold per-trajectory counts (e.g. bootstrap resampling) can
         skip the re-count."""
+        n_raw = tcounts.shape[0]
         if self.trim:
-            original_state_count = tcounts.shape[0]
             self.mapping_, tcounts = trim_disconnected(tcounts)
             logger.info('After ergodic trimming, %s of %s states remain',
-                        len(self.mapping_.to_original),
-                        original_state_count)
+                        len(self.mapping_.to_original), n_raw)
         else:
-            self.mapping_ = TrimMapping(zip(range(tcounts.shape[0]),
-                                            range(tcounts.shape[0])))
+            self.mapping_ = TrimMapping((s, s) for s in range(n_raw))
 
         self.tcounts_, self.tprobs_, self.eq_probs_ = self.method(tcounts)
         return self
 
     @property
     def n_states_(self):
-        if hasattr(self, 'tprobs_'):
-            assert self.tprobs_.shape[0] == self.tcounts_.shape[0]
-            return self.tprobs_.shape[0]
-        raise ImproperlyConfigured(
-            'MSM must be fit before it has a number of states.')
+        try:
+            probs = self.tprobs_
+        except AttributeError:
+            raise ImproperlyConfigured(
+                'MSM must be fit before it has a number of '
+                'states.') from None
+        assert probs.shape[0] == self.tcounts_.shape[0]
+        return probs.shape[0]
 
     @property
     def config(self):
@@ -104,30 +102,31 @@ class MSM(object):
             return True
         if self.config != other.config:
             return False
-        if self.result_ is None:
-            return other.result_ is None
+        mine, theirs = self.result_, other.result_
+        if mine is None or theirs is None:
+            return mine is theirs
 
-        if not np.all(self.eq_probs_ == other.eq_probs_):
-            return False
         if self.mapping_ != other.mapping_:
             return False
-        if (self.tcounts_.shape != other.tcounts_.shape
-                or self.tprobs_.shape != other.tprobs_.shape):
+        if not np.array_equal(np.asarray(self.eq_probs_),
+                              np.asarray(other.eq_probs_)):
+            return False
+        if any(a.shape != b.shape for a, b in
+               ((self.tcounts_, other.tcounts_),
+                (self.tprobs_, other.tprobs_))):
             return False
 
-        tc_s, tc_o = sparse.csr_matrix(self.tcounts_), \
-            sparse.csr_matrix(other.tcounts_)
-        if (tc_s != tc_o).nnz != 0:
+        # counts: exact sparse equality
+        mismatch = (sparse.csr_matrix(self.tcounts_)
+                    != sparse.csr_matrix(other.tcounts_))
+        if mismatch.nnz:
             return False
 
-        f_self = sparse.find(sparse.csr_matrix(self.tprobs_))
-        f_other = sparse.find(sparse.csr_matrix(other.tprobs_))
-        if (not np.all(f_self[0] == f_other[0])
-                or not np.all(f_self[1] == f_other[1])):
-            return False
-        if not np.allclose(f_self[2], f_other[2]):
-            return False
-        return True
+        # probabilities: identical sparsity pattern, values to fp tol
+        ri, ci, vi = sparse.find(sparse.csr_matrix(self.tprobs_))
+        rj, cj, vj = sparse.find(sparse.csr_matrix(other.tprobs_))
+        return (np.array_equal(ri, rj) and np.array_equal(ci, cj)
+                and np.allclose(vi, vj))
 
     def __repr__(self):
         return 'MSM:' + str({'config': self.config, 'fit': self.result_})
@@ -142,55 +141,54 @@ class MSM(object):
                 "MSMs don't handle zip archives yet.")
 
         with open(os.path.join(path, manifest)) as f:
-            fname_dict = json.load(f)
-        fname_dict = {k: os.path.join(path, v)
-                      for k, v in fname_dict.items()}
+            names = json.load(f)
 
-        with open(fname_dict['config'], 'rb') as f:
-            config = pickle.load(f)
+        def part(key):
+            return os.path.join(path, names[key])
 
-        msm = cls(**config)
-        msm.tcounts_ = mmread(fname_dict['tcounts_'])
-        msm.tprobs_ = mmread(fname_dict['tprobs_'])
-        msm.mapping_ = TrimMapping.load(fname_dict['mapping_'])
-        msm.eq_probs_ = np.loadtxt(fname_dict['eq_probs_'])
+        with open(part('config'), 'rb') as f:
+            msm = cls(**pickle.load(f))
+        msm.mapping_ = TrimMapping.load(part('mapping_'))
+        msm.eq_probs_ = np.loadtxt(part('eq_probs_'))
+        msm.tcounts_ = mmread(part('tcounts_'))
+        msm.tprobs_ = mmread(part('tprobs_'))
         return msm
 
     def save(self, path, force=False, zipfile=False, **filenames):
         """Serialize to a manifest directory: mapping.csv, tcounts.mtx,
         tprobs.mtx, eq-probs.dat, config.pkl, manifest.json."""
-        fname_dict = {
-            'mapping_': 'mapping.csv',
-            'tcounts_': 'tcounts.mtx',
-            'tprobs_': 'tprobs.mtx',
-            'eq_probs_': 'eq-probs.dat',
-            'config': 'config.pkl',
+        if zipfile:
+            raise NotImplementedError("MSMs don't do zip archives yet.")
+
+        names = {'mapping_': 'mapping.csv',
+                 'tcounts_': 'tcounts.mtx',
+                 'tprobs_': 'tprobs.mtx',
+                 'eq_probs_': 'eq-probs.dat',
+                 'config': 'config.pkl'}
+        names.update(filenames)
+
+        emitters = {
+            'mapping_': ('w', self.mapping_.write),
+            'tcounts_': ('wb', lambda f: mmwrite(
+                f, sparse.coo_matrix(self.tcounts_))),
+            'tprobs_': ('wb', lambda f: mmwrite(
+                f, sparse.coo_matrix(self.tprobs_), precision=20)),
+            'eq_probs_': ('wb', lambda f: np.savetxt(
+                f, np.array(self.eq_probs_))),
+            'config': ('wb', lambda f: pickle.dump(self.config, f)),
         }
-        fname_dict.update(filenames)
 
+        # stage the whole directory, then move it into place so a failed
+        # serialization can't leave a half-written model behind
         with tempfile.TemporaryDirectory(
-                prefix=os.path.basename(path)) as tempdir:
-
-            def tmp_fname(prop):
-                return os.path.join(tempdir, fname_dict[prop])
-
-            with open(os.path.join(tempdir, 'manifest.json'), 'w') as f:
-                json.dump(fname_dict, f, sort_keys=True, indent=4,
+                prefix=os.path.basename(path)) as staging:
+            with open(os.path.join(staging, 'manifest.json'), 'w') as f:
+                json.dump(names, f, sort_keys=True, indent=4,
                           separators=(',', ': '))
-            with open(tmp_fname('mapping_'), 'w') as f:
-                self.mapping_.write(f)
-            with open(tmp_fname('tcounts_'), 'wb') as f:
-                mmwrite(f, sparse.coo_matrix(self.tcounts_))
-            with open(tmp_fname('tprobs_'), 'wb') as f:
-                mmwrite(f, sparse.coo_matrix(self.tprobs_), precision=20)
-            with open(tmp_fname('eq_probs_'), 'wb') as f:
-                np.savetxt(f, np.array(self.eq_probs_))
-            with open(tmp_fname('config'), 'wb') as f:
-                pickle.dump(self.config, f)
+            for key, (mode, emit) in emitters.items():
+                with open(os.path.join(staging, names[key]), mode) as f:
+                    emit(f)
 
-            if zipfile:
-                raise NotImplementedError(
-                    "MSMs don't do zip archives yet.")
             if force and os.path.isdir(path):
                 shutil.rmtree(path)
-            shutil.copytree(tempdir, path)
+            shutil.copytree(staging, path)

@@ -48,14 +48,10 @@ class TrimMapping:
 
     @classmethod
     def read(cls, file):
-        reader = csv.reader(file)
-        headers = next(reader)
-        assert headers == ['original', 'mapped']
-        column = {h: [] for h in headers}
-        for row in reader:
-            for h, v in zip(headers, row):
-                column[h].append(int(v))
-        return TrimMapping(zip(column['original'], column['mapped']))
+        rows = list(csv.reader(file))
+        assert rows and rows[0] == ['original', 'mapped']
+        return TrimMapping((int(orig), int(mapped))
+                           for orig, mapped in rows[1:])
 
     @property
     def to_mapped(self):
@@ -94,13 +90,11 @@ class TrimMapping:
 def _transitions_helper(assigns_1d, lag_time=1, sliding_window=True):
     """(start, end) state pairs of one gap-compacted trajectory.
     (reference: transition_matrices.py:310)"""
-    if sliding_window:
-        start_states = assigns_1d[:-lag_time:1]
-        end_states = assigns_1d[lag_time::1]
-    else:
-        start_states = assigns_1d[:-lag_time:lag_time]
-        end_states = assigns_1d[lag_time::lag_time]
-    return np.vstack((start_states, end_states))
+    seq = np.asarray(assigns_1d)
+    stride = 1 if sliding_window else lag_time
+    origins = seq[:max(len(seq) - lag_time, 0):stride]
+    landings = seq[lag_time::stride]
+    return np.stack((origins, landings))
 
 
 def assigns_to_counts(assigns, lag_time, max_n_states=None,
@@ -313,32 +307,36 @@ def eigenspectrum(T, n_eigs=None, left=True, maxiter=100000, tol=1E-30):
     (equilibrium populations when left=True).
     (reference: transition_matrices.py:173)
     """
+    dim = T.shape[0]
     if n_eigs is None:
-        n_eigs = T.shape[0]
-    elif n_eigs < 2:
-        raise ValueError('n_eig must be greater than or equal to 2')
-
-    T = T.T if left else T
-
-    if T.shape[0] < 1000 and scipy.sparse.issparse(T):
-        T = T.toarray()
-
-    if scipy.sparse.issparse(T):
-        vals, vecs = scipy.sparse.linalg.eigs(
-            T.tocsr().asfptype(), n_eigs, which='LR', maxiter=maxiter,
-            tol=tol)
+        k = dim
     else:
-        vals, vecs = scipy.linalg.eig(np.asarray(T, dtype=float))
+        if n_eigs < 2:
+            raise ValueError('n_eig must be greater than or equal to 2')
+        k = n_eigs
 
-    order = np.argsort(-np.real(vals))
-    vals = vals[order]
-    vecs = vecs[:, order]
+    # left spectra of T are right spectra of T^T
+    A = T.transpose() if left else T
 
-    vecs[:, 0] /= vecs[:, 0].sum()
+    if scipy.sparse.issparse(A):
+        if dim < 1000:
+            # ARPACK can't return near-full spectra; densify small inputs
+            w, phi = scipy.linalg.eig(A.toarray().astype(float))
+        else:
+            w, phi = scipy.sparse.linalg.eigs(
+                A.tocsr().asfptype(), k, which='LR',
+                maxiter=maxiter, tol=tol)
+    else:
+        w, phi = scipy.linalg.eig(np.asarray(A, dtype=float))
 
-    vals = np.real(vals[:n_eigs])
-    vecs = np.real(vecs[:, :n_eigs])
-    return vals, vecs
+    rank = np.argsort(-w.real)
+    w, phi = w[rank], phi[:, rank]
+
+    # leading eigenvector scaled to unit mass (= equilibrium populations
+    # when left=True)
+    phi[:, 0] = phi[:, 0] / phi[:, 0].sum()
+
+    return w.real[:k], phi.real[:, :k]
 
 
 def trim_disconnected(counts, threshold=1, renumber_states=True):

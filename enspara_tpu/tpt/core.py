@@ -146,13 +146,15 @@ def _refined_solve(A_dense32, B, A_exact=None, max_refine=10,
 def _I_m_Q(tprob, absorbing_states, n_states=None):
     """(I - Q) with absorbing rows/cols zeroed and unit diagonal.
     (reference: tpt/core.py:25)"""
-    if n_states is None:
-        n_states = len(tprob)
-    I_m_Q = np.eye(n_states) - np.asarray(tprob)
-    I_m_Q[:, absorbing_states] = 0.0
-    I_m_Q[absorbing_states, :] = 0.0
-    I_m_Q[absorbing_states, absorbing_states] = 1.0
-    return I_m_Q
+    T = np.asarray(tprob, dtype=float)
+    n = T.shape[0] if n_states is None else n_states
+    transient = np.ones(n, dtype=bool)
+    transient[absorbing_states] = False
+    # off-diagonal blocks: -T restricted to transient x transient
+    A = np.where(transient[:, None] & transient[None, :], -T, 0.0)
+    # diagonal: 1 - T_ii on transient states, exactly 1 on absorbing
+    np.fill_diagonal(A, np.where(transient, 1.0 - T.diagonal(), 1.0))
+    return A
 
 
 def _stationary_estimate(T_csr):

@@ -141,22 +141,33 @@ def _subtract_path_flux_csr(csr, path):
     csr.data[pos[vals.argmin()]] = 0.0
 
 
+def _path_edges(path):
+    """(row_idx, col_idx) arrays for the consecutive edges of ``path``."""
+    hops = np.asarray(path)
+    return hops[:-1], hops[1:]
+
+
 def _remove_bottleneck(net_flux, path):
     """Zero only the path's bottleneck edge. (reference: tpt/path.py:163)"""
-    net_flux = copy.copy(net_flux)
-    bottleneck_ind = net_flux[path[:-1], path[1:]].argmin()
-    net_flux[path[bottleneck_ind], path[bottleneck_ind + 1]] = 0.0
-    return net_flux
+    out = copy.copy(net_flux)
+    rows, cols = _path_edges(path)
+    weakest = np.ravel(out[rows, cols]).argmin()
+    out[rows[weakest], cols[weakest]] = 0.0
+    return out
 
 
 def _subtract_path_flux(net_flux, path):
     """Subtract the path flux from every edge along it.
     (reference: tpt/path.py:178)"""
-    net_flux = copy.copy(net_flux)
-    net_flux[path[:-1], path[1:]] -= net_flux[path[:-1], path[1:]].min()
-    bottleneck_ind = net_flux[path[:-1], path[1:]].argmin()
-    net_flux[path[bottleneck_ind], path[bottleneck_ind + 1]] = 0.0
-    return net_flux
+    out = copy.copy(net_flux)
+    rows, cols = _path_edges(path)
+    edge_vals = np.ravel(out[rows, cols])
+    floor = edge_vals.min()
+    out[rows, cols] = edge_vals - floor
+    # pin the weakest edge to exactly 0.0 against fp subtraction error
+    weakest = edge_vals.argmin()
+    out[rows[weakest], cols[weakest]] = 0.0
+    return out
 
 
 _CSR_REMOVERS = {'subtract': _subtract_path_flux_csr,
