@@ -75,15 +75,13 @@ def load_trajs(args):
 
 
 def save_cards(ss_mi, dd_mi, sd_mi, ds_mi, output_name):
-    """(reference: apps/collect_cards.py:163)"""
-    final_mats = {
-        'Struc_struc_MI': ss_mi,
-        'Disorder_disorder_MI': dd_mi,
-        'Struc_disorder_MI': sd_mi,
-        'Disorder_struc_MI': ds_mi,
-    }
+    """(reference: apps/collect_cards.py:163)
+
+    The pickle's key names are the reference's on-disk contract."""
+    keys = ('Struc_struc_MI', 'Disorder_disorder_MI',
+            'Struc_disorder_MI', 'Disorder_struc_MI')
     with open(output_name, 'wb') as f:
-        pickle.dump(final_mats, f)
+        pickle.dump(dict(zip(keys, (ss_mi, dd_mi, sd_mi, ds_mi))), f)
     return 0
 
 

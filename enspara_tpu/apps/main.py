@@ -3,7 +3,21 @@
 """
 
 import argparse
+import importlib
 import sys
+
+# subcommand -> module (relative to this package); smfret-* extend the
+# reference's dispatcher (apps/main.py:5), where the smFRET tools are
+# standalone scripts only
+_APP_MODULES = {
+    'cluster': '.cluster',
+    'implied': '.implied_timescales',
+    'reassign': '.reassign',
+    'cards': '.collect_cards',
+    'entropy': '.shannon_entropy',
+    'smfret-dyes': '.smFRET_dye_MC',
+    'smfret-clouds': '.smFRET_point_clouds',
+}
 
 
 def identify_app(argv):
@@ -12,56 +26,35 @@ def identify_app(argv):
         prog='enspara',
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
         description='Main entry point for enspara_tpu apps.')
+    parser.add_argument('appname', choices=set(_APP_MODULES),
+                        help='Name of the application.')
+    parser.add_argument('appargs', nargs=argparse.REMAINDER,
+                        help='Arguments to the app.')
 
-    parser.add_argument(
-        'appname',
-        choices={'cluster', 'implied', 'reassign', 'cards', 'entropy',
-                 'smfret-dyes', 'smfret-clouds'},
-        help='Name of the application. (smfret-* are additions over '
-             "the reference's dispatcher, apps/main.py:5, where the "
-             'smFRET tools are standalone scripts only.)')
-    parser.add_argument(
-        'appargs', nargs=argparse.REMAINDER,
-        help='Arguments to the app.')
-
-    helpstack = []
-    for h in ['--help', '-h']:
-        while h in argv and argv.index(h) != 1:
-            argv.remove(h)
-            helpstack.append(h)
+    # help flags beyond position 1 belong to the APP's parser, not the
+    # dispatcher's — set them aside and re-append after parsing
+    deferred = []
+    kept = argv[:2]
+    for tok in argv[2:]:
+        (deferred if tok in ('--help', '-h') else kept).append(tok)
+    argv[:] = kept
 
     args = parser.parse_args(argv[1:])
-
-    if args.appname == 'cluster':
-        from .cluster import main
-    elif args.appname == 'implied':
-        from .implied_timescales import main
-    elif args.appname == 'reassign':
-        from .reassign import main
-    elif args.appname == 'cards':
-        from .collect_cards import main
-    elif args.appname == 'entropy':
-        from .shannon_entropy import main
-    elif args.appname == 'smfret-dyes':
-        from .smFRET_dye_MC import main
-    elif args.appname == 'smfret-clouds':
-        from .smFRET_point_clouds import main
-
-    args.main = main
-    args.appargs.extend(helpstack)
+    module = importlib.import_module(_APP_MODULES[args.appname],
+                                     package=__package__)
+    args.main = module.main
+    args.appargs.extend(deferred)
     return args
 
 
 def main(argv=None):
-    if argv is None:
-        argv = sys.argv
-    args = identify_app(argv)
+    args = identify_app(sys.argv if argv is None else argv)
     try:
-        # [appname] + appargs == argv[1:] except that help flags
-        # stripped by identify_app are restored (appended): the
-        # reference passes the mutated argv (apps/main.py:49), so
-        # `enspara cluster --help` silently drops --help there —
-        # deliberate fix, not a port of that bug
+        # [appname] + appargs restores the full app argv, including the
+        # help flags identify_app set aside: the reference passes its
+        # mutated argv (apps/main.py:49), so `enspara cluster --help`
+        # silently drops --help there — deliberate fix, not a port of
+        # that bug
         args.main([args.appname] + args.appargs)
     except Exception:
         print('An unexpected error has occurred; please consider filing '

@@ -10,17 +10,14 @@ class readable_dir(argparse.Action):
     is readable. (reference: apps/util.py:6)"""
 
     def __call__(self, parser, namespace, values, option_string=None):
-        prospective_dir = os.path.dirname(os.path.abspath(values))
-        if not os.path.isdir(prospective_dir):
+        parent = os.path.dirname(os.path.abspath(values))
+        problem = ('not a valid path' if not os.path.isdir(parent)
+                   else None if os.access(parent, os.R_OK)
+                   else 'not a readable dir')
+        if problem is not None:
             raise argparse.ArgumentTypeError(
-                'readable_dir:{0} is not a valid path'.format(
-                    prospective_dir))
-        if os.access(prospective_dir, os.R_OK):
-            setattr(namespace, self.dest, values)
-        else:
-            raise argparse.ArgumentTypeError(
-                'readable_dir:{0} is not a readable dir'.format(
-                    prospective_dir))
+                'readable_dir:%s is %s' % (parent, problem))
+        setattr(namespace, self.dest, values)
 
 
 def expand_files(pgroups):

@@ -28,11 +28,12 @@ def cards(trajectories, buffer_width=15, n_procs=1, mesh=None):
     disorder_to_struct_mi, atom_inds)``. With ``mesh``, the MI joint
     counting shards the frame axis across the device mesh.
     (reference: cards.py:17)"""
-    r = RotamerFeaturizer(buffer_width=buffer_width, n_procs=n_procs)
-    r.fit(trajectories)
-    return cards_matrices(r.feature_trajectories_,
-                          r.n_feature_states_,
-                          n_procs, mesh=mesh) + (r.atom_indices_,)
+    featurizer = RotamerFeaturizer(
+        buffer_width=buffer_width, n_procs=n_procs).fit(trajectories)
+    mats = cards_matrices(featurizer.feature_trajectories_,
+                          featurizer.n_feature_states_,
+                          n_procs, mesh=mesh)
+    return mats + (featurizer.atom_indices_,)
 
 
 def _paint_labels_device(n_frames, n_features, starts, ends, feats):
@@ -105,25 +106,17 @@ def cards_matrices(feature_trajs, n_feature_states, n_procs=None,
         # 4x the host->device traffic)
         feature_trajs = [_stage(t) for t in feature_trajs]
 
-    logger.debug('Calculating structural mutual information')
-    structural_mi = mutual_info.mi_matrix(
-        feature_trajs, feature_trajs,
-        n_feature_states, n_feature_states, mesh=mesh)
-
-    logger.debug('Calculating disorder mutual information')
-    disorder_mi = mutual_info.mi_matrix(
-        disordered_trajs, disordered_trajs,
-        disorder_n_states, disorder_n_states, mesh=mesh)
-
-    logger.debug('Calculating structure-disorder mutual information')
-    struct_to_disorder_mi = mutual_info.mi_matrix(
-        feature_trajs, disordered_trajs,
-        n_feature_states, disorder_n_states, mesh=mesh)
-
-    logger.debug('Calculating disorder-structure mutual information')
-    disorder_to_struct_mi = mutual_info.mi_matrix(
-        disordered_trajs, feature_trajs,
-        disorder_n_states, n_feature_states, mesh=mesh)
-
-    return (structural_mi, disorder_mi, struct_to_disorder_mi,
-            disorder_to_struct_mi)
+    # the four MI channels: (row source, column source), where 's' is
+    # the rotamer-state featurization and 'd' the disorder labels
+    channel = {'s': (feature_trajs, n_feature_states),
+               'd': (disordered_trajs, disorder_n_states)}
+    mats = []
+    for row_key, col_key in (('s', 's'), ('d', 'd'),
+                             ('s', 'd'), ('d', 's')):
+        logger.debug('Calculating %s->%s mutual information',
+                     row_key, col_key)
+        rows, n_rows = channel[row_key]
+        cols, n_cols = channel[col_key]
+        mats.append(mutual_info.mi_matrix(
+            rows, cols, n_rows, n_cols, mesh=mesh))
+    return tuple(mats)

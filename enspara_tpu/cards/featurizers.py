@@ -26,18 +26,15 @@ class RotamerFeaturizer(object):
         self.n_procs = n_procs
 
     def fit(self, trajectories):
-        trj_iter = iter(trajectories)
-        first_trj = next(trj_iter)
-        rotamer_trj, atom_inds, rotamer_n_states = \
-            geometry.all_rotamers(first_trj,
-                                  buffer_width=self.buffer_width)
-
-        rotamer_trajs = [rotamer_trj]
-        rotamer_trajs.extend(
-            geometry.all_rotamers(t, buffer_width=self.buffer_width)[0]
-            for t in trj_iter)
-
-        self.feature_trajectories_ = rotamer_trajs
-        self.n_feature_states_ = rotamer_n_states
-        self.atom_indices_ = atom_inds
+        states = []
+        for trj in trajectories:       # works for lists and generators
+            labels, dihedral_atoms, bins_per_feature = \
+                geometry.all_rotamers(trj, buffer_width=self.buffer_width)
+            if not states:
+                # dihedral topology is shared, so the metadata of the
+                # first trajectory covers the whole set
+                self.atom_indices_ = dihedral_atoms
+                self.n_feature_states_ = bins_per_feature
+            states.append(labels)
+        self.feature_trajectories_ = states
         return self

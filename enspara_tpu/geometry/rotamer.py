@@ -18,53 +18,55 @@ __all__ = ['dihedral_angles', 'all_rotamers', 'phi_rotamers',
            'rotamers_device', 'get_gates', 'is_buffered_transition']
 
 
+_DIHEDRAL_KINDS = ('phi', 'psi', 'chi1', 'chi2', 'chi3', 'chi4')
+
+
 def dihedral_angles(traj, dihedral_type):
     """Angles in degrees spanning [0, 360). (reference: rotamer.py:6)"""
-    valid = ['phi', 'psi', 'chi1', 'chi2', 'chi3', 'chi4']
-    if dihedral_type not in valid:
+    if dihedral_type not in _DIHEDRAL_KINDS:
         return None, None
-    f = getattr(dih, 'compute_%s' % dihedral_type)
-    atom_inds, angles = f(traj)
-    angles = np.rad2deg(np.asarray(angles, dtype=np.float64))
-    angles[angles < 0] += 360
-    angles[angles > 359.5] = 359.5
-    return angles, atom_inds
+    atom_inds, rad = getattr(dih, 'compute_' + dihedral_type)(traj)
+    deg = np.remainder(
+        np.rad2deg(np.asarray(rad, dtype=np.float64)), 360.0)
+    # cap just below the seam so np.digitize never lands on 360
+    return np.minimum(deg, 359.5), atom_inds
 
 
-def _rotamers(angles, hard_boundaries, buffer_width=15):
-    """Hysteresis state assignment for one dihedral's time series
-    (host reference path; reference: rotamer.py:28)."""
+def _validate_basins(hard_boundaries, buffer_width):
     n_basins = len(hard_boundaries) - 1
-
-    if buffer_width < 0 or buffer_width >= 360. / n_basins:
+    if not 0 <= buffer_width < 360.0 / n_basins:
         raise DataInvalid('Buffer width (got %s) must be between 0 and '
                           '360 degrees.' % buffer_width)
     if hard_boundaries[0] != 0 or hard_boundaries[-1] != 360:
         raise DataInvalid('hard_boundaries list must start with 0 and '
                           'end with 360, list was %s.' % hard_boundaries)
+    return n_basins
 
-    n_frames = len(angles)
-    rotamers = -1 * np.ones(n_frames, dtype='int16')
 
-    rotamers[0] = np.digitize(angles[0], hard_boundaries) - 1
-    cur_state = rotamers[0]
-    for i in range(1, n_frames):
-        if _is_buffered_transition(cur_state, angles[i],
-                                   hard_boundaries, buffer_width):
-            cur_state = np.digitize(angles[i], hard_boundaries) - 1
-        rotamers[i] = cur_state
-    return rotamers
+def _rotamers(angles, hard_boundaries, buffer_width=15):
+    """Hysteresis state assignment for one dihedral's time series
+    (host reference path; reference: rotamer.py:28)."""
+    _validate_basins(hard_boundaries, buffer_width)
+
+    bounds = np.asarray(hard_boundaries, dtype=float)
+    out = np.empty(len(angles), dtype='int16')
+    state = np.digitize(angles[0], bounds) - 1
+    for t, theta in enumerate(angles):
+        if t and _is_buffered_transition(state, theta, hard_boundaries,
+                                         buffer_width):
+            state = np.digitize(theta, bounds) - 1
+        out[t] = state
+    return out
 
 
 def _gates(cur_state, hard_boundaries, buffer_width):
     """(reference: rotamer.py:162 get_gates)"""
-    lower = hard_boundaries[int(cur_state)]
-    upper = hard_boundaries[int(cur_state) + 1]
-    if lower == 0:
-        lower = 360
-    if upper == 360:
-        upper = 0
-    return lower - buffer_width, upper + buffer_width
+    s = int(cur_state)
+    below, above = hard_boundaries[s], hard_boundaries[s + 1]
+    # a basin touching the 0/360 seam gates on the far side of it
+    below = below if below else 360
+    above = 0 if above == 360 else above
+    return below - buffer_width, above + buffer_width
 
 
 def _is_buffered_transition(cur_state, new_angle, hard_boundaries,
@@ -120,13 +122,7 @@ def rotamers_device(angles, hard_boundaries, buffer_width=15,
     import jax
     import jax.numpy as jnp
 
-    n_basins = len(hard_boundaries) - 1
-    if buffer_width < 0 or buffer_width >= 360. / n_basins:
-        raise DataInvalid('Buffer width (got %s) must be between 0 and '
-                          '360 degrees.' % buffer_width)
-    if hard_boundaries[0] != 0 or hard_boundaries[-1] != 360:
-        raise DataInvalid('hard_boundaries list must start with 0 and '
-                          'end with 360, list was %s.' % hard_boundaries)
+    n_basins = _validate_basins(hard_boundaries, buffer_width)
 
     angles = np.asarray(angles) if not hasattr(angles, 'devices') \
         else angles
@@ -208,54 +204,52 @@ def _rotamer_block(angles, hard_boundaries, buffer_width, use_device):
     return out
 
 
+def _rotamer_family(traj, kinds, hard_boundaries, buffer_width,
+                    use_device, shift=0.0):
+    """Featurize one dihedral family: concatenate the angle blocks of
+    ``kinds``, optionally rotate by ``shift`` degrees (so the family's
+    basin boundaries land on the 0/360 seam), and hysteresis-assign."""
+    blocks = [dihedral_angles(traj, kind) for kind in kinds]
+    angles = np.concatenate([a for a, _ in blocks], axis=1)
+    atom_inds = np.concatenate([ai for _, ai in blocks], axis=0)
+    if shift:
+        angles = np.remainder(angles - shift, 360.0)
+    states = _rotamer_block(angles, hard_boundaries, buffer_width,
+                            use_device)
+    n_states = np.full(angles.shape[1], len(hard_boundaries) - 1,
+                       dtype='int16')
+    return states, atom_inds, n_states
+
+
 def phi_rotamers(traj, buffer_width=15, use_device=True):
     """(reference: rotamer.py:222)"""
-    hard_boundaries = [0, 180, 360]
-    angles, atom_inds = dihedral_angles(traj, 'phi')
-    rotamers = _rotamer_block(angles, hard_boundaries, buffer_width,
-                              use_device)
-    n_states = 2 * np.ones(angles.shape[1], dtype='int16')
-    return rotamers, atom_inds, n_states
+    return _rotamer_family(traj, ('phi',), [0, 180, 360],
+                           buffer_width, use_device)
 
 
 def psi_rotamers(traj, buffer_width=15, use_device=True):
     """psi angles shifted by -100 degrees so the basin boundaries land
     on 0/360. (reference: rotamer.py:236)"""
-    angles, atom_inds = dihedral_angles(traj, 'psi')
-    shifted = angles - 100
-    shifted[shifted < 0] += 360
-    hard_boundaries = [0, 160, 360]
-    rotamers = _rotamer_block(shifted, hard_boundaries, buffer_width,
-                              use_device)
-    n_states = 2 * np.ones(angles.shape[1], dtype='int16')
-    return rotamers, atom_inds, n_states
+    return _rotamer_family(traj, ('psi',), [0, 160, 360],
+                           buffer_width, use_device, shift=100.0)
 
 
 def chi_rotamers(traj, buffer_width=15, use_device=True):
     """chi1-chi4 concatenated, 3 basins each. (reference:
     rotamer.py:255)"""
-    hard_boundaries = [0, 120, 240, 360]
-    angles, atom_inds = dihedral_angles(traj, 'chi1')
-    for i in range(2, 5):
-        more_angles, more_inds = dihedral_angles(traj, 'chi%d' % i)
-        angles = np.append(angles, more_angles, axis=1)
-        atom_inds = np.append(atom_inds, more_inds, axis=0)
-    rotamers = _rotamer_block(angles, hard_boundaries, buffer_width,
-                              use_device)
-    n_states = 3 * np.ones(angles.shape[1], dtype='int16')
-    return rotamers, atom_inds, n_states
+    return _rotamer_family(traj, ('chi1', 'chi2', 'chi3', 'chi4'),
+                           [0, 120, 240, 360], buffer_width, use_device)
 
 
 def all_rotamers(traj, buffer_width=15, use_device=True):
     """All phi/psi/chi rotamer state assignments:
     ``(states (n_frames, n_dihedrals) int16, atom_inds (n_dihedrals, 4),
     n_states (n_dihedrals,))``. (reference: rotamer.py:276)"""
-    states, inds, ns = phi_rotamers(traj, buffer_width, use_device)
-    for fn in (psi_rotamers, chi_rotamers):
-        s, i, n = fn(traj, buffer_width, use_device)
-        states = np.append(states, s, axis=1)
-        inds = np.append(inds, i, axis=0)
-        ns = np.append(ns, n, axis=0)
+    parts = [family(traj, buffer_width, use_device)
+             for family in (phi_rotamers, psi_rotamers, chi_rotamers)]
+    states = np.concatenate([p[0] for p in parts], axis=1)
+    inds = np.concatenate([p[1] for p in parts], axis=0)
+    ns = np.concatenate([p[2] for p in parts], axis=0)
     assert issubclass(states.dtype.type, np.integer)
     assert issubclass(ns.dtype.type, np.integer)
     return states, inds, ns
