@@ -36,27 +36,24 @@ def xyz_to_traj(xyz, cluster_ids=None):
     if xyz.size == 0:
         return None
 
-    n_xyz = xyz.shape[0]
+    if cluster_ids is None:
+        order = np.arange(xyz.shape[0])
+        labels = np.zeros(xyz.shape[0], dtype=int)
+    else:
+        order = np.argsort(cluster_ids)
+        labels = np.asarray(cluster_ids)[order]
+
     top = Topology()
     chain = top.add_chain()
-    if cluster_ids is None:
-        res = top.add_residue('POK', chain, 0)
-        for _ in range(n_xyz):
-            top.add_atom('C', 'C', res)
-        sorted_xyz = xyz
-    else:
-        sorted_xyz = np.zeros((n_xyz, 3))
-        order = np.argsort(cluster_ids)
-        prev = -1
-        res = None
-        for i in range(n_xyz):
-            cur = cluster_ids[order[i]]
-            if cur != prev:
-                res = top.add_residue('POK', chain, int(cur))
-                prev = cur
-            top.add_atom('C', 'C', res)
-            sorted_xyz[i] = xyz[order[i]]
-    return Trajectory(sorted_xyz[None].astype(np.float32), top)
+    res, last = None, None
+    for lab in labels:
+        if res is None or lab != last:
+            res = top.add_residue('POK', chain, int(lab))
+            last = lab
+        top.add_atom('C', 'C', res)
+
+    coords = np.asarray(xyz)[order][None].astype(np.float32)
+    return Trajectory(coords, top)
 
 
 # backwards-compatible alias with the reference's name
@@ -141,11 +138,11 @@ def _check_diagonal_axis_helper(touches, rank):
 
 def _check_diagonal_axis(touches, rank):
     """(reference: pockets.py:203)"""
-    _check_diagonal_axis_helper(touches, rank)
-    _check_diagonal_axis_helper(
-        touches.swapaxes(1, 2)[1:, 1:, :], rank.swapaxes(1, 2)[1:, 1:, :])
-    _check_diagonal_axis_helper(
-        touches.swapaxes(0, 2)[1:, 1:, :], rank.swapaxes(0, 2)[1:, 1:, :])
+    views = (lambda a: a,
+             lambda a: a.swapaxes(1, 2)[1:, 1:, :],
+             lambda a: a.swapaxes(0, 2)[1:, 1:, :])
+    for view in views:
+        _check_diagonal_axis_helper(view(touches), view(rank))
 
 
 @cite('pockets')
@@ -202,15 +199,21 @@ def cluster_pocket_cells(pocket_cells, grid_spacing=0.1,
             np.array(sorted_mapping, dtype=int))
 
 
-def _get_pockets_helper(struct, grid_spacing, probe_radius, min_rank,
-                        min_cluster_size):
+def _frame_pockets(struct, grid_spacing, probe_radius, min_rank,
+                   min_cluster_size):
+    """Full pocket pipeline for one frame: rank cells, group them into
+    pockets, emit the carbon pseudo-trajectory."""
     cells = get_pocket_cells(struct, grid_spacing=grid_spacing,
                              probe_radius=probe_radius,
                              min_rank=min_rank)
-    sorted_cells, mapping = cluster_pocket_cells(
+    grouped, labels = cluster_pocket_cells(
         cells, grid_spacing=grid_spacing,
         min_cluster_size=min_cluster_size)
-    return xyz_to_traj(sorted_cells, cluster_ids=mapping)
+    return xyz_to_traj(grouped, cluster_ids=labels)
+
+
+# legacy name used by external callers of the reference
+_get_pockets_helper = _frame_pockets
 
 
 @cite('pockets')
@@ -218,13 +221,12 @@ def get_pockets(traj, grid_spacing=0.1, probe_radius=0.14, min_rank=5,
                 min_cluster_size=0, n_procs=None):
     """Pockets per frame, each a 1-frame carbon Trajectory (largest
     pocket = residue 0). (reference: pockets.py:410)"""
-    if n_procs is None:
-        n_procs = auto_nprocs()
-
-    frames = [traj[i] for i in range(len(traj))]
-    with ThreadPoolExecutor(max_workers=n_procs) as ex:
-        return list(ex.map(
-            lambda s: _get_pockets_helper(
-                s, grid_spacing, probe_radius, min_rank,
-                min_cluster_size),
-            frames))
+    import functools
+    per_frame = functools.partial(
+        _frame_pockets, grid_spacing=grid_spacing,
+        probe_radius=probe_radius, min_rank=min_rank,
+        min_cluster_size=min_cluster_size)
+    workers = auto_nprocs() if n_procs is None else n_procs
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(per_frame,
+                             (traj[i] for i in range(len(traj)))))

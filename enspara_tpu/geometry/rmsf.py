@@ -14,22 +14,25 @@ def rmsf_calc(centers, populations=None, ref_frame=0, per_residue=True,
 
     Returns per-residue (default) or per-atom RMSFs.
     """
-    centers = centers.copy().superpose(centers[ref_frame],
+    aligned = centers.copy().superpose(centers[ref_frame],
                                        atom_indices=atom_indices)
+    weights = (np.full(aligned.n_frames, 1.0 / aligned.n_frames)
+               if populations is None else np.asarray(populations))
 
-    if populations is None:
-        populations = np.ones(centers.n_frames) / centers.n_frames
-    populations = np.asarray(populations)
+    delta = aligned.xyz - aligned.xyz[ref_frame]
+    sq_dev = (delta * delta).sum(axis=-1)     # (n_frames, n_atoms)
+    weighted = weights @ sq_dev               # ensemble-average, per atom
 
-    diffs = centers.xyz - centers.xyz[ref_frame]
-    dists_per_atom_sq = np.einsum('ijk,ijk->ij', diffs, diffs)
+    if not per_residue:
+        return np.sqrt(weighted)
 
-    if per_residue:
-        avg_resi = np.array([
-            dists_per_atom_sq[:, [a.index for a in r.atoms]].mean(axis=1)
-            for r in centers.top.residues])
-        return np.sqrt((avg_resi * populations).sum(axis=1))
-    return np.sqrt((dists_per_atom_sq * populations[:, None]).sum(axis=0))
+    # residue average = binned sum of the per-atom ensemble averages
+    # divided by the residue's atom count (linearity lets the ensemble
+    # and residue reductions commute)
+    resid = np.array([a.residue.index for a in aligned.top.atoms])
+    _, dense = np.unique(resid, return_inverse=True)
+    return np.sqrt(np.bincount(dense, weights=weighted)
+                   / np.bincount(dense))
 
 
 def _bfactors_from_rmsfs(pdb, rmsfs):

@@ -85,36 +85,38 @@ def absorb(c, absorb_states):
     Returns ``(c, labels)``: counts with absorbed rows/cols zeroed and
     a relabeling of every original state.
     """
-    sparse = scipy.sparse.issparse(c)
-    c = c.tolil() if sparse else np.array(c, dtype=float, copy=True)
-
+    is_sparse = scipy.sparse.issparse(c)
+    c = c.tolil() if is_sparse else np.array(c, dtype=float, copy=True)
     labels = np.arange(c.shape[0])
 
-    for s in absorb_states:
-        self_cts = c[s, s]
-        c[s, s] = 0
+    def fold_into(dest, src, diag_mass):
+        """Accumulate src's row/col into dest's, restore the stored
+        diagonal mass, zero src out of the matrix."""
+        if is_sparse:
+            c[dest, :] = c[dest, :] + c[src, :]
+            c[:, dest] = c[:, dest] + c[:, src]
+        else:
+            c[dest, :] += c[src, :]
+            c[:, dest] += c[:, src]
+        c[dest, dest] += diag_mass
+        c[src, :] = 0
+        c[:, src] = 0
 
-        row = _row(c, s)
-        if row.sum() == 0:
-            if self_cts:
+    for s in absorb_states:
+        diag_mass = c[s, s]
+        c[s, s] = 0     # self counts must not win the argmax below
+
+        neighbors = _row(c, s)
+        if not neighbors.sum():
+            if diag_mass:
                 raise exception.DataInvalid(
                     "State %s can't be absorbed into a neighbor because "
                     'it is disconnected.' % s)
-            labels[s] = -1
+            labels[s] = -1     # empty row: drop the state entirely
             continue
 
-        dest = int(row.argmax())
-
-        if sparse:
-            c[dest, :] = c[dest, :] + c[s, :]
-            c[:, dest] = c[:, dest] + c[:, s]
-        else:
-            c[dest, :] += c[s, :]
-            c[:, dest] += c[:, s]
-        c[dest, dest] += self_cts
-
-        c[s, :] = 0
-        c[:, s] = 0
+        dest = int(neighbors.argmax())
+        fold_into(dest, s, diag_mass)
         labels = renumberMap(labels, labels[s])
         labels[s] = labels[dest]
 

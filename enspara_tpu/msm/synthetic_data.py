@@ -67,15 +67,26 @@ def synthetic_trajectory(T, start_state, n_steps, random_state=None):
     """Kinetic Monte Carlo chain of ``n_steps`` states (including the
     start state) from row-stochastic T. (reference:
     synthetic_data.py:15)"""
-    traj = -1 * np.ones(n_steps, dtype=int)
-    traj[0] = start_state
-    states = T.shape[0]
+    # per-row CDFs up front: each KMC step becomes one uniform draw +
+    # binary search instead of an O(n_states) rng.choice
+    rows = np.asarray(
+        T.todense() if scipy.sparse.issparse(T) else T, dtype=float)
+    cdf = np.cumsum(rows, axis=1)
+    n_states = rows.shape[0]
+
     rng = np.random.default_rng(random_state)
-    dense = not scipy.sparse.issparse(T)
-    for i in range(n_steps - 1):
-        p = T[traj[i], :] if dense else T.tocsr()[traj[i], :].toarray()[0]
-        traj[i + 1] = rng.choice(states, p=np.asarray(p).ravel())
-    return traj
+    draws = rng.random(max(n_steps - 1, 0))
+
+    path = np.empty(n_steps, dtype=int)
+    path[0] = start_state
+    for i, u in enumerate(draws):
+        row_cdf = cdf[path[i]]
+        # scale by the row total so imperfectly-normalized rows still
+        # sample proportionally
+        path[i + 1] = min(
+            np.searchsorted(row_cdf, u * row_cdf[-1], side='right'),
+            n_states - 1)
+    return path
 
 
 def synthetic_trajectory_device(T, start_states, n_steps, key=None):

@@ -24,18 +24,17 @@ def calc_imp_times(assigns, lag_time, n_states, n_times, method,
     """Implied timescales at a single lag: counts -> [trim] -> builder
     -> top (n_times+1) eigenvalues -> -lag/ln(lambda).
     (reference: timescales.py:12)"""
-    C = assigns_to_counts(
+    counts = assigns_to_counts(
         assigns, max_n_states=n_states, lag_time=lag_time,
         sliding_window=sliding_window)
-
     if trim:
-        _, C = trim_disconnected(C)
+        counts = trim_disconnected(counts)[1]
 
-    _, T, _ = method(C)
+    tprobs = method(counts)[1]
 
-    n_times += 1  # +1 accounts for eq pops
-    e_vals, _ = eigenspectrum(T, n_eigs=n_times)
-    return -lag_time / np.log(e_vals[1:])
+    # n_times+1 eigenpairs: the stationary mode is dropped below
+    spectrum = eigenspectrum(tprobs, n_eigs=n_times + 1)[0]
+    return -lag_time / np.log(spectrum[1:])
 
 
 def implied_timescales(assigns, lag_times, method, n_times=None,

@@ -46,18 +46,15 @@ def partition_list(list_to_partition, partition_lengths):
 
     (reference: ra/ra.py:361)
     """
-    partition_lengths = np.asarray(partition_lengths, dtype=np.int64)
-    if np.sum(partition_lengths) != len(list_to_partition):
+    bounds = np.cumsum(np.asarray(partition_lengths, dtype=np.int64))
+    total = int(bounds[-1]) if bounds.size else 0
+    if total != len(list_to_partition):
         raise DataInvalid(
             "Number of elements in list (%d) does not equal the sum of "
             "the lengths to partition (%d)"
-            % (len(list_to_partition), np.sum(partition_lengths)))
-    out = []
-    start = 0
-    for ln in partition_lengths:
-        out.append(list_to_partition[start:start + ln])
-        start += ln
-    return out
+            % (len(list_to_partition), total))
+    return [list_to_partition[lo:hi]
+            for lo, hi in zip(np.r_[0, bounds[:-1]], bounds)]
 
 
 def partition_indices(indices, traj_lengths):
