@@ -57,8 +57,9 @@ def main(argv=None):
         # that bug
         args.main([args.appname] + args.appargs)
     except Exception:
-        print('An unexpected error has occurred; please consider filing '
-              'an issue at the project issue tracker.', file=sys.stderr)
+        sys.stderr.write(
+            'An unexpected error has occurred; please consider filing '
+            'an issue at the project issue tracker.\n')
         raise
     return 0
 

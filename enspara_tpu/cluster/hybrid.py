@@ -40,15 +40,14 @@ class KHybrid(util.MolecularClusterMixin):
         self.mesh = mesh
 
     def fit(self, X, init_centers=None):
+        conf = dict(n_iters=self.kmedoids_updates,
+                    n_clusters=self.n_clusters,
+                    dist_cutoff=self.cluster_radius,
+                    random_first_center=self.random_first_center,
+                    random_state=self.random_state,
+                    mesh=self.mesh)
         self.result_, self.runtime_ = run_timed(
-            hybrid, X, self.metric,
-            n_iters=self.kmedoids_updates,
-            n_clusters=self.n_clusters,
-            dist_cutoff=self.cluster_radius,
-            random_first_center=self.random_first_center,
-            init_centers=init_centers,
-            random_state=self.random_state,
-            mesh=self.mesh)
+            hybrid, X, self.metric, init_centers=init_centers, **conf)
         return self
 
 

@@ -68,13 +68,12 @@ class KCenters(util.MolecularClusterMixin):
         self.precision = precision
 
     def fit(self, X, init_centers=None):
+        conf = self.get_params()
+        conf['distance_method'] = conf.pop('metric')
+        conf['dist_cutoff'] = conf.pop('cluster_radius')
+        conf.pop('random_state')    # kcenters is deterministic
         self.result_, self.runtime_ = run_timed(
-            kcenters, X, distance_method=self.metric,
-            n_clusters=self.n_clusters,
-            dist_cutoff=self.cluster_radius,
-            init_centers=init_centers,
-            random_first_center=self.random_first_center,
-            mesh=self.mesh, precision=self.precision)
+            kcenters, X, init_centers=init_centers, **conf)
         return self
 
     # sklearn-compatible params plumbing

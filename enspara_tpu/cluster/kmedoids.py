@@ -85,12 +85,12 @@ class KMedoids(util.MolecularClusterMixin):
 
     def fit(self, X, assignments=None, distances=None,
             cluster_center_inds=None):
+        conf = dict(distance_method=self.metric,
+                    n_clusters=self.n_clusters, n_iters=self.n_iters,
+                    random_state=self.random_state)
         self.result_, self.runtime_ = run_timed(
-            kmedoids, X, distance_method=self.metric,
-            n_clusters=self.n_clusters, n_iters=self.n_iters,
-            assignments=assignments, distances=distances,
-            cluster_center_inds=cluster_center_inds,
-            random_state=self.random_state)
+            kmedoids, X, assignments=assignments, distances=distances,
+            cluster_center_inds=cluster_center_inds, **conf)
         return self
 
 

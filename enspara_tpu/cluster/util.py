@@ -166,12 +166,14 @@ class MolecularClusterMixin:
     (reference: cluster/util.py:46)"""
 
     def predict(self, X):
-        if not hasattr(self, 'result_'):
+        try:
+            centers = self.centers_
+        except AttributeError:
             raise ImproperlyConfigured(
                 'To predict the clustering result for new data, the '
-                'clusterer first must have fit some data.')
+                'clusterer first must have fit some data.') from None
         labels, gaps = assign_to_nearest_center(
-            X, self.centers_, _get_distance_method(self.metric))
+            X, centers, _get_distance_method(self.metric))
         return ClusterResult(
             assignments=labels, distances=gaps,
             center_indices=find_cluster_centers(labels, gaps),

@@ -203,13 +203,12 @@ def _frame_pockets(struct, grid_spacing, probe_radius, min_rank,
                    min_cluster_size):
     """Full pocket pipeline for one frame: rank cells, group them into
     pockets, emit the carbon pseudo-trajectory."""
-    cells = get_pocket_cells(struct, grid_spacing=grid_spacing,
-                             probe_radius=probe_radius,
-                             min_rank=min_rank)
-    grouped, labels = cluster_pocket_cells(
-        cells, grid_spacing=grid_spacing,
-        min_cluster_size=min_cluster_size)
-    return xyz_to_traj(grouped, cluster_ids=labels)
+    ranked = get_pocket_cells(struct, grid_spacing=grid_spacing,
+                              probe_radius=probe_radius,
+                              min_rank=min_rank)
+    return xyz_to_traj(*cluster_pocket_cells(
+        ranked, grid_spacing=grid_spacing,
+        min_cluster_size=min_cluster_size))
 
 
 # legacy name used by external callers of the reference

@@ -35,11 +35,13 @@ def dihedral_angles(traj, dihedral_type):
 def _validate_basins(hard_boundaries, buffer_width):
     n_basins = len(hard_boundaries) - 1
     if not 0 <= buffer_width < 360.0 / n_basins:
-        raise DataInvalid('Buffer width (got %s) must be between 0 and '
-                          '360 degrees.' % buffer_width)
-    if hard_boundaries[0] != 0 or hard_boundaries[-1] != 360:
-        raise DataInvalid('hard_boundaries list must start with 0 and '
-                          'end with 360, list was %s.' % hard_boundaries)
+        raise DataInvalid(
+            'Buffer width must sit in [0, 360/n_basins) degrees; got %s.'
+            % buffer_width)
+    if (hard_boundaries[0], hard_boundaries[-1]) != (0, 360):
+        raise DataInvalid(
+            'hard_boundaries must run from 0 to 360; got %s.'
+            % (hard_boundaries,))
     return n_basins
 
 

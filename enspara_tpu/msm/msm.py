@@ -36,11 +36,12 @@ class MSM(object):
 
     def __init__(self, lag_time, method, trim=False, sliding_window=True,
                  max_n_states=None):
-        self.lag_time = lag_time
-        self.method = method if callable(method) else getattr(builders, method)
-        self.sliding_window = sliding_window
-        self.trim = trim
-        self.max_n_states = max_n_states
+        self.method = (method if callable(method)
+                       else getattr(builders, method))
+        for name, val in (('lag_time', lag_time), ('trim', trim),
+                          ('sliding_window', sliding_window),
+                          ('max_n_states', max_n_states)):
+            setattr(self, name, val)
 
     def fit(self, assigns):
         tcounts = assigns_to_counts(
@@ -55,16 +56,18 @@ class MSM(object):
         counts are additive over trajectories, so callers that already
         hold per-trajectory counts (e.g. bootstrap resampling) can
         skip the re-count."""
-        n_raw = tcounts.shape[0]
-        if self.trim:
-            self.mapping_, tcounts = trim_disconnected(tcounts)
-            logger.info('After ergodic trimming, %s of %s states remain',
-                        len(self.mapping_.to_original), n_raw)
-        else:
-            self.mapping_ = TrimMapping((s, s) for s in range(n_raw))
-
+        self.mapping_, tcounts = self._trim_or_identity(tcounts)
         self.tcounts_, self.tprobs_, self.eq_probs_ = self.method(tcounts)
         return self
+
+    def _trim_or_identity(self, tcounts):
+        n_raw = tcounts.shape[0]
+        if not self.trim:
+            return TrimMapping((s, s) for s in range(n_raw)), tcounts
+        mapping, kept = trim_disconnected(tcounts)
+        logger.info('After ergodic trimming, %s of %s states remain',
+                    len(mapping.to_original), n_raw)
+        return mapping, kept
 
     @property
     def n_states_(self):

@@ -108,7 +108,34 @@ FLAGGED = [
 ]
 
 
+def sweep():
+    """Compare EVERY repo source file against every same-named
+    reference file; print all non-trivial functions >= 0.5. Exit 0 iff
+    none found."""
+    import glob
+    import os
+    ref_by_name = {}
+    for p in glob.glob('/root/reference/enspara/**/*.py', recursive=True):
+        ref_by_name.setdefault(os.path.basename(p), []).append(p)
+    hits = []
+    for p in sorted(glob.glob('enspara_tpu/**/*.py', recursive=True)):
+        for ref in ref_by_name.get(os.path.basename(p), []):
+            try:
+                rows = compare(p, ref)
+            except Exception:
+                continue
+            hits.extend((best, p, name, ref, rname)
+                        for best, name, rname, trivial in rows
+                        if best >= 0.5 and not trivial)
+    for best, p, name, ref, rname in sorted(hits, reverse=True):
+        print(f'{best:.2f}  {p}:{name}  ~  {ref}:{rname}')
+    print('SWEEP: %d non-trivial functions >= 0.5' % len(hits))
+    return 1 if hits else 0
+
+
 def main():
+    if len(sys.argv) >= 2 and sys.argv[1] == '--sweep':
+        return sweep()
     if len(sys.argv) >= 3 and sys.argv[1] != '--all':
         pairs = [(sys.argv[1], sys.argv[2])]
     else:
