@@ -162,3 +162,75 @@ def test_libdist_parity(ref):
     yi = rng.integers(0, 3, size=8)
     assert_allclose(ours_ld.hamming(Xi, yi), rld.hamming(Xi, yi),
                     rtol=1e-12)
+
+
+def test_assign_many_centers_with_ties_parity(ref):
+    """Exercise the 32-center block boundary of the rewritten
+    assign_to_nearest_center and exact-tie frames (duplicated points):
+    the reference's first-minimum tie-break must survive both."""
+    from enspara_tpu.cluster.util import (assign_to_nearest_center,
+                                          find_cluster_centers)
+    from enspara_tpu.geometry import libdist as ours_ld
+
+    rutil = ref.cluster.util
+    import sys
+    rld = sys.modules['enspara.geometry.libdist']
+
+    rng = np.random.default_rng(613)
+    for trial in range(3):
+        X = rng.normal(size=(400, 4))
+        # duplicate some frames so several (frame, center) distances
+        # tie exactly at 0 and between identical rows
+        X[50:70] = X[10:30]
+        ctr_inds = rng.choice(400, size=80, replace=False)
+        centers = X[ctr_inds]
+
+        oa, od = assign_to_nearest_center(X, centers, ours_ld.euclidean)
+        ta, td = rutil.assign_to_nearest_center(X, centers,
+                                                rld.euclidean)
+        assert_array_equal(oa, ta, 'trial %d' % trial)
+        assert_allclose(od, td, rtol=1e-12, atol=1e-12)
+
+        assert_array_equal(np.asarray(find_cluster_centers(oa, od)),
+                           np.asarray(rutil.find_cluster_centers(ta, td)))
+
+
+def test_compute_batches_parity(ref):
+    from enspara_tpu.cluster.util import compute_batches
+
+    rng = np.random.default_rng(19)
+    for trial in range(20):
+        lengths = rng.integers(1, 500, size=rng.integers(1, 40)).tolist()
+        batch_size = int(rng.integers(1, 1200))
+        ours = compute_batches(lengths, batch_size)
+        theirs = ref.cluster.util.compute_batches(lengths, batch_size)
+        assert ours == [list(b) for b in theirs], (
+            'trial %d: lengths=%s batch=%s' % (trial, lengths, batch_size))
+
+
+def test_cluster_result_partition_parity(ref):
+    """Uniform and ragged partitions of a ClusterResult round-trip the
+    same values as the reference's partition()."""
+    from enspara_tpu.cluster.util import ClusterResult
+
+    rng = np.random.default_rng(7)
+    for lengths in ([5, 5, 5], [4, 7, 2]):
+        n = sum(lengths)
+        assigns = rng.integers(0, 3, size=n)
+        dists = rng.random(n)
+        ctr_inds = [0, 6, n - 1]
+
+        ours = ClusterResult(center_indices=list(ctr_inds),
+                             distances=dists.copy(),
+                             assignments=assigns.copy(),
+                             centers=None).partition(lengths)
+        theirs = ref.cluster.util.ClusterResult(
+            center_indices=list(ctr_inds), distances=dists.copy(),
+            assignments=assigns.copy(), centers=None).partition(lengths)
+
+        for row_o, row_t in zip(ours.assignments, theirs.assignments):
+            assert_array_equal(np.asarray(row_o), np.asarray(row_t))
+        for row_o, row_t in zip(ours.distances, theirs.distances):
+            assert_allclose(np.asarray(row_o), np.asarray(row_t))
+        assert [tuple(p) for p in ours.center_indices] == \
+               [tuple(p) for p in theirs.center_indices]
