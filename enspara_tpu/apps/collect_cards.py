@@ -18,39 +18,48 @@ from .util import readable_dir, expand_files
 logger = logging.getLogger(__name__)
 
 
+# grouped flag table: (group title, ((switches, argparse spec), ...))
+_FLAG_GROUPS = (
+    ('Input Settings', (
+        (('--trajectories',),
+         dict(required=True, nargs='+', action='append',
+              help='List of paths to aligned trajectory files.')),
+        (('--topology',),
+         dict(required=True, action='append',
+              help='The topology file for the trajectories.')),
+    )),
+    ('CARDS Settings', (
+        (('--buffer-size',),
+         dict(default=15, type=int,
+              help='Size of buffer zone between rotameric states, '
+                   'degrees.')),
+        (('--processes',),
+         dict(default=max(1, auto_nprocs() // 4), type=int,
+              help='Number of processes to use.')),
+    )),
+    ('Output Settings', (
+        (('--matrices',),
+         dict(required=True, action=readable_dir,
+              help='Where to write the four CARDS matrices (pickle).')),
+        (('--indices',),
+         dict(required=True, action=readable_dir,
+              help='Where to write the dihedral indices (CSV).')),
+    )),
+)
+
+
 def process_command_line(argv):
     parser = argparse.ArgumentParser(
         formatter_class=argparse.RawDescriptionHelpFormatter,
         description='Compute CARDS matrices for a set of trajectories '
                     'and save all matrices and dihedral mappings.')
-
-    input_args = parser.add_argument_group('Input Settings')
-    input_args.add_argument(
-        '--trajectories', required=True, nargs='+', action='append',
-        help='List of paths to aligned trajectory files.')
-    input_args.add_argument(
-        '--topology', required=True, action='append',
-        help='The topology file for the trajectories.')
-
-    cards_args = parser.add_argument_group('CARDS Settings')
-    cards_args.add_argument(
-        '--buffer-size', default=15, type=int,
-        help='Size of buffer zone between rotameric states, degrees.')
-    cards_args.add_argument(
-        '--processes', default=max(1, auto_nprocs() // 4), type=int,
-        help='Number of processes to use.')
-
-    output_args = parser.add_argument_group('Output Settings')
-    output_args.add_argument(
-        '--matrices', required=True, action=readable_dir,
-        help='Where to write the four CARDS matrices (pickle).')
-    output_args.add_argument(
-        '--indices', required=True, action=readable_dir,
-        help='Where to write the dihedral indices (CSV).')
+    for title, flags in _FLAG_GROUPS:
+        group = parser.add_argument_group(title)
+        for switches, spec in flags:
+            group.add_argument(*switches, **spec)
 
     args = parser.parse_args(argv[1:])
-
-    if not (0 < args.buffer_size < 360):
+    if not 0 < args.buffer_size < 360:
         raise exception.ImproperlyConfigured(
             'The given buffer size (%s) is not possible.'
             % args.buffer_size)
