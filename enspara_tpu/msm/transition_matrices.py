@@ -50,8 +50,8 @@ class TrimMapping:
     def read(cls, file):
         rows = list(csv.reader(file))
         assert rows and rows[0] == ['original', 'mapped']
-        return TrimMapping((int(orig), int(mapped))
-                           for orig, mapped in rows[1:])
+        return TrimMapping((int(row[0]), int(row[1]))
+                           for row in rows[1:] if len(row) == 2)
 
     @property
     def to_mapped(self):
