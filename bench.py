@@ -13,10 +13,12 @@ The line also carries an ``extra_metrics`` list covering the other
 BASELINE.json metric families:
 
   - ``kcenters_frames_per_sec``    (k-centers frames/sec family)
-  - ``eigsolve_top20_timescales_s`` (eigsolve seconds family: lag-10
-    counts -> transpose builder -> top-21 reversible eigh, warm)
+  - ``eigsolve_top20_timescales_s`` (eigsolve seconds family: HBM
+    counts -> transpose builder -> top-21 reversible eigh as ONE
+    fused device program, warm; cross-checked against the host
+    engine to 1e-4)
   - ``northstar_1m_to_top20_s``    (end-to-end: clustering + counts +
-    builder + eigsolve, vs the <60 s v5p-8 north-star budget)
+    fused timescales tail, vs the <60 s v5p-8 north-star budget)
 
 ``vs_baseline`` denominators: the reference publishes no numbers
 (BASELINE.md); pairs/s and frames/s normalize against an estimated
@@ -173,30 +175,41 @@ def main():
     # builder -> top-21 reversible eigensolve (warm timings; compile
     # is amortized by the persistent cache)
     from enspara_tpu.msm import builders
-    from enspara_tpu.msm.eigen_device import eigenspectrum_reversible
+    from enspara_tpu.msm.eigen_device import (
+        eigenspectrum_reversible, transpose_timescales_device)
     from enspara_tpu.msm.transition_matrices import \
         assigns_to_counts_device
 
     assigns = np.asarray(res.assignments).reshape(100, -1)
     mask = np.ones_like(assigns, dtype=bool)
-    assigns_to_counts_device(assigns, mask, LAG, N_CLUSTERS)  # warm
+    counts_warm = assigns_to_counts_device(assigns, mask, LAG,
+                                           N_CLUSTERS)   # warm
+    transpose_timescales_device(counts_warm, n_eigs=21,
+                                lag_time=LAG)             # warm
     t0 = time.perf_counter()
-    counts = np.asarray(
-        assigns_to_counts_device(assigns, mask, LAG, N_CLUSTERS))
+    counts_dev = assigns_to_counts_device(assigns, mask, LAG,
+                                          N_CLUSTERS)
+    np.asarray(counts_dev.sum())   # materialize with an 8-byte fetch
     counts_s = time.perf_counter() - t0
 
+    # counts never leave HBM: builder + pi-symmetrized top-21 eigh run
+    # as ONE device program; only the 21 modes cross the link
     t0 = time.perf_counter()
-    _, T, pi = builders.transpose(counts.astype(np.float64))
-    builder_s = time.perf_counter() - t0
-
-    eigenspectrum_reversible(T, pi=pi, n_eigs=21, method='eigh')
-    t0 = time.perf_counter()
-    vals, _ = eigenspectrum_reversible(T, pi=pi, n_eigs=21,
-                                       method='eigh')
+    _, vals, _ = transpose_timescales_device(counts_dev, n_eigs=21,
+                                             lag_time=LAG)
     eigsolve_s = time.perf_counter() - t0
     assert vals.shape == (21,)
 
-    northstar_s = best + counts_s + builder_s + eigsolve_s
+    # integrity: the fused device tail must agree with the host
+    # builder + symmetrized solver (outside the timed region)
+    counts_host = np.asarray(counts_dev)
+    _, T, pi = builders.transpose(counts_host.astype(np.float64))
+    ref_vals, _ = eigenspectrum_reversible(T, pi=pi, n_eigs=21,
+                                           method='eigh')
+    assert np.abs(ref_vals - vals).max() < 1e-4, \
+        'device tail diverged from host engine'
+
+    northstar_s = best + counts_s + eigsolve_s
 
     result = {
         'metric': 'kcenters_qcp_rmsd_pairs_per_sec',

@@ -309,3 +309,26 @@ def test_arpack_method_and_auto_dispatch():
     _, _, info_s = eigenspectrum_reversible(
         Ts, pi=pis, n_eigs=5, method='auto', return_info=True)
     assert info_s['method'] == 'eigh'
+
+
+def test_transpose_timescales_device_matches_host_pipeline():
+    """The fused device MSM tail (counts -> transpose builder ->
+    pi-symmetrized eigh in one program) must agree with the host
+    pipeline builders.transpose + eigenspectrum_reversible."""
+    from enspara_tpu.msm import builders
+    from enspara_tpu.msm.eigen_device import transpose_timescales_device
+
+    rng = np.random.default_rng(11)
+    C = rng.integers(0, 40, size=(200, 200)).astype(np.float64)
+
+    ts, vals, phi = transpose_timescales_device(C, n_eigs=9, lag_time=5)
+
+    _, T, pi = builders.transpose(C)
+    ref_vals, ref_phi = eigenspectrum_reversible(
+        T, pi=pi, n_eigs=9, method='eigh')
+
+    assert vals.shape == (9,) and phi.shape == (200, 9)
+    assert_allclose(vals, ref_vals, atol=1e-4)
+    assert_allclose(phi[:, 0], ref_phi[:, 0], atol=1e-5)   # eq pops
+    expected_ts = -5.0 / np.log(ref_vals[1:])
+    assert_allclose(ts, expected_ts, rtol=1e-3)
