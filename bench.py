@@ -171,6 +171,37 @@ def main():
     pairs_per_sec = pairs / best
     frames_per_sec = N_FRAMES / best
 
+    # optional bf16 frame-stream variant (TPU only): the loop is
+    # HBM-bandwidth-bound, so halving the stream width ~doubles
+    # throughput at ~4e-3 relative distance rounding (see
+    # engine.kcenters_device_fused). Reported as an extra metric; the
+    # headline stays fp32.
+    bf16_extra = []
+    if jax.default_backend() == 'tpu':
+        _stage('bf16 variant: layout + compile')
+        data16 = prepare_rmsd_frames(
+            frames, mesh=mesh if mesh.size > 1 else None,
+            precision='bf16')
+
+        def cluster16(k):
+            return kcenters_device_fused(
+                data16, n_clusters=k, k_max=N_CLUSTERS,
+                mesh=mesh if mesh.size > 1 else None)
+
+        cluster16(2)
+        t0 = time.perf_counter()
+        res16 = cluster16(N_CLUSTERS)
+        bf16_s = time.perf_counter() - t0
+        assert res16.n_found == N_CLUSTERS
+        bf16_extra = [{
+            'metric': 'kcenters_bf16_pairs_per_sec',
+            'value': round(pairs / bf16_s, 1),
+            'unit': 'pairs/s',
+            'vs_baseline': round(
+                pairs / bf16_s / REFERENCE_PAIRS_PER_SEC, 3),
+            'note': 'bfloat16 frame stream; ~4e-3 relative distance '
+                    'rounding vs the fp32 headline'}]
+
     # --- MSM tail of the north-star: lag-10 counts -> transpose
     # builder -> top-21 reversible eigensolve (warm timings; compile
     # is amortized by the persistent cache)
@@ -231,7 +262,7 @@ def main():
              'value': round(northstar_s, 3),
              'unit': 's',
              'vs_baseline': round(NORTHSTAR_BUDGET_S / northstar_s, 3)},
-        ],
+        ] + bf16_extra,
     }
     result['provenance'] = {
         'backend': jax.default_backend(),
