@@ -15,7 +15,6 @@ never this class.
 
 import itertools
 import numbers
-import warnings
 
 import numpy as np
 
