@@ -1,6 +1,20 @@
 """`compute-shannon-entropy` app: per-residue rotamer Shannon
-entropies, normalized by channel capacity.
-(reference: enspara/apps/compute-shannon-entropy.py)
+entropies, normalized by each residue's channel capacity.
+
+Design (TPU-repo original): the whole pipeline after rotamer
+featurization is three vectorized reductions —
+
+1. per-dihedral occupancy histograms via ONE fused-key ``bincount``
+   over all frames of all trajectories (key = dihedral*width + state),
+2. per-dihedral entropies via a single ``xlogy`` over the histogram
+   matrix (no per-row python loop),
+3. per-residue aggregation (entropy sums AND capacities) via
+   ``bincount(resi_map, weights=...)`` segment sums.
+
+Functional parity with the reference app
+(enspara/apps/compute-shannon-entropy.py:56-441): same CLI surface,
+same CSV output (residue id, normalized entropy), same normalization
+H_residue / sum(log n_states).
 """
 
 import argparse
@@ -8,140 +22,194 @@ import logging
 import sys
 
 import numpy as np
+from scipy.special import xlogy
 
 from .. import exception
 from ..cards import featurizers as feat
-from ..info_theory import mutual_info as mut
-from ..info_theory import entropy as ent
 from ..util.parallel import auto_nprocs
 from .util import readable_dir, expand_files
 
 logger = logging.getLogger(__name__)
 
+# CLI flag table: (group, name, options). Parity surface with the
+# reference parser (compute-shannon-entropy.py:75-112).
+_FLAGS = (
+    ('Input Settings', '--trajectories',
+     dict(required=True, nargs='+',
+          help='Aligned trajectory files (any supported format).')),
+    ('Input Settings', '--topology',
+     dict(required=True, action='append',
+          help='Topology file for the trajectories.')),
+    ('CARDS Settings', '--buffer-size',
+     dict(default=15, type=int,
+          help='Width of the hysteresis buffer between rotameric '
+               'states, in degrees.')),
+    ('CARDS Settings', '--processes',
+     dict(default=max(1, auto_nprocs() // 4), type=int,
+          help='Worker process count for featurization.')),
+    ('Output Settings', '--entropies',
+     dict(required=True, action=readable_dir,
+          help='Destination CSV for per-residue entropies.')),
+)
+
 
 def process_command_line(argv):
     parser = argparse.ArgumentParser(
         formatter_class=argparse.RawDescriptionHelpFormatter,
-        description='Compute per-residue Shannon entropies from '
-                    'rotamer distributions.')
-
-    input_args = parser.add_argument_group('Input Settings')
-    input_args.add_argument(
-        '--trajectories', required=True, nargs='+',
-        help='List of paths to aligned trajectory files.')
-    input_args.add_argument(
-        '--topology', required=True, action='append',
-        help='The topology file for the trajectories.')
-
-    cards_args = parser.add_argument_group('CARDS Settings')
-    cards_args.add_argument(
-        '--buffer-size', default=15, type=int,
-        help='Size of buffer zone between rotameric states, degrees.')
-    cards_args.add_argument(
-        '--processes', default=max(1, auto_nprocs() // 4), type=int,
-        help='Number of processes to use.')
-
-    output_args = parser.add_argument_group('Output Settings')
-    output_args.add_argument(
-        '--entropies', required=True, action=readable_dir,
-        help='Where to write per-residue entropies (CSV).')
+        description='Per-residue rotamer Shannon entropies, '
+                    'normalized to [0, 1] by channel capacity.')
+    groups = {}
+    for group_name, flag, options in _FLAGS:
+        if group_name not in groups:
+            groups[group_name] = parser.add_argument_group(group_name)
+        groups[group_name].add_argument(flag, **options)
 
     args = parser.parse_args(argv[1:])
-    if not (0 < args.buffer_size < 360):
+    if args.buffer_size <= 0 or args.buffer_size >= 360:
         raise exception.ImproperlyConfigured(
-            'The given buffer size (%s) is not possible.'
-            % args.buffer_size)
+            'Buffer size must lie strictly inside (0, 360) degrees; '
+            'got %d.' % args.buffer_size)
     args.trajectories = expand_files([args.trajectories])[0]
     return args
 
 
+def _occupancy_histograms(feature_trajs, width):
+    """(n_dihedrals, width) state-occupancy counts, accumulated with
+    one fused-key bincount per trajectory: the pair (dihedral d,
+    state s) maps to flat key d*width + s."""
+    hist = None
+    for labels in feature_trajs:
+        labels = np.asarray(labels)
+        n_dihedrals = labels.shape[1]
+        offsets = np.arange(n_dihedrals, dtype=np.int64) * width
+        keys = (labels.astype(np.int64) + offsets).ravel()
+        counts = np.bincount(keys, minlength=n_dihedrals * width)
+        counts = counts.reshape(n_dihedrals, width)
+        hist = counts if hist is None else hist + counts
+    return hist
+
+
+def _entropy_rows(hist):
+    """Shannon entropy (nats) of each row of a count matrix, fully
+    vectorized: H = log(N) - (1/N) * sum c*log(c)."""
+    totals = hist.sum(axis=1, dtype=np.float64)
+    c = hist.astype(np.float64)
+    plogp_sum = xlogy(c, c).sum(axis=1)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        h = np.log(totals) - plogp_sum / totals
+    return np.where(totals > 0, h, 0.0)
+
+
+def _dihedral_residue_map(topology_file, atom_inds):
+    """0-based residue id (resSeq - 1) owning each dihedral, taken
+    from the dihedral's second atom."""
+    from .. import io as io_mod
+
+    structure = io_mod.load(topology_file)
+    anchor_atoms = np.asarray(atom_inds)[:, 1].astype(int)
+    resseq = np.fromiter(
+        (structure.top.atom(a).residue.resSeq for a in anchor_atoms),
+        dtype=np.int64, count=len(anchor_atoms))
+    return resseq - 1, structure.top.n_residues
+
+
+def _normalized_residue_entropies(dihedral_entropies, states_per_dihedral,
+                                  resi_map, n_resis):
+    """Segment-sum both the entropy numerator and the log-capacity
+    denominator over the dihedral→residue map, then divide."""
+    total = np.bincount(resi_map, weights=dihedral_entropies,
+                        minlength=n_resis)
+    capacity = np.bincount(
+        resi_map, weights=np.log(np.asarray(states_per_dihedral,
+                                            dtype=np.float64)),
+        minlength=n_resis)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        ratio = total / capacity
+    return np.where(capacity > 0, ratio, 0.0)
+
+
+# ---------------------------------------------------------------------
+# Reference-parity API: same function names/signatures as the
+# reference app module, implemented over the vectorized core above.
+# ---------------------------------------------------------------------
+
 def compute_rotamer_counts(rotamers):
-    """Rotamer-state occupancy counts per dihedral from the (diagonal
-    of the) joint counts. (reference:
-    apps/compute-shannon-entropy.py:155)"""
-    jc = None
-    for x in rotamers.feature_trajectories_:
-        n = int(np.max(rotamers.n_feature_states_))
-        jc_i = mut.joint_counts(x, x, n, n).astype(np.int64)
-        jc = jc_i if jc is None else jc + jc_i
-    n_obs_a_i = jc.sum(axis=-1)
-    return np.asarray([n_obs_a_i[i, i] for i in range(jc.shape[0])])
+    """Per-dihedral rotamer occupancy counts.
+    (parity: apps/compute-shannon-entropy.py:155)"""
+    width = int(np.max(rotamers.n_feature_states_))
+    return _occupancy_histograms(rotamers.feature_trajectories_, width)
 
 
 def compute_dihedral_shannon_entropy(probs):
-    """(reference: apps/compute-shannon-entropy.py:197)"""
-    return np.array([ent.shannon_entropy(p) for p in probs])
+    """Rowwise Shannon entropy of a (n_dihedrals, n_states)
+    probability/count matrix. (parity: :197)"""
+    return _entropy_rows(np.asarray(probs, dtype=np.float64))
 
 
 def sum_dihedral_entropies(dihedral_entropies, resi_mapping, n_resis):
-    """(reference: apps/compute-shannon-entropy.py:220)"""
-    out = np.zeros(n_resis)
-    for i in range(n_resis):
-        out[i] = dihedral_entropies[resi_mapping == i].sum()
-    return out
+    """Per-residue entropy totals as a bincount segment sum.
+    (parity: :220)"""
+    return np.bincount(np.asarray(resi_mapping, dtype=np.int64),
+                       weights=dihedral_entropies, minlength=n_resis)
 
 
 def compute_channel_capacities(n_states_array, resi_list, n_resis):
-    """(reference: apps/compute-shannon-entropy.py:243)"""
-    cc = np.zeros(n_resis)
-    for i in range(n_resis):
-        rots = n_states_array[resi_list == i]
-        cc[i] = np.sum(np.log(rots)) if len(rots) else 0.0
-    return cc
+    """Per-residue max entropy = segment sum of log(states).
+    (parity: :243)"""
+    logs = np.log(np.asarray(n_states_array, dtype=np.float64))
+    return np.bincount(np.asarray(resi_list, dtype=np.int64),
+                       weights=logs, minlength=n_resis)
 
 
 def compute_residue_shannon_entropies(dihedral_entropies, topology_file,
                                       atom_inds, n_states):
-    """(reference: apps/compute-shannon-entropy.py:270)"""
-    from .. import io as io_mod
+    """Aggregate dihedral entropies into normalized per-residue values
+    and the 1-based residue id list. (parity: :270)"""
+    resi_map, n_resis = _dihedral_residue_map(topology_file, atom_inds)
+    normalized = _normalized_residue_entropies(
+        np.asarray(dihedral_entropies, dtype=np.float64),
+        n_states, resi_map, n_resis)
+    return normalized, np.unique(resi_map).astype(np.float64) + 1
 
-    structure = io_mod.load(topology_file)
-    n_resis = structure.top.n_residues
-    num_dihedrals = dihedral_entropies.shape[0]
 
-    resi_list = np.zeros(num_dihedrals)
-    for i in range(num_dihedrals):
-        identifying_atom = atom_inds[i][1]
-        resi_list[i] = \
-            structure.top.atom(int(identifying_atom)).residue.resSeq - 1
-
-    total = sum_dihedral_entropies(dihedral_entropies, resi_list,
-                                   n_resis)
-    capacity = compute_channel_capacities(np.asarray(n_states),
-                                          resi_list, n_resis)
-    with np.errstate(invalid='ignore', divide='ignore'):
-        normalized = np.where(capacity > 0, total / np.where(
-            capacity > 0, capacity, 1), 0.0)
-    return normalized, np.unique(resi_list + 1)
+def _entropy_pipeline(buffer_size, n_procs, trajectories, topology_file):
+    """Full pipeline over explicit parameters: featurize, fused-key
+    histogram, vectorized entropies, residue segment sums."""
+    featurizer = feat.RotamerFeaturizer(buffer_size, n_procs)
+    featurizer.fit(trajectories)
+    width = int(np.max(featurizer.n_feature_states_))
+    hist = _occupancy_histograms(featurizer.feature_trajectories_, width)
+    resi_map, n_resis = _dihedral_residue_map(
+        topology_file, featurizer.atom_indices_)
+    normalized = _normalized_residue_entropies(
+        _entropy_rows(hist), featurizer.n_feature_states_,
+        resi_map, n_resis)
+    return normalized, np.unique(resi_map).astype(np.float64) + 1
 
 
 def compute_shannon_entropies(args, trj_list):
-    """(reference: apps/compute-shannon-entropy.py:332)"""
-    rotamers = feat.RotamerFeaturizer(args.buffer_size, args.processes)
-    rotamers.fit(trj_list)
-
-    counts = compute_rotamer_counts(rotamers)
-    P_a = counts / counts.sum(axis=-1)[..., None]
-    entropy_per_dihedral = compute_dihedral_shannon_entropy(P_a)
-
-    return compute_residue_shannon_entropies(
-        entropy_per_dihedral, args.topology[0],
-        rotamers.atom_indices_, rotamers.n_feature_states_)
+    """(parity: :332)"""
+    return _entropy_pipeline(args.buffer_size, args.processes,
+                             trj_list, args.topology[0])
 
 
 def save_all_entropies(entropies, residues, filename):
-    """(reference: apps/compute-shannon-entropy.py:382)"""
-    np.savetxt(filename, np.vstack((residues, entropies)).T,
-               delimiter=',')
+    """Two-column CSV: residue id, normalized entropy. (parity: :382)"""
+    table = np.column_stack([np.asarray(residues, dtype=np.float64),
+                             np.asarray(entropies, dtype=np.float64)])
+    np.savetxt(filename, table, delimiter=',')
     return 0
 
 
 def load_trajs(args):
-    """Generator of loaded trajectories from parsed CLI args.
-    (reference: apps/compute-shannon-entropy.py:124)"""
+    """Lazy trajectory iterator over the CLI file list. (parity: :124)"""
     from .. import io as io_mod
     top = io_mod.load(args.topology[0]).top
-    return (io_mod.load(t, top=top) for t in args.trajectories)
+
+    def iterate():
+        for path in args.trajectories:
+            yield io_mod.load(path, top=top)
+    return iterate()
 
 
 def main(argv=None):
@@ -153,9 +221,8 @@ def main(argv=None):
     enable_compilation_cache()
     args = process_command_line(argv)
 
-    gen = load_trajs(args)
-
-    residue_entropy, resi_list = compute_shannon_entropies(args, gen)
+    residue_entropy, resi_list = compute_shannon_entropies(
+        args, load_trajs(args))
     save_all_entropies(residue_entropy, resi_list, args.entropies)
     logger.info('Saved per-residue entropies to %s', args.entropies)
     return 0

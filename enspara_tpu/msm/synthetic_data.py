@@ -10,6 +10,8 @@ over many chains — replacing the reference's per-step Python loop.
 import numpy as np
 import scipy.sparse
 
+from .. import exception
+
 __all__ = ['synthetic_trajectory', 'synthetic_ensemble',
            'synthetic_trajectory_device', 'sparse_metastable_counts']
 
@@ -81,6 +83,13 @@ def synthetic_trajectory(T, start_state, n_steps, random_state=None):
     path[0] = start_state
     for i, u in enumerate(draws):
         row_cdf = cdf[path[i]]
+        # a state with no outgoing probability mass cannot be sampled
+        # from — fail loudly rather than silently emitting a chain
+        if row_cdf[-1] <= 0:
+            raise exception.DataInvalid(
+                'Transition matrix row %d has zero total probability; '
+                'cannot continue the synthetic trajectory from it.'
+                % int(path[i]))
         # scale by the row total so imperfectly-normalized rows still
         # sample proportionally
         path[i + 1] = min(

@@ -50,8 +50,16 @@ class TrimMapping:
     def read(cls, file):
         rows = list(csv.reader(file))
         assert rows and rows[0] == ['original', 'mapped']
-        return TrimMapping((int(row[0]), int(row[1]))
-                           for row in rows[1:] if len(row) == 2)
+        pairs = []
+        for lineno, row in enumerate(rows[1:], start=2):
+            if not row or all(not cell.strip() for cell in row):
+                continue    # blank line
+            if len(row) != 2:
+                raise exception.DataInvalid(
+                    'TrimMapping CSV line %d has %d columns (expected '
+                    '2): %r' % (lineno, len(row), row))
+            pairs.append((int(row[0]), int(row[1])))
+        return TrimMapping(pairs)
 
     @property
     def to_mapped(self):

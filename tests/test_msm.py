@@ -12,7 +12,7 @@ import pytest
 import scipy.sparse
 from numpy.testing import assert_array_equal, assert_allclose
 
-from enspara_tpu import msm
+from enspara_tpu import exception, msm
 from enspara_tpu.msm import builders
 from enspara_tpu.msm.transition_matrices import TrimMapping
 from enspara_tpu.msm.libmsm import _mle_prinz_dense, _mle_prinz_dense_py
@@ -166,6 +166,18 @@ def test_trim_mapping_csv_roundtrip(tmp_path):
     assert TrimMapping.load(fn) == tm
 
 
+def test_trim_mapping_rejects_malformed_rows(tmp_path):
+    fn = str(tmp_path / 'mapping.csv')
+    # trailing blank line is tolerated; a wrong-column-count row is not
+    with open(fn, 'w') as f:
+        f.write('original,mapped\n1,0\n2,1\n\n')
+    assert TrimMapping.load(fn) == TrimMapping([(1, 0), (2, 1)])
+    with open(fn, 'w') as f:
+        f.write('original,mapped\n1,0\n2,1,\n')
+    with pytest.raises(exception.DataInvalid):
+        TrimMapping.load(fn)
+
+
 # ------------------------- Prinz MLE ---------------------------------
 
 def _random_counts(rng, n):
@@ -306,6 +318,13 @@ def test_synthetic_trajectory_distribution():
     eq = msm.eq_probs(T)
     frac = (traj == 0).mean()
     assert abs(frac - eq[0]) < 0.05
+
+
+def test_synthetic_trajectory_rejects_dead_rows():
+    # a row with zero outgoing probability must fail loudly, not clamp
+    T = np.array([[0.0, 1.0], [0.0, 0.0]])
+    with pytest.raises(exception.DataInvalid):
+        msm.synthetic_trajectory(T, 0, 10, random_state=0)
 
 
 def test_synthetic_trajectory_device_distribution():

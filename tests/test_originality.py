@@ -1,8 +1,11 @@
-"""Guard the originality bar: no non-trivial function in the package
-may reach 0.5 comment-stripped similarity against any same-named
-reference file (tools/simcheck.py --sweep). Run in the slow tier; the
-round-2 VERDICT showed the whole-file detector misses function-level
-transcription, so this is the regression net for it."""
+"""Guard the originality bar: no substantial function in the package
+may reach 0.5 comment-stripped similarity against ANY function in ANY
+reference source file (tools/simcheck.py --sweep, all-pairs and
+cross-basename so renamed files cannot hide). Run in the slow tier;
+the round-2 VERDICT showed the whole-file detector misses
+function-level transcription and the round-3 VERDICT showed
+basename-matched sweeps miss renamed files, so this is the regression
+net for both."""
 
 import os
 import subprocess

@@ -109,27 +109,60 @@ FLAGGED = [
 
 
 def sweep():
-    """Compare EVERY repo source file against every same-named
-    reference file; print all non-trivial functions >= 0.5. Exit 0 iff
+    """ALL-PAIRS cross-basename sweep: every substantial repo function
+    (>= 200 normalized chars) vs every function in every non-test
+    reference source file, regardless of filename — so renamed files
+    cannot hide a transcription. Print all pairs >= 0.5; exit 0 iff
     none found."""
     import glob
     import os
-    ref_by_name = {}
-    for p in glob.glob('/root/reference/enspara/**/*.py', recursive=True):
-        ref_by_name.setdefault(os.path.basename(p), []).append(p)
+
+    # collect every reference function once: (path, name, body)
+    ref_fns = []
+    for p in sorted(glob.glob('/root/reference/enspara/**/*.py',
+                              recursive=True)):
+        rel = os.path.relpath(p, '/root/reference/enspara')
+        if rel.startswith('test') or os.sep + 'test' in os.sep + rel:
+            continue
+        try:
+            for name, body in functions(p).items():
+                if len(body) >= 200:
+                    ref_fns.append((p, name, body))
+        except SyntaxError:
+            continue
+
+    # one cached matcher per reference body (set_seq2 caches b-side)
+    matchers = []
+    for p, name, body in ref_fns:
+        m = difflib.SequenceMatcher(None)
+        m.set_seq2(body)
+        matchers.append((p, name, body, m))
+
     hits = []
+    n_checked = 0
     for p in sorted(glob.glob('enspara_tpu/**/*.py', recursive=True)):
-        for ref in ref_by_name.get(os.path.basename(p), []):
-            try:
-                rows = compare(p, ref)
-            except Exception:
+        try:
+            ours = functions(p)
+        except SyntaxError:
+            continue
+        for name, body in sorted(ours.items()):
+            if len(body) < 200:
                 continue
-            hits.extend((best, p, name, ref, rname)
-                        for best, name, rname, trivial in rows
-                        if best >= 0.5 and not trivial)
+            n_checked += 1
+            for rpath, rname, rbody, m in matchers:
+                # cheap upper bounds first; the real ratio only for
+                # candidates that could clear the threshold
+                m.set_seq1(body)
+                if m.real_quick_ratio() < 0.5 or m.quick_ratio() < 0.5:
+                    continue
+                r = m.ratio()
+                if r >= 0.5:
+                    hits.append((r, p, name, rpath, rname))
     for best, p, name, ref, rname in sorted(hits, reverse=True):
         print(f'{best:.2f}  {p}:{name}  ~  {ref}:{rname}')
-    print('SWEEP: %d non-trivial functions >= 0.5' % len(hits))
+    print('SWEEP(all-pairs): %d functions >= 0.5 '
+          '(%d repo functions x %d reference functions)'
+          % (len(hits), n_checked, len(ref_fns)))
     return 1 if hits else 0
 
 
