@@ -14,6 +14,11 @@ data; instead the library directory is resolved at runtime from:
 3. ONLY when ``$ENSPARA_TPU_USE_REFERENCE_DATA=1``: a local reference
    checkout at /root/reference/enspara/data/dyes (development
    convenience, never silently relied on).
+4. Last resort: ``<this package>/data/dyes_builtin`` — a minimal
+   SYNTHETIC two-dye library (procedurally generated, MIT; see
+   tools/make_builtin_dyes.py) shipped in the wheel so air-gapped
+   installs can run the smFRET pipeline offline. Not real
+   fluorophores; for science, fetch the full library.
 """
 
 import os
@@ -30,6 +35,11 @@ def _candidates():
     ]
     if os.environ.get('ENSPARA_TPU_USE_REFERENCE_DATA') == '1':
         cands.append('/root/reference/enspara/data/dyes')
+    # last resort: the builtin synthetic mini library shipped in the
+    # wheel (two procedurally generated dyes; see
+    # tools/make_builtin_dyes.py) so air-gapped installs can still run
+    # the smFRET pipeline end to end
+    cands.append(os.path.join(_HERE, 'dyes_builtin'))
     return cands
 
 
