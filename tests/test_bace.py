@@ -104,3 +104,56 @@ def test_merge_bayes_factors_zero_column_and_ratio_form():
                 t += c2[i, j] * np.log((c2[i, j] / w2[i]) / cp[j])
         want[i] = t
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+# ----------------- live oracle vs the reference -----------------
+#
+# The reference's SPARSE path crashes on modern scipy (bace.py:132,
+# lil fancy assignment via np.matrix), but its DENSE path runs fine —
+# so the live fuzz oracle feeds both implementations dense counts.
+
+from _reference_oracle import HAVE_REF, load_reference  # noqa: E402
+
+
+def _block_counts(rng, n_blocks, block):
+    """Metastable counts with widely spread within-block magnitudes
+    and distinct inter-block couplings: every greedy merge decision is
+    well separated, so the agglomeration path is deterministic across
+    implementations (the reference accumulates distances in float32 —
+    near-ties would legitimately break differently)."""
+    n = n_blocks * block
+    C = np.ones((n, n))
+    for b in range(n_blocks):
+        s = slice(b * block, (b + 1) * block)
+        C[s, s] += rng.integers(40, 400,
+                                size=(block, block)).astype(float)
+    for b in range(n_blocks - 1):
+        C[b * block, (b + 1) * block] += 17 + 9 * b
+    return C + C.T
+
+
+@pytest.mark.skipif(not HAVE_REF, reason='reference tree not present')
+@pytest.mark.parametrize('seed,n_blocks,block',
+                         [(0, 3, 8), (1, 4, 10), (2, 5, 6)])
+def test_bace_fuzz_vs_reference(seed, n_blocks, block):
+    load_reference()
+    from enspara.msm import bace as ref_bace
+
+    rng = np.random.default_rng(seed)
+    C = _block_counts(rng, n_blocks, block)
+
+    bf_ours, lab_ours = bace.bace(C.copy(), n_macrostates=2, n_procs=1)
+    bf_ref, lab_ref = ref_bace.bace(C.copy(), 2, n_procs=1)
+
+    shared = sorted(set(lab_ours) & set(lab_ref))
+    assert len(shared) >= n_blocks
+    for k in shared:
+        # macro labelings must be identical up to label permutation:
+        # same partition of microstates at EVERY agglomeration step
+        ours, ref = np.asarray(lab_ours[k]), np.asarray(lab_ref[k])
+        pairs_ours = ours[:, None] == ours[None, :]
+        pairs_ref = ref[:, None] == ref[None, :]
+        assert_array_equal(pairs_ours, pairs_ref)
+    for k in sorted(set(bf_ours) & set(bf_ref)):
+        # reference accumulates distances in float32
+        assert_allclose(bf_ours[k], bf_ref[k], rtol=5e-3)
