@@ -138,6 +138,18 @@ def config2_khybrid_msm_timescales():
     res['pipeline_total_s'] = round(
         res['khybrid_2sweeps_s'] + res['counts_plus_normalize_s']
         + res['lag_scan_10x_top20_s'], 2)
+    # explicit wall attribution: with double-buffered ingest (the
+    # overlap measured in benchmarks/ingest_probe.py) the pipeline
+    # wall is max(ingest, compute) — ingest-bound on this dev tunnel,
+    # compute-bound on production PCIe (~15 GB/s -> 768 MB in ~0.05 s)
+    res['wall_attribution'] = {
+        'compute_only_s': res['pipeline_total_s'],
+        'ingest_this_link_s': res['ingest_768mb_s'],
+        'pipelined_wall_this_link_s': round(
+            max(res['pipeline_total_s'], res['ingest_768mb_s']), 2),
+        'pipelined_wall_pcie_gen4_est_s': round(
+            max(res['pipeline_total_s'], 768 / 15000), 2),
+    }
     return res
 
 

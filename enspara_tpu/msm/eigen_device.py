@@ -242,15 +242,49 @@ def _accelerator_present():
 @functools.lru_cache(maxsize=16)
 def _filter_sweep_fn(n, w_ell, k, use_ell):
     """One jitted filtered-subspace sweep, cached per shape: Chebyshev
-    filter of traced degree on the unwanted interval ``[-1, b]``, QR
-    re-orthonormalization, and an on-device Rayleigh-Ritz with per-mode
-    residual norms. Everything stays in fp32 HBM; only the (k,) Ritz
-    values and residuals cross back to the host per sweep."""
+    filter of traced degree on the unwanted interval ``[-1, b]``,
+    shifted-CholeskyQR3 re-orthonormalization, and an on-device
+    Rayleigh-Ritz with per-mode residual norms. Everything stays in
+    fp32 HBM; only the (k,) Ritz values and residuals cross back to
+    the host per sweep.
+
+    CholeskyQR instead of Householder QR is a deliberate TPU choice on
+    BOTH axes of cost: at runtime it is GEMM-only (2 (n,k) gemms +
+    one k x k Cholesky + a triangular solve per pass — MXU food),
+    and at compile time it lowers to a handful of ops where blocked
+    Householder QR lowers to a large loopy program (the dominant term
+    of the 337 s cold compile this replaced). Three passes (first one
+    shifted, Fukaya et al.-style) keep orthonormality at the fp32
+    floor for block condition numbers up to ~1e6 — and the driver
+    bounds the per-sweep filter amplification to about that. Set
+    ``ENSPARA_TPU_EIG_ORTH=qr`` to get the old Householder program
+    back for A/B."""
+    import os as _os
+
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from ..ops.sparse import ell_spmm
+
+    use_qr = _os.environ.get('ENSPARA_TPU_EIG_ORTH') == 'qr'
+
+    def _orth(V):
+        if use_qr:
+            return jnp.linalg.qr(V)[0]
+        eye = jnp.eye(V.shape[1], dtype=V.dtype)
+
+        def chol_pass(V, shift):
+            G = V.T @ V
+            if shift:
+                G = G + (shift * jnp.trace(G) / V.shape[1]) * eye
+            L = jnp.linalg.cholesky(G)
+            return jax.scipy.linalg.solve_triangular(
+                L, V.T, lower=True).T
+
+        V = chol_pass(V, 1e-5)
+        V = chol_pass(V, 0.0)
+        return chol_pass(V, 0.0)
 
     @jax.jit
     def sweep(cols, vals, V, b, degree):
@@ -271,7 +305,7 @@ def _filter_sweep_fn(n, w_ell, k, use_ell):
             return (Vc, Vn)
 
         _, Vc = lax.fori_loop(0, degree - 1, body, (Vp, Vc))
-        Q, _ = jnp.linalg.qr(Vc)
+        Q = _orth(Vc)
         SQ = spmm(Q)
         H = Q.T @ SQ
         w_r, Z = jnp.linalg.eigh((H + H.T) * 0.5)   # ascending
@@ -307,29 +341,64 @@ def _filtered_subspace_device(S, n_eigs, tol=5e-6, max_sweeps=24):
     w_max = int(nnz_row.max()) if n else 0
     use_ell = bool(w_max and
                    w_max <= max(32.0, 8.0 * float(nnz_row.mean())))
+
+    def _bucket(x, q):
+        return int(-(-x // q) * q)
+
     if use_ell:
-        cols_d, vals_d = (jnp.asarray(a) for a in
-                          ell_from_sparse(S, dtype=np.float32))
+        cols_h, vals_h = ell_from_sparse(S, dtype=np.float32)
+        # SHAPE BUCKETING: round (n, w) up so different datasets land
+        # on the same compiled program (and the same persistent-cache
+        # key). Padded rows self-index with zero values (the ELL pad
+        # convention), and the random block is zeroed on padded rows,
+        # so the padding is exactly invisible to the iteration: zero
+        # rows of V stay zero through the filter, contribute nothing
+        # to Gram/Ritz, and are sliced off before stage 2.
+        n_pad = _bucket(max(n, 1), 8192)
+        w_pad = _bucket(max(int(cols_h.shape[1]), 1), 8)
+        if (n_pad, w_pad) != cols_h.shape:
+            cols_b = np.repeat(
+                np.arange(n_pad, dtype=np.int32)[:, None], w_pad, 1)
+            vals_b = np.zeros((n_pad, w_pad), dtype=np.float32)
+            cols_b[:n, :cols_h.shape[1]] = cols_h
+            vals_b[:n, :vals_h.shape[1]] = vals_h
+            cols_h, vals_h = cols_b, vals_b
+        cols_d, vals_d = jnp.asarray(cols_h), jnp.asarray(vals_h)
         w_ell = int(cols_d.shape[1])
     else:
         # hub-dominated graph: ELL padding would blow HBM; use BCOO
         from jax.experimental import sparse as jsparse
         cols_d = jsparse.BCOO.from_scipy_sparse(S.astype(np.float32))
         vals_d, w_ell = None, 0
+        n_pad = n
 
     rng = np.random.default_rng(0)
     k_block = int(min(max(n // 6, 1), max(64, 2 * n_eigs + 16)))
     k_block = max(k_block, min(n_eigs + 4, n - 2))
+    if n > 256:
+        k_block = min(_bucket(k_block, 64), n - 2)   # bucket the block
     grow_left = 2
 
     def fresh(V_keep=None):
+        # host-side GEMM-only orthonormalization (CholeskyQR2 in
+        # fp64): called once per (re)start, and keeping it off-device
+        # avoids compiling a QR program just for initialization
         extra = k_block - (0 if V_keep is None else V_keep.shape[1])
-        Vr = jnp.asarray(rng.normal(size=(n, extra)), jnp.float32)
-        V = Vr if V_keep is None else jnp.concatenate([V_keep, Vr], 1)
-        return jnp.linalg.qr(V)[0]
+        Vr = rng.normal(size=(n_pad, extra))
+        Vr[n:] = 0.0
+        V = Vr if V_keep is None else np.concatenate(
+            [np.asarray(V_keep, np.float64), Vr], axis=1)
+        import scipy.linalg as _sla
+        for _ in range(2):
+            G = V.T @ V
+            L = np.linalg.cholesky(
+                G + (1e-12 * np.trace(G) / G.shape[0])
+                * np.eye(G.shape[0]))
+            V = _sla.solve_triangular(L, V.T, lower=True).T
+        return jnp.asarray(V, jnp.float32)
 
     V = fresh()
-    sweep = _filter_sweep_fn(n, w_ell, k_block, use_ell)
+    sweep = _filter_sweep_fn(n_pad, w_ell, k_block, use_ell)
     # plain power step (degree 1, b=0) seeds the Ritz estimates
     V, w_r, res = sweep(cols_d, vals_d, V, jnp.float32(0.0),
                         jnp.int32(1))
@@ -354,7 +423,8 @@ def _filtered_subspace_device(S, n_eigs, tol=5e-6, max_sweeps=24):
                 # cluster wider than the block: double past it
                 k_block = int(min(2 * k_block, 512, n - 2))
                 V = fresh(V)
-                sweep = _filter_sweep_fn(n, w_ell, k_block, use_ell)
+                sweep = _filter_sweep_fn(n_pad, w_ell, k_block,
+                                         use_ell)
                 grow_left -= 1
                 grew += 1
                 best, stall = np.inf, 0
@@ -378,10 +448,12 @@ def _filtered_subspace_device(S, n_eigs, tol=5e-6, max_sweeps=24):
                             jnp.int32(d))
         sweeps += 1
 
-    return (np.asarray(V, dtype=np.float64),
+    # slice the padded rows off before the fp64 host stage
+    return (np.asarray(V, dtype=np.float64)[:n],
             {'stage1_sweeps': sweeps, 'stage1_res':
              float(np.asarray(res)[:n_eigs].max()),
-             'stage1_block': k_block, 'stage1_grown': grew})
+             'stage1_block': k_block, 'stage1_grown': grew,
+             'stage1_n_padded': n_pad})
 
 
 def _lobpcg_refined(S, n_eigs, tol=1e-9, max_refine=30):

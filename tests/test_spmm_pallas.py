@@ -1,0 +1,31 @@
+"""Correctness of the Pallas sliced-ELL SpMM (interpret mode on the
+CPU harness; the real-chip measurement lives in
+benchmarks/pallas_spmm.py)."""
+
+import numpy as np
+import pytest
+import scipy.sparse
+
+import jax.numpy as jnp
+
+from enspara_tpu.ops.sparse import ell_from_sparse
+from enspara_tpu.ops.spmm_pallas import ell_spmm_pallas
+
+
+@pytest.mark.parametrize('n,k,density,seed',
+                         [(257, 21, 0.01, 0),     # odd n: row padding
+                          (512, 64, 0.005, 1),
+                          (100, 130, 0.03, 2)])   # k > one lane group
+def test_ell_spmm_pallas_matches_scipy(n, k, density, seed):
+    rng = np.random.default_rng(seed)
+    A = scipy.sparse.random(n, n, density=density,
+                            random_state=seed, format='csr')
+    A = A + scipy.sparse.eye(n) * 0.5     # no empty rows
+    cols, vals = ell_from_sparse(A)
+    X = rng.normal(size=(n, k)).astype(np.float32)
+
+    Y = np.asarray(ell_spmm_pallas(jnp.asarray(cols),
+                                   jnp.asarray(vals),
+                                   jnp.asarray(X)))
+    Yref = (A.astype(np.float64) @ X.astype(np.float64))
+    assert np.abs(Y - Yref).max() < 1e-4
