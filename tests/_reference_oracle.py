@@ -18,10 +18,16 @@ def load_reference():
     if /root/reference isn't present."""
     if not HAVE_REF:
         return None
-    for name in ('tables', 'mdtraj', 'mdtraj.io'):
+    for name in ('tables', 'tables.exceptions', 'mdtraj', 'mdtraj.io'):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
     sys.modules['mdtraj'].io = sys.modules['mdtraj.io']
+    sys.modules['tables'].exceptions = sys.modules['tables.exceptions']
+    if not hasattr(sys.modules['tables.exceptions'], 'NoSuchNodeError'):
+        class NoSuchNodeError(Exception):
+            pass
+        sys.modules['tables.exceptions'].NoSuchNodeError = \
+            NoSuchNodeError
     if 'enspara.msm.libmsm' not in sys.modules:
         stub = types.ModuleType('enspara.msm.libmsm')
 

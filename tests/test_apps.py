@@ -620,3 +620,44 @@ def test_main_dispatcher_smfret_subcommands():
         with pytest.raises(SystemExit) as exc:
             main_app.main(['enspara', sub, '--help'])
         assert exc.value.code == 0
+
+
+def test_shannon_entropy_functions_vs_reference():
+    """The vectorized per-residue aggregation (bincount segment sums)
+    must match the reference app's loop formulations on random data
+    (live oracle; the reference module is loaded by path since its
+    filename has dashes)."""
+    import importlib.util
+
+    from _reference_oracle import HAVE_REF, load_reference
+    if not HAVE_REF:
+        pytest.skip('reference tree not present')
+    load_reference()
+    spec = importlib.util.spec_from_file_location(
+        'ref_shannon',
+        '/root/reference/enspara/apps/compute-shannon-entropy.py')
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from enspara_tpu.apps import shannon_entropy as se
+
+    rng = np.random.default_rng(12)
+    for _ in range(10):
+        nd = int(rng.integers(4, 60))
+        n_resis = int(rng.integers(2, 12))
+        rmap = rng.integers(0, n_resis, size=nd).astype(float)
+        ent_vals = rng.random(nd)
+        np.testing.assert_allclose(
+            se.sum_dihedral_entropies(ent_vals, rmap, n_resis),
+            ref.sum_dihedral_entropies(ent_vals, rmap, n_resis),
+            atol=1e-12)
+        n_states = rng.integers(2, 4, size=nd)
+        np.testing.assert_allclose(
+            se.compute_channel_capacities(n_states, rmap, n_resis),
+            ref.compute_channel_capacities(n_states, rmap, n_resis),
+            atol=1e-12)
+        probs = rng.random((nd, 3))
+        probs /= probs.sum(axis=1, keepdims=True)
+        np.testing.assert_allclose(
+            se.compute_dihedral_shannon_entropy(probs),
+            ref.compute_dihedral_shannon_entropy(probs), atol=1e-12)
