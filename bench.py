@@ -309,6 +309,21 @@ def main():
         ] + bf16_extra,
         'timing_policy': 'min-of-3 per section',
         'run_spread_max_over_min': round(spread, 3),
+        'baseline_denominators': {
+            'kcenters_qcp_rmsd_pairs_per_sec':
+                '%.1e pairs/s ESTIMATED single-node reference: '
+                'mdtraj threaded C QCP at ~1.5e6 pairs/s/core x 16 '
+                'cores (the reference publishes no numbers, '
+                'BASELINE.md)' % REFERENCE_PAIRS_PER_SEC,
+            'eigsolve_top20_timescales_s':
+                '%.3f s MEASURED reference CPU per-lag cost '
+                '(benchmarks/reference-cpu-config2-result.json: '
+                '3.48 s / 10 lags)' % REFERENCE_EIGSOLVE_S,
+            'northstar_1m_to_top20_s':
+                '%.0f s BASELINE north-star budget (<60 s on a '
+                'v5p-8); this is a target, not a reference '
+                'measurement' % NORTHSTAR_BUDGET_S,
+        },
     }
     if contended:
         result['contention_warning'] = (
