@@ -11,18 +11,24 @@ revisiting, instead of XLA's serialized dynamic slices:
 
 - grid (n/R, w): R=8 ELL rows per step (one sublane group), width
   positions innermost;
-- the column-index matrix rides in scalar-prefetch memory; operand s
-  of R fetches X[cols[i*R+s, j]] via its index map — the pipeline
-  overlaps the next step's R row-DMAs with this step's FMA;
-- the (R, k) output block is indexed by i only, so Mosaic keeps it
+- X rides FLATTENED to (n*128,) so each k-row is one lane-aligned
+  (128,) block; operand s of R fetches row ``cols[i*R+s, j]`` via its
+  scalar-prefetched index map — the pipeline overlaps the next step's
+  R row-DMAs with this step's FMA (Mosaic requires block shapes of
+  (8m, 128m) or full-dimension, which rules out (1, k) row blocks of
+  a 2-D X — the flat view is the tiling-legal spelling of the same
+  fetch);
+- the (R, 128) output block is indexed by i only, so Mosaic keeps it
   resident in VMEM across the whole inner j sweep (w accumulations
-  per flush).
+  per flush); ELL values ride as full-width (R, w) blocks with the
+  j-th column selected by an iota mask (w is tiny).
+
+k > 128 runs as independent 128-wide passes at the wrapper level.
 
 Fundamental limit this does NOT lift: every nonzero still moves one
-k-row of X across HBM at 4k-byte-granularity random access. If the
-pipelined DMA rate still loses to host scipy CSR (fp64, cache-
-resident), the gather-wall concession is airtight — that measurement
-is the point (benchmarks/pallas_spmm.py either way).
+512-byte X row across HBM at random. If the pipelined DMA rate still
+loses to host scipy CSR, the gather-wall concession is airtight —
+that measurement is the point (benchmarks/pallas_spmm.py either way).
 
 Reference analog: scipy CSR matvec serving ARPACK
 (enspara/msm/transition_matrices.py:214-221).
@@ -35,7 +41,7 @@ import numpy as np
 __all__ = ['ell_spmm_pallas']
 
 _R = 8          # ELL rows per grid step (fp32 sublane group)
-_LANE = 128     # lane width; k is padded up to a multiple
+_LANE = 128     # lane width; k runs in chunks of this
 
 
 def _bucket(x, q):
@@ -43,7 +49,7 @@ def _bucket(x, q):
 
 
 @functools.lru_cache(maxsize=16)
-def _spmm_fn(n, w, k, interpret=False):
+def _spmm_fn(n, w, interpret=False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -57,46 +63,50 @@ def _spmm_fn(n, w, k, interpret=False):
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        acc = out_ref[:]
-        rows = []
-        for s in range(_R):
-            rows.append(vals_ref[s, 0] * x_refs[s][0, :])
-        out_ref[:] = acc + jnp.stack(rows, axis=0)
+        # select the j-th ELL column of the (R, w) value block
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_R, w), 1)
+        v = jnp.sum(jnp.where(lane == j, vals_ref[:], 0.0), axis=1)
+        rows = jnp.stack([x_refs[s][:] for s in range(_R)], axis=0)
+        out_ref[:] = out_ref[:] + v[:, None] * rows
 
     def x_spec(s):
-        # operand s serves ELL row i*R+s: its block origin is the
-        # scalar-prefetched column index — the gather IS the index map
+        # operand s serves ELL row i*R+s: its (128,)-block origin in
+        # the flattened X is the scalar-prefetched column index — the
+        # gather IS the index map
         return pl.BlockSpec(
-            (1, k),
-            lambda i, j, cols: (cols[i * _R + s, j], 0),
+            (_LANE,),
+            lambda i, j, cols: (cols[i * _R + s, j],),
             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // _R, w),
         in_specs=[
-            pl.BlockSpec((_R, 1), lambda i, j, cols: (i, j),
+            pl.BlockSpec((_R, w), lambda i, j, cols: (i, 0),
                          memory_space=pltpu.VMEM),      # vals
         ] + [x_spec(s) for s in range(_R)],
-        out_specs=pl.BlockSpec((_R, k), lambda i, j, cols: (i, 0),
+        out_specs=pl.BlockSpec((_R, _LANE), lambda i, j, cols: (i, 0),
                                memory_space=pltpu.VMEM),
     )
 
     @jax.jit
     def run(cols, vals, X):
+        flat = X.reshape(-1)
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n, k), X.dtype),
+            out_shape=jax.ShapeDtypeStruct((n, _LANE), X.dtype),
             interpret=interpret,
-        )(cols, vals, *([X] * _R))
+        )(cols, vals, *([flat] * _R))
 
     return run
 
 
 def ell_spmm_pallas(cols, vals, X):
     """``A @ X`` with A in ELL form, via the Pallas pipelined-gather
-    kernel. Pads (n -> R, k -> lane) internally; returns (n, k)."""
+    kernel. Pads (n -> R rows, k -> lane chunks) internally; returns
+    (n, k)."""
+    import jax
     import jax.numpy as jnp
 
     n, w = cols.shape
@@ -117,7 +127,9 @@ def ell_spmm_pallas(cols, vals, X):
         X = jnp.concatenate(
             [X, jnp.zeros((X.shape[0], k_pad - k), X.dtype)], axis=1)
 
-    import jax
     interpret = jax.default_backend() == 'cpu'   # CPU: interpret mode
-    Y = _spmm_fn(n_pad, w, k_pad, interpret)(cols, vals, X)
+    fn = _spmm_fn(n_pad, w, interpret)
+    chunks = [fn(cols, vals, X[:, c:c + _LANE])
+              for c in range(0, k_pad, _LANE)]
+    Y = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 1)
     return Y[:n, :k]
