@@ -25,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+def _stage(msg):
+    print('# %s %s' % (time.strftime('%H:%M:%S'), msg),
+          file=sys.stderr, flush=True)
+
+
 def one_point(n_states, n_blocks, k, repeats=5):
     import jax.numpy as jnp
 
@@ -35,6 +40,7 @@ def one_point(n_states, n_blocks, k, repeats=5):
 
     import scipy.sparse
 
+    _stage('building %dk-state dataset' % (n_states // 1000))
     C = sparse_metastable_counts(n_states, n_blocks=n_blocks, seed=11)
     _, T, _ = builders.transpose(C)
     T = scipy.sparse.csr_matrix(T).astype(np.float64)
@@ -50,6 +56,7 @@ def one_point(n_states, n_blocks, k, repeats=5):
     cols_d, vals_d, X_d = (jnp.asarray(a) for a in (cols, vals, X))
 
     # --- XLA gather lowering (the wall)
+    _stage('XLA ell_spmm warm-up')
     Y = ell_spmm(cols_d, vals_d, X_d)
     np.asarray(Y)                        # warm + materialize
     t0 = time.perf_counter()
@@ -60,11 +67,13 @@ def one_point(n_states, n_blocks, k, repeats=5):
         (time.perf_counter() - t0) / repeats * 1e3, 2)
 
     # --- Pallas pipelined-gather kernel
+    _stage('pallas compile + first run')
     t0 = time.perf_counter()
     Yp = ell_spmm_pallas(cols_d, vals_d, X_d)
     np.asarray(Yp)
     out['pallas_compile_plus_first_ms'] = round(
         (time.perf_counter() - t0) * 1e3, 1)
+    _stage('pallas timed repeats')
     t0 = time.perf_counter()
     for _ in range(repeats):
         Yp = ell_spmm_pallas(cols_d, vals_d, X_d)
@@ -80,6 +89,7 @@ def one_point(n_states, n_blocks, k, repeats=5):
     assert out['pallas_max_err'] < 1e-2 * max(1.0, np.abs(Yref).max())
 
     # --- host scipy CSR fp64 (the reference's engine)
+    _stage('host scipy')
     Xh = X.astype(np.float64)
     T @ Xh
     t0 = time.perf_counter()

@@ -353,8 +353,11 @@ def _filtered_subspace_device(S, n_eigs, tol=5e-6, max_sweeps=24):
         # convention), and the random block is zeroed on padded rows,
         # so the padding is exactly invisible to the iteration: zero
         # rows of V stay zero through the filter, contribute nothing
-        # to Gram/Ritz, and are sliced off before stage 2.
-        n_pad = _bucket(max(n, 1), 8192)
+        # to Gram/Ritz, and are sliced off before stage 2. The bucket
+        # quantum scales with n (~n/16, power of two, >= 256) so
+        # waste stays under ~6% while same-decade datasets collide.
+        quantum = max(256, 1 << max(max(n - 1, 1).bit_length() - 4, 0))
+        n_pad = _bucket(max(n, 1), quantum)
         w_pad = _bucket(max(int(cols_h.shape[1]), 1), 8)
         if (n_pad, w_pad) != cols_h.shape:
             cols_b = np.repeat(

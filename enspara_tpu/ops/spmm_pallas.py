@@ -11,13 +11,11 @@ revisiting, instead of XLA's serialized dynamic slices:
 
 - grid (n/R, w): R=8 ELL rows per step (one sublane group), width
   positions innermost;
-- X rides FLATTENED to (n*128,) so each k-row is one lane-aligned
-  (128,) block; operand s of R fetches row ``cols[i*R+s, j]`` via its
-  scalar-prefetched index map — the pipeline overlaps the next step's
-  R row-DMAs with this step's FMA (Mosaic requires block shapes of
-  (8m, 128m) or full-dimension, which rules out (1, k) row blocks of
-  a 2-D X — the flat view is the tiling-legal spelling of the same
-  fetch);
+- fp32 tile granularity is (8, 128), so operand s of R fetches the
+  (8, 128) X GROUP containing row ``cols[i*R+s, j]`` via its
+  scalar-prefetched index map (block row = col // 8) and a sublane
+  mask picks the row in-kernel — the pipeline overlaps the next
+  step's R group-DMAs with this step's select+FMA;
 - the (R, 128) output block is indexed by i only, so Mosaic keeps it
   resident in VMEM across the whole inner j sweep (w accumulations
   per flush); ELL values ride as full-width (R, w) blocks with the
@@ -57,6 +55,7 @@ def _spmm_fn(n, w, interpret=False):
 
     def kernel(cols_ref, vals_ref, *rest):
         x_refs, out_ref = rest[:-1], rest[-1]
+        i = pl.program_id(0)
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -66,16 +65,25 @@ def _spmm_fn(n, w, interpret=False):
         # select the j-th ELL column of the (R, w) value block
         lane = jax.lax.broadcasted_iota(jnp.int32, (_R, w), 1)
         v = jnp.sum(jnp.where(lane == j, vals_ref[:], 0.0), axis=1)
-        rows = jnp.stack([x_refs[s][:] for s in range(_R)], axis=0)
-        out_ref[:] = out_ref[:] + v[:, None] * rows
+
+        # each fetched tile is the (8, 128) X group CONTAINING the
+        # gathered row (fp32 tile granularity); pick the row out with
+        # a sublane mask
+        sub = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANE), 0)
+        rows = []
+        for s in range(_R):
+            r = cols_ref[i * _R + s, j] % _R
+            rows.append(jnp.sum(
+                jnp.where(sub == r, x_refs[s][:], 0.0), axis=0))
+        out_ref[:] = out_ref[:] + v[:, None] * jnp.stack(rows, 0)
 
     def x_spec(s):
-        # operand s serves ELL row i*R+s: its (128,)-block origin in
-        # the flattened X is the scalar-prefetched column index — the
+        # operand s serves ELL row i*R+s: its (8, 128) block row
+        # index is the scalar-prefetched column index / 8 — the
         # gather IS the index map
         return pl.BlockSpec(
-            (_LANE,),
-            lambda i, j, cols: (cols[i * _R + s, j],),
+            (_R, _LANE),
+            lambda i, j, cols: (cols[i * _R + s, j] // _R, 0),
             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -91,13 +99,12 @@ def _spmm_fn(n, w, interpret=False):
 
     @jax.jit
     def run(cols, vals, X):
-        flat = X.reshape(-1)
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n, _LANE), X.dtype),
             interpret=interpret,
-        )(cols, vals, *([flat] * _R))
+        )(cols, vals, *([X] * _R))
 
     return run
 
