@@ -4,29 +4,31 @@
 dense. The XLA lowering of this op is a per-row dynamic-slice gather
 that measures ~3-5e7 row-gathers/s on a v5e — DMA-latency-bound, ~60x
 under HBM bandwidth (benchmarks/gather-wall-result.json). This kernel
-is the Mosaic-native counterattack: the gather is expressed through
-scalar-prefetched BlockSpec index maps, so the Pallas pipeline ISSUES
-the row fetches as hardware DMAs with double buffering and block
-revisiting, instead of XLA's serialized dynamic slices:
+is the Mosaic-native counterattack, built like a paged-attention
+lookup:
 
-- grid (n/R, w): R=8 ELL rows per step (one sublane group), width
-  positions innermost;
-- fp32 tile granularity is (8, 128), so operand s of R fetches the
-  (8, 128) X GROUP containing row ``cols[i*R+s, j]`` via its
-  scalar-prefetched index map (block row = col // 8) and a sublane
-  mask picks the row in-kernel — the pipeline overlaps the next
-  step's R group-DMAs with this step's select+FMA;
-- the (R, 128) output block is indexed by i only, so Mosaic keeps it
-  resident in VMEM across the whole inner j sweep (w accumulations
-  per flush); ELL values ride as full-width (R, w) blocks with the
-  j-th column selected by an iota mask (w is tiny).
+- X stays WHOLE in HBM (`memory_space=ANY`); the kernel issues its
+  own async copies for the gathered rows instead of letting XLA
+  serialize dynamic slices;
+- grid (n/8,): each step owns 8 ELL rows and sweeps their width
+  inside a ``fori_loop``, carrying the (8, 128) accumulator in
+  registers;
+- per width position, 8 row-group DMAs (fp32 tile granularity is
+  (8, 128), so the copy lands the group containing the row and a
+  sublane mask picks the row out) are DOUBLE-BUFFERED across loop
+  iterations: bank b serves iteration j while bank 1-b is already
+  filling for j+1 — the memory latency the XLA gather eats serially
+  is overlapped with compute and with itself;
+- the ELL column indices ride in SMEM blocks (8, w) for scalar reads;
+  values in VMEM with an iota-mask column select.
 
 k > 128 runs as independent 128-wide passes at the wrapper level.
 
-Fundamental limit this does NOT lift: every nonzero still moves one
-512-byte X row across HBM at random. If the pipelined DMA rate still
-loses to host scipy CSR, the gather-wall concession is airtight —
-that measurement is the point (benchmarks/pallas_spmm.py either way).
+Fundamental limit this does NOT lift: every nonzero still moves a
+4 KB X group across HBM at random. If the in-kernel DMA pipeline
+still loses to host scipy CSR, the gather-wall concession is
+airtight — that measurement is the point
+(benchmarks/pallas_spmm.py either way).
 
 Reference analog: scipy CSR matvec serving ARPACK
 (enspara/msm/transition_matrices.py:214-221).
@@ -47,72 +49,83 @@ def _bucket(x, q):
 
 
 @functools.lru_cache(maxsize=16)
-def _spmm_fn(n, w, interpret=False):
+def _spmm_fn(n, w, banks=2, interpret=False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(cols_ref, vals_ref, *rest):
-        x_refs, out_ref = rest[:-1], rest[-1]
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-
-        @pl.when(j == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-
-        # select the j-th ELL column of the (R, w) value block
-        lane = jax.lax.broadcasted_iota(jnp.int32, (_R, w), 1)
-        v = jnp.sum(jnp.where(lane == j, vals_ref[:], 0.0), axis=1)
-
-        # each fetched tile is the (8, 128) X group CONTAINING the
-        # gathered row (fp32 tile granularity); pick the row out with
-        # a sublane mask
+    def kernel(cols_ref, vals_ref, x_any, out_ref, scratch, sems):
         sub = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANE), 0)
-        rows = []
-        for s in range(_R):
-            r = cols_ref[i * _R + s, j] % _R
-            rows.append(jnp.sum(
-                jnp.where(sub == r, x_refs[s][:], 0.0), axis=0))
-        out_ref[:] = out_ref[:] + v[:, None] * jnp.stack(rows, 0)
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (_R, w), 1)
 
-    def x_spec(s):
-        # operand s serves ELL row i*R+s: its (8, 128) block row
-        # index is the scalar-prefetched column index / 8 — the
-        # gather IS the index map
-        return pl.BlockSpec(
-            (_R, _LANE),
-            lambda i, j, cols: (cols[i * _R + s, j] // _R, 0),
-            memory_space=pltpu.VMEM)
+        def dma(bank, s, j):
+            grp = cols_ref[s, j] // _R
+            return pltpu.make_async_copy(
+                x_any.at[pl.ds(grp * _R, _R), :],
+                scratch.at[bank, s],
+                sems.at[bank, s])
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n // _R, w),
-        in_specs=[
-            pl.BlockSpec((_R, w), lambda i, j, cols: (i, 0),
-                         memory_space=pltpu.VMEM),      # vals
-        ] + [x_spec(s) for s in range(_R)],
-        out_specs=pl.BlockSpec((_R, _LANE), lambda i, j, cols: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )
+        def issue(bank, j):
+            for s in range(_R):
+                dma(bank, s, j).start()
+
+        # prime banks-1 width positions ahead
+        for j0 in range(min(banks - 1, w)):
+            issue(j0, j0)
+
+        def body(j, acc):
+            bank = jax.lax.rem(j, banks)
+
+            @pl.when(j + banks - 1 < w)
+            def _():
+                # keep banks-1 positions in flight ahead of consume
+                issue(jax.lax.rem(j + banks - 1, banks),
+                      j + banks - 1)
+
+            v = jnp.sum(jnp.where(lane_w == j, vals_ref[:], 0.0),
+                        axis=1)
+            rows = []
+            for s in range(_R):
+                dma(bank, s, j).wait()
+                r = cols_ref[s, j] % _R
+                rows.append(jnp.sum(
+                    jnp.where(sub == r, scratch[bank, s], 0.0),
+                    axis=0))
+            return acc + v[:, None] * jnp.stack(rows, axis=0)
+
+        out_ref[:] = jax.lax.fori_loop(
+            0, w, body, jnp.zeros((_R, _LANE), jnp.float32))
 
     @jax.jit
     def run(cols, vals, X):
         return pl.pallas_call(
             kernel,
-            grid_spec=grid_spec,
+            grid=(n // _R,),
+            in_specs=[
+                pl.BlockSpec((_R, w), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),   # cols
+                pl.BlockSpec((_R, w), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),   # vals
+                pl.BlockSpec(memory_space=pl.ANY),       # X in HBM
+            ],
+            out_specs=pl.BlockSpec((_R, _LANE), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, _LANE), X.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((banks, _R, _R, _LANE), jnp.float32),
+                pltpu.SemaphoreType.DMA((banks, _R)),
+            ],
             interpret=interpret,
-        )(cols, vals, *([X] * _R))
+        )(cols, vals, X)
 
     return run
 
 
 def ell_spmm_pallas(cols, vals, X):
-    """``A @ X`` with A in ELL form, via the Pallas pipelined-gather
-    kernel. Pads (n -> R rows, k -> lane chunks) internally; returns
-    (n, k)."""
+    """``A @ X`` with A in ELL form, via the Pallas in-kernel-DMA
+    gather kernel. Pads (n -> tile groups, k -> lane chunks)
+    internally; returns (n, k)."""
     import jax
     import jax.numpy as jnp
 
@@ -134,8 +147,10 @@ def ell_spmm_pallas(cols, vals, X):
         X = jnp.concatenate(
             [X, jnp.zeros((X.shape[0], k_pad - k), X.dtype)], axis=1)
 
+    import os
     interpret = jax.default_backend() == 'cpu'   # CPU: interpret mode
-    fn = _spmm_fn(n_pad, w, interpret)
+    banks = int(os.environ.get('ENSPARA_TPU_SPMM_BANKS', '2'))
+    fn = _spmm_fn(n_pad, w, banks, interpret)
     chunks = [fn(cols, vals, X[:, c:c + _LANE])
               for c in range(0, k_pad, _LANE)]
     Y = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 1)
