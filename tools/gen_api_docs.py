@@ -97,12 +97,36 @@ def _first_paragraph(doc):
     return paras[0].replace('\n', ' ')
 
 
+def _submodule_index(mod):
+    """For packages: one line per child module (name + first docstring
+    paragraph), so pages like `apps`/`ops` document their contents."""
+    import pkgutil
+    if not hasattr(mod, '__path__'):
+        return []
+    lines = []
+    for info in sorted(pkgutil.iter_modules(mod.__path__),
+                       key=lambda i: i.name):
+        if info.name.startswith('_'):
+            continue
+        try:
+            child = importlib.import_module(
+                '%s.%s' % (mod.__name__, info.name))
+        except Exception:
+            continue
+        lines.append('- **`%s`** — %s'
+                     % (info.name, _first_paragraph(child.__doc__)))
+    if lines:
+        return ['## Modules', ''] + lines + ['']
+    return []
+
+
 def render_module(name, blurb):
     mod = importlib.import_module(name)
     lines = ['# `%s`' % name, '', blurb + '.', '']
     mdoc = inspect.getdoc(mod)
     if mdoc:
         lines += [mdoc, '']
+    lines += _submodule_index(mod)
     classes, functions = [], []
     for n, obj in _public_members(mod):
         (classes if inspect.isclass(obj) else functions).append((n, obj))
