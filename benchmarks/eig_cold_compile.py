@@ -94,8 +94,17 @@ def main():
 
     # 101,000 states pads into the SAME (n, w) bucket as dataset A
     # (both round up to 106,496 rows at the 8192 quantum), so this
-    # solve must hit the identical compiled program
+    # solve must hit the identical compiled program — ASSERTED via
+    # the solver's own bucket identity, not assumed
+    from enspara_tpu.msm.eigen_device import bucketed_ell_shape
     T_b, pi_b = _dataset(101_000, 32, 77)
+    shape_a = bucketed_ell_shape(
+        T_a.shape[0], int(np.diff(T_a.indptr).max()))
+    shape_b = bucketed_ell_shape(
+        T_b.shape[0], int(np.diff(T_b.indptr).max()))
+    out['bucketed_shapes'] = {'dataset_a': list(shape_a),
+                              'dataset_b': list(shape_b),
+                              'same_program': shape_a == shape_b}
     coldb_s, vals_b, info_b = _solve(T_b, pi_b)
     out['dataset_b'] = {
         'n_states': 101_000, 'nnz': int(T_b.nnz),

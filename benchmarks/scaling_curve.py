@@ -82,7 +82,6 @@ def main():
 
         # sharded run at FIXED total frames
         data_sh, _ = prepare_sharded(frames, 'rmsd', mesh)
-        t0 = time.perf_counter()
         compile_s, res = timed_run(data_sh, mesh)   # includes compile
         warm = min(timed_run(data_sh, mesh)[0] for _ in range(3))
         if oracle is None:

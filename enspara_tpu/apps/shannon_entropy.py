@@ -113,16 +113,25 @@ def _dihedral_residue_map(topology_file, atom_inds):
     return resseq - 1, structure.top.n_residues
 
 
+def _segment_sum(values, segment_ids, n_segments):
+    """``bincount`` segment sum that tolerates ids outside
+    [0, n_segments): such entries are dropped (a resSeq of 0 or a
+    numbering gap must not crash or stretch the output)."""
+    ids = np.asarray(segment_ids, dtype=np.int64)
+    ok = (ids >= 0) & (ids < n_segments)
+    return np.bincount(ids[ok],
+                       weights=np.asarray(values, np.float64)[ok],
+                       minlength=n_segments)[:n_segments]
+
+
 def _normalized_residue_entropies(dihedral_entropies, states_per_dihedral,
                                   resi_map, n_resis):
     """Segment-sum both the entropy numerator and the log-capacity
     denominator over the dihedral→residue map, then divide."""
-    total = np.bincount(resi_map, weights=dihedral_entropies,
-                        minlength=n_resis)
-    capacity = np.bincount(
-        resi_map, weights=np.log(np.asarray(states_per_dihedral,
-                                            dtype=np.float64)),
-        minlength=n_resis)
+    total = _segment_sum(dihedral_entropies, resi_map, n_resis)
+    capacity = _segment_sum(
+        np.log(np.asarray(states_per_dihedral, dtype=np.float64)),
+        resi_map, n_resis)
     with np.errstate(invalid='ignore', divide='ignore'):
         ratio = total / capacity
     return np.where(capacity > 0, ratio, 0.0)
@@ -134,7 +143,9 @@ def _normalized_residue_entropies(dihedral_entropies, states_per_dihedral,
 # ---------------------------------------------------------------------
 
 def compute_rotamer_counts(rotamers):
-    """Per-dihedral rotamer occupancy counts.
+    """Per-dihedral rotamer occupancy counts as an
+    (n_dihedrals, n_states) matrix — the same contract as the
+    reference, whose ``jc.sum(-1)[i, i]`` rows are state histograms.
     (parity: apps/compute-shannon-entropy.py:155)"""
     width = int(np.max(rotamers.n_feature_states_))
     return _occupancy_histograms(rotamers.feature_trajectories_, width)
@@ -149,27 +160,37 @@ def compute_dihedral_shannon_entropy(probs):
 def sum_dihedral_entropies(dihedral_entropies, resi_mapping, n_resis):
     """Per-residue entropy totals as a bincount segment sum.
     (parity: :220)"""
-    return np.bincount(np.asarray(resi_mapping, dtype=np.int64),
-                       weights=dihedral_entropies, minlength=n_resis)
+    return _segment_sum(dihedral_entropies, resi_mapping, n_resis)
 
 
 def compute_channel_capacities(n_states_array, resi_list, n_resis):
     """Per-residue max entropy = segment sum of log(states).
     (parity: :243)"""
     logs = np.log(np.asarray(n_states_array, dtype=np.float64))
-    return np.bincount(np.asarray(resi_list, dtype=np.int64),
-                       weights=logs, minlength=n_resis)
+    return _segment_sum(logs, resi_list, n_resis)
+
+
+def _present_residues(resi_map, n_resis):
+    """Sorted 0-based ids of residues that own at least one dihedral
+    (clipped to the topology's residue range)."""
+    ids = np.unique(np.asarray(resi_map, dtype=np.int64))
+    return ids[(ids >= 0) & (ids < n_resis)]
 
 
 def compute_residue_shannon_entropies(dihedral_entropies, topology_file,
                                       atom_inds, n_states):
     """Aggregate dihedral entropies into normalized per-residue values
-    and the 1-based residue id list. (parity: :270)"""
+    and the matching 1-based residue id list — only residues that own
+    dihedrals are reported, so the two arrays always align (a
+    topology with ions/solvent/dihedral-less residues would otherwise
+    desynchronize them, a latent crash in the reference's :382).
+    (parity: :270)"""
     resi_map, n_resis = _dihedral_residue_map(topology_file, atom_inds)
     normalized = _normalized_residue_entropies(
         np.asarray(dihedral_entropies, dtype=np.float64),
         n_states, resi_map, n_resis)
-    return normalized, np.unique(resi_map).astype(np.float64) + 1
+    present = _present_residues(resi_map, n_resis)
+    return normalized[present], present.astype(np.float64) + 1
 
 
 def _entropy_pipeline(buffer_size, n_procs, trajectories, topology_file):
@@ -184,7 +205,8 @@ def _entropy_pipeline(buffer_size, n_procs, trajectories, topology_file):
     normalized = _normalized_residue_entropies(
         _entropy_rows(hist), featurizer.n_feature_states_,
         resi_map, n_resis)
-    return normalized, np.unique(resi_map).astype(np.float64) + 1
+    present = _present_residues(resi_map, n_resis)
+    return normalized[present], present.astype(np.float64) + 1
 
 
 def compute_shannon_entropies(args, trj_list):

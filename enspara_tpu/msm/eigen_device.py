@@ -14,6 +14,7 @@ timescales').
 """
 
 import functools
+import os
 
 import numpy as np
 import scipy.sparse
@@ -22,7 +23,20 @@ import scipy.sparse.linalg  # bind the submodule explicitly (eigsh below)
 from .transition_matrices import eigenspectrum as _eigenspectrum_host
 
 __all__ = ['eigenspectrum_reversible', 'implied_timescales_device',
-           'implied_timescales_batched']
+           'implied_timescales_batched', 'bucketed_ell_shape']
+
+
+def _bucket(x, q):
+    return int(-(-x // q) * q)
+
+
+def bucketed_ell_shape(n, w):
+    """The padded (n_pad, w_pad) ELL shape the filtered solver
+    compiles for an n-state matrix of max row occupancy ``w`` — the
+    shape-bucket identity: two datasets share a compiled program (and
+    persistent-cache entry) iff this matches."""
+    quantum = max(256, 1 << max(max(n - 1, 1).bit_length() - 4, 0))
+    return _bucket(max(n, 1), quantum), _bucket(max(w, 1), 8)
 
 
 def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto',
@@ -240,7 +254,7 @@ def _accelerator_present():
 
 
 @functools.lru_cache(maxsize=16)
-def _filter_sweep_fn(n, w_ell, k, use_ell):
+def _filter_sweep_fn(n, w_ell, k, use_ell, use_qr=False):
     """One jitted filtered-subspace sweep, cached per shape: Chebyshev
     filter of traced degree on the unwanted interval ``[-1, b]``,
     shifted-CholeskyQR3 re-orthonormalization, and an on-device
@@ -258,16 +272,14 @@ def _filter_sweep_fn(n, w_ell, k, use_ell):
     floor for block condition numbers up to ~1e6 — and the driver
     bounds the per-sweep filter amplification to about that. Set
     ``ENSPARA_TPU_EIG_ORTH=qr`` to get the old Householder program
-    back for A/B."""
-    import os as _os
-
+    back for A/B (the flag is read by the driver and is part of this
+    cache's key, so flipping it mid-process compiles the other
+    variant instead of silently reusing this one)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from ..ops.sparse import ell_spmm
-
-    use_qr = _os.environ.get('ENSPARA_TPU_EIG_ORTH') == 'qr'
 
     def _orth(V):
         if use_qr:
@@ -342,9 +354,6 @@ def _filtered_subspace_device(S, n_eigs, tol=5e-6, max_sweeps=24):
     use_ell = bool(w_max and
                    w_max <= max(32.0, 8.0 * float(nnz_row.mean())))
 
-    def _bucket(x, q):
-        return int(-(-x // q) * q)
-
     if use_ell:
         cols_h, vals_h = ell_from_sparse(S, dtype=np.float32)
         # SHAPE BUCKETING: round (n, w) up so different datasets land
@@ -356,9 +365,8 @@ def _filtered_subspace_device(S, n_eigs, tol=5e-6, max_sweeps=24):
         # to Gram/Ritz, and are sliced off before stage 2. The bucket
         # quantum scales with n (~n/16, power of two, >= 256) so
         # waste stays under ~6% while same-decade datasets collide.
-        quantum = max(256, 1 << max(max(n - 1, 1).bit_length() - 4, 0))
-        n_pad = _bucket(max(n, 1), quantum)
-        w_pad = _bucket(max(int(cols_h.shape[1]), 1), 8)
+        n_pad, w_pad = bucketed_ell_shape(
+            n, int(cols_h.shape[1]))
         if (n_pad, w_pad) != cols_h.shape:
             cols_b = np.repeat(
                 np.arange(n_pad, dtype=np.int32)[:, None], w_pad, 1)
@@ -400,8 +408,9 @@ def _filtered_subspace_device(S, n_eigs, tol=5e-6, max_sweeps=24):
             V = _sla.solve_triangular(L, V.T, lower=True).T
         return jnp.asarray(V, jnp.float32)
 
+    use_qr = os.environ.get('ENSPARA_TPU_EIG_ORTH') == 'qr'
     V = fresh()
-    sweep = _filter_sweep_fn(n_pad, w_ell, k_block, use_ell)
+    sweep = _filter_sweep_fn(n_pad, w_ell, k_block, use_ell, use_qr)
     # plain power step (degree 1, b=0) seeds the Ritz estimates
     V, w_r, res = sweep(cols_d, vals_d, V, jnp.float32(0.0),
                         jnp.int32(1))
@@ -409,6 +418,12 @@ def _filtered_subspace_device(S, n_eigs, tol=5e-6, max_sweeps=24):
     for _ in range(max_sweeps):
         w_h = np.asarray(w_r, np.float64)
         res_h = np.asarray(res, np.float64)
+        if not (np.all(np.isfinite(w_h))
+                and np.all(np.isfinite(res_h))):
+            # a collapsed/overflowed fp32 block poisons everything
+            # downstream (including the degree computation below);
+            # hand what we have to stage 2 / the ARPACK fallback
+            break
         cur = float(res_h[:n_eigs].max())
         if cur < tol:
             break
@@ -427,7 +442,7 @@ def _filtered_subspace_device(S, n_eigs, tol=5e-6, max_sweeps=24):
                 k_block = int(min(2 * k_block, 512, n - 2))
                 V = fresh(V)
                 sweep = _filter_sweep_fn(n_pad, w_ell, k_block,
-                                         use_ell)
+                                         use_ell, use_qr)
                 grow_left -= 1
                 grew += 1
                 best, stall = np.inf, 0
@@ -443,9 +458,14 @@ def _filtered_subspace_device(S, n_eigs, tol=5e-6, max_sweeps=24):
         b = float(np.clip(b, -1.0 + 1e-6, 1.0 - 1e-9))
         # degree bound keeps the fp32 filter from overflowing:
         # amplification at the top of the spectrum is
-        # cosh(d * acosh(t(1))) with t(1) = (3 - b) / (1 + b)
+        # cosh(d * acosh(t(1))) with t(1) = (3 - b) / (1 + b).
+        # CholeskyQR squares column norms in the Gram matrix, so its
+        # per-sweep amplification budget is ~e^14 (~1e6, inside
+        # CholQR3's fp32 conditioning range); Householder QR
+        # tolerates the old e^70 target
+        target = 70.0 if use_qr else 14.0
         t1 = (3.0 - b) / (1.0 + b)
-        d = int(np.clip(70.0 / max(np.arccosh(max(t1, 1.0)), 1e-3),
+        d = int(np.clip(target / max(np.arccosh(max(t1, 1.0)), 1e-3),
                         3, 16))
         V, w_r, res = sweep(cols_d, vals_d, V, jnp.float32(b),
                             jnp.int32(d))
@@ -484,9 +504,29 @@ def _lobpcg_refined(S, n_eigs, tol=1e-9, max_refine=30):
 
     n = S.shape[0]
 
-    # --- stage 1: device fp32 filtered subspace iteration
+    # --- stage 1: device fp32 filtered subspace iteration. Any
+    # stage-1 failure (a NaN-poisoned block, a device/compile error)
+    # must degrade to the reference's ARPACK engine, not crash the
+    # eigensolve.
     t0 = _time.perf_counter()
-    V, s1 = _filtered_subspace_device(S, n_eigs)
+    try:
+        V, s1 = _filtered_subspace_device(S, n_eigs)
+        stage1_failed = bool(
+            not np.all(np.isfinite(np.asarray(V))))
+    except Exception:
+        import logging
+        logging.getLogger(__name__).warning(
+            'device filtered subspace stage raised; falling back to '
+            'host ARPACK', exc_info=True)
+        V, s1, stage1_failed = None, {}, True
+    if stage1_failed:
+        S64 = S.astype(np.float64)
+        w, u = scipy.sparse.linalg.eigsh(S64, k=n_eigs, which='LA')
+        order = np.argsort(-w)
+        w, u = w[order], u[:, order]
+        res = np.linalg.norm(S64 @ u - u * w[None, :], axis=0)
+        return w, u, {'method': 'filtered', 'residuals': res,
+                      'refine_sweeps': 0, 'fallback': True, **s1}
     s1['stage1_s'] = round(_time.perf_counter() - t0, 3)
     k_guard = V.shape[1]
 

@@ -58,7 +58,12 @@ class TrimMapping:
                 raise exception.DataInvalid(
                     'TrimMapping CSV line %d has %d columns (expected '
                     '2): %r' % (lineno, len(row), row))
-            pairs.append((int(row[0]), int(row[1])))
+            try:
+                pairs.append((int(row[0]), int(row[1])))
+            except ValueError:
+                raise exception.DataInvalid(
+                    'TrimMapping CSV line %d has non-integer state '
+                    'ids: %r' % (lineno, row))
         return TrimMapping(pairs)
 
     @property

@@ -19,8 +19,8 @@ lookup:
   iterations: bank b serves iteration j while bank 1-b is already
   filling for j+1 — the memory latency the XLA gather eats serially
   is overlapped with compute and with itself;
-- the ELL column indices ride in SMEM blocks (8, w) for scalar reads;
-  values in VMEM with an iota-mask column select.
+- the ELL column indices AND values ride in SMEM blocks (8, w) so
+  both are O(1) scalar reads per entry.
 
 k > 128 runs as independent 128-wide passes at the wrapper level.
 
@@ -57,7 +57,6 @@ def _spmm_fn(n, w, banks=2, interpret=False):
 
     def kernel(cols_ref, vals_ref, x_any, out_ref, scratch, sems):
         sub = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANE), 0)
-        lane_w = jax.lax.broadcasted_iota(jnp.int32, (_R, w), 1)
 
         def dma(bank, s, j):
             grp = cols_ref[s, j] // _R
@@ -83,16 +82,18 @@ def _spmm_fn(n, w, banks=2, interpret=False):
                 issue(jax.lax.rem(j + banks - 1, banks),
                       j + banks - 1)
 
-            v = jnp.sum(jnp.where(lane_w == j, vals_ref[:], 0.0),
-                        axis=1)
             rows = []
             for s in range(_R):
                 dma(bank, s, j).wait()
                 r = cols_ref[s, j] % _R
-                rows.append(jnp.sum(
+                # the value is a scalar SMEM read (O(1)) — an earlier
+                # VMEM iota-mask select cost O(w) per entry and would
+                # distort the gather measurement for wide rows
+                v_s = vals_ref[s, j]
+                rows.append(v_s * jnp.sum(
                     jnp.where(sub == r, scratch[bank, s], 0.0),
                     axis=0))
-            return acc + v[:, None] * jnp.stack(rows, axis=0)
+            return acc + jnp.stack(rows, axis=0)
 
         out_ref[:] = jax.lax.fori_loop(
             0, w, body, jnp.zeros((_R, _LANE), jnp.float32))
@@ -106,7 +107,7 @@ def _spmm_fn(n, w, banks=2, interpret=False):
                 pl.BlockSpec((_R, w), lambda i: (i, 0),
                              memory_space=pltpu.SMEM),   # cols
                 pl.BlockSpec((_R, w), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),   # vals
+                             memory_space=pltpu.SMEM),   # vals
                 pl.BlockSpec(memory_space=pl.ANY),       # X in HBM
             ],
             out_specs=pl.BlockSpec((_R, _LANE), lambda i: (i, 0),

@@ -661,3 +661,32 @@ def test_shannon_entropy_functions_vs_reference():
         np.testing.assert_allclose(
             se.compute_dihedral_shannon_entropy(probs),
             ref.compute_dihedral_shannon_entropy(probs), atol=1e-12)
+
+
+def test_shannon_entropy_tolerates_odd_residue_numbering():
+    """resSeq 0 (negative 0-based id) and numbering gaps must not
+    crash the segment sums or desynchronize the entropy/residue-id
+    arrays (reference behavior crashes on both)."""
+    from enspara_tpu.apps import shannon_entropy as se
+
+    # ids: one out-of-range-low (-1), a gap, one out-of-range-high
+    rmap = np.array([-1, 0, 0, 2, 5])
+    ent_vals = np.array([10.0, 1.0, 2.0, 3.0, 4.0])
+    s = se.sum_dihedral_entropies(ent_vals, rmap, 4)
+    assert s.shape == (4,)
+    assert s[0] == pytest.approx(3.0)    # -1 and 5 dropped
+    assert s[2] == pytest.approx(3.0)
+
+    cc = se.compute_channel_capacities(
+        np.array([3, 3, 3, 2, 2]), rmap, 4)
+    assert cc.shape == (4,)
+    assert cc[1] == 0.0                  # gap residue: no capacity
+
+    # pipeline alignment: entropies and residue ids stay paired even
+    # when some residues own no dihedral
+    norm = se._normalized_residue_entropies(
+        ent_vals, np.array([3, 3, 3, 2, 2]), rmap, 4)
+    present = se._present_residues(rmap, 4)
+    assert present.tolist() == [0, 2]
+    table = np.column_stack([present + 1, norm[present]])
+    assert table.shape == (2, 2)
