@@ -92,12 +92,13 @@ def main():
     _sp._ell_spmm_fn.cache_clear()
     jax.clear_caches()
 
-    # 101,000 states pads into the SAME (n, w) bucket as dataset A
-    # (both round up to 106,496 rows at the 8192 quantum), so this
-    # solve must hit the identical compiled program — ASSERTED via
-    # the solver's own bucket identity, not assumed
+    # 101,000 states / 28 blocks / seed 3 pads into the SAME (n, w)
+    # bucket as dataset A — (106496, 40) for both — so this solve must
+    # hit the identical compiled program; ASSERTED via the solver's
+    # own bucket identity, not assumed (an earlier pick landed in a
+    # different w bucket and the check caught the bogus claim)
     from enspara_tpu.msm.eigen_device import bucketed_ell_shape
-    T_b, pi_b = _dataset(101_000, 32, 77)
+    T_b, pi_b = _dataset(101_000, 28, 3)
     shape_a = bucketed_ell_shape(
         T_a.shape[0], int(np.diff(T_a.indptr).max()))
     shape_b = bucketed_ell_shape(
@@ -107,7 +108,7 @@ def main():
                               'same_program': shape_a == shape_b}
     coldb_s, vals_b, info_b = _solve(T_b, pi_b)
     out['dataset_b'] = {
-        'n_states': 101_000, 'nnz': int(T_b.nnz),
+        'n_states': 101_000, 'n_blocks': 28, 'nnz': int(T_b.nnz),
         'cold_from_persistent_cache_s': round(coldb_s, 2),
         'max_residual': float(np.max(info_b['residuals'])),
         'fallback': bool(info_b['fallback']),

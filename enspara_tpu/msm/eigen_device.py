@@ -109,19 +109,21 @@ def eigenspectrum_reversible(T, pi=None, n_eigs=None, method='auto',
         # that, sparse k << n spectra: the device Chebyshev-filtered
         # subspace solver (in-jit ELL SpMM sweeps + host fp64 polish)
         # is the measured winner on real chips at the 10^5-state
-        # decade — 100k states/1.4M nnz top-21 in ~9-12 s warm on one
+        # point — 100k states/1.4M nnz top-21 in ~8-12 s warm on one
         # v5e with residual certificates vs 16.5 s host ARPACK on the
-        # same host (benchmarks/scale-points-result.json). The upper
-        # bound exists because past ~3e5 states BOTH of the solver's
-        # legs degrade on measured evidence (docs/performance.md):
-        # the device ELL SpMM hits the XLA gather wall (~1e8 row
-        # gathers/s; benchmarks/gather-wall-result.json) and the fp64
-        # host polish is BLAS-bound at the grown block width (1M
-        # states, 256 columns: 1240 s on a 1-core host vs ~310-600 s
-        # ARPACK). On CPU-only hosts the fp32 'device' filter buys
-        # nothing over scipy's fp64 SpMV, so ARPACK Lanczos (the
-        # reference's engine) keeps that regime too.
-        if sparse_in and 4096 < n <= 300_000 and n_eigs < n // 8 \
+        # same host (benchmarks/scale-points-tpu-result.json). The
+        # upper bound is set by the round-4 boundary probe
+        # (benchmarks/eig-boundary-tpu-result.json): host ARPACK wins
+        # at 150k (10.6 s vs 20.4 s) and 200k (19.6 s vs 25.3 s) and
+        # ties at 300k, because the device ELL SpMM hits the XLA
+        # gather wall (~1e8 row gathers/s; gather-wall-result.json —
+        # contested head-on and conceded with data in
+        # pallas-spmm-tpu-result.json) while the fp64 host polish is
+        # BLAS-bound at the grown block width. On CPU-only hosts the
+        # fp32 'device' filter buys nothing over scipy's fp64 SpMV,
+        # so ARPACK Lanczos (the reference's engine) keeps that
+        # regime too.
+        if sparse_in and 4096 < n <= 131_072 and n_eigs < n // 8 \
                 and _accelerator_present():
             method = 'filtered'
         elif sparse_in and n > 4096 and n_eigs < n // 8:
