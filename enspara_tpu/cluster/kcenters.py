@@ -42,7 +42,10 @@ class KCenters(util.MolecularClusterMixin):
         Stop adding centers when the max frame-center distance falls to
         this value. At least one of n_clusters/cluster_radius required.
     random_first_center : bool
-        Unsupported (as in the reference, kcenters.py:193).
+        Seed the search from a uniformly random frame instead of
+        frame 0 (an extension — the reference declares but does not
+        implement this flag, kcenters.py:193). ``random_state`` pins
+        the draw.
     mesh : jax Mesh, optional
         Device mesh to shard frames over (default: all devices).
     precision : 'fp32' (default) or 'bf16'
@@ -71,7 +74,6 @@ class KCenters(util.MolecularClusterMixin):
         conf = self.get_params()
         conf['distance_method'] = conf.pop('metric')
         conf['dist_cutoff'] = conf.pop('cluster_radius')
-        conf.pop('random_state')    # kcenters is deterministic
         self.result_, self.runtime_ = run_timed(
             kcenters, X, init_centers=init_centers, **conf)
         return self
@@ -93,23 +95,36 @@ class KCenters(util.MolecularClusterMixin):
 @cite('kcenters')
 def kcenters(traj, distance_method, n_clusters=None, dist_cutoff=None,
              init_centers=None, random_first_center=False,
-             mesh=None, precision='fp32'):
+             random_state=None, mesh=None, precision='fp32'):
     """Functional k-centers (reference: cluster/kcenters.py:108).
 
     Returns a :class:`~enspara_tpu.cluster.util.ClusterResult` whose
     assignments/distances cover all frames and whose center_indices are
     concatenated frame positions.
+
+    ``random_first_center=True`` seeds the search from a uniformly
+    random frame instead of frame 0 (an extension — the reference
+    declares but does not implement this flag, kcenters.py:193;
+    ``random_state`` pins the draw). Gonzalez's 2-approximation bound
+    holds for any seed frame, so results differ only in which
+    equivalent covering is found.
     """
     if n_clusters is None and dist_cutoff is None:
         raise ImproperlyConfigured(
             "KCenters must specify 'n_clusters' or 'dist_cutoff'")
-    if random_first_center:
-        raise NotImplementedError(
-            "kcenters 'random_first_center' is not implemented (matches "
-            "the reference, kcenters.py:193)")
 
     metric_name = util._metric_name(distance_method)
     xyz = traj.xyz if hasattr(traj, 'xyz') else np.asarray(traj)
+
+    if random_first_center:
+        if init_centers is not None and len(init_centers):
+            raise ImproperlyConfigured(
+                "'random_first_center' and 'init_centers' both pick "
+                'the starting center; pass one or the other')
+        rng = np.random.default_rng(random_state)
+        first = int(rng.integers(len(xyz)))
+        init_centers = [traj[first] if hasattr(traj, 'xyz')
+                        else xyz[first]]
 
     if metric_name is not None:
         return _kcenters_fast(xyz, metric_name, n_clusters, dist_cutoff,

@@ -11,7 +11,7 @@ import numpy as np
 from scipy import sparse
 from scipy.io import mmwrite, mmread
 
-from ..exception import ImproperlyConfigured
+from ..exception import DataInvalid, ImproperlyConfigured
 from . import builders
 from .transition_matrices import (assigns_to_counts, TrimMapping,
                                   trim_disconnected)
@@ -138,10 +138,28 @@ class MSM(object):
 
     @classmethod
     def load(cls, path, manifest='manifest.json'):
-        """Load an MSM from its manifest directory."""
+        """Load an MSM from its manifest directory, or from a zip
+        archive of one (an extension — the reference declares zip
+        support but raises NotImplementedError, msm.py:191)."""
         if not os.path.isdir(path):
-            raise NotImplementedError(
-                "MSMs don't handle zip archives yet.")
+            import zipfile as _zipfile
+            if not _zipfile.is_zipfile(path):
+                raise DataInvalid(
+                    '%r is neither an MSM manifest directory nor a '
+                    'zip archive of one' % path)
+            with tempfile.TemporaryDirectory() as staging:
+                with _zipfile.ZipFile(path) as zf:
+                    for info in zf.infolist():
+                        # reject traversal before extracting
+                        dest = os.path.realpath(
+                            os.path.join(staging, info.filename))
+                        if not dest.startswith(
+                                os.path.realpath(staging) + os.sep):
+                            raise DataInvalid(
+                                'zip member escapes the archive '
+                                'root: %r' % info.filename)
+                    zf.extractall(staging)
+                return cls.load(staging, manifest=manifest)
 
         with open(os.path.join(path, manifest)) as f:
             names = json.load(f)
@@ -159,10 +177,9 @@ class MSM(object):
 
     def save(self, path, force=False, zipfile=False, **filenames):
         """Serialize to a manifest directory: mapping.csv, tcounts.mtx,
-        tprobs.mtx, eq-probs.dat, config.pkl, manifest.json."""
-        if zipfile:
-            raise NotImplementedError("MSMs don't do zip archives yet.")
-
+        tprobs.mtx, eq-probs.dat, config.pkl, manifest.json — or, with
+        ``zipfile=True``, to a single zip archive of that layout (an
+        extension; the reference declares the flag but raises)."""
         names = {'mapping_': 'mapping.csv',
                  'tcounts_': 'tcounts.mtx',
                  'tprobs_': 'tprobs.mtx',
@@ -191,6 +208,18 @@ class MSM(object):
             for key, (mode, emit) in emitters.items():
                 with open(os.path.join(staging, names[key]), mode) as f:
                     emit(f)
+
+            if zipfile:
+                import zipfile as _zipfile
+                if os.path.exists(path) and not force:
+                    raise DataInvalid(
+                        '%r exists (pass force=True to overwrite)'
+                        % path)
+                with _zipfile.ZipFile(path, 'w',
+                                      _zipfile.ZIP_DEFLATED) as zf:
+                    for fn in sorted(os.listdir(staging)):
+                        zf.write(os.path.join(staging, fn), fn)
+                return
 
             if force and os.path.isdir(path):
                 shutil.rmtree(path)

@@ -206,3 +206,26 @@ def test_kcenters_rmsd_sharded_matches_single_device():
     # QCP noise floor sqrt(G*eps32/n_atoms) ~ 7e-4 here, and the
     # summation order differs per shard width
     assert_allclose(r1.distances, r8.distances, rtol=1e-5, atol=2e-3)
+
+
+def test_random_first_center(tmp_path):
+    """random_first_center seeds from a random frame (extension: the
+    reference declares the flag but raises NotImplementedError).
+    Deterministic under random_state; the Gonzalez covering guarantee
+    holds for any seed."""
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(200, 6)).astype(np.float32)
+    X[100:] += 8.0                      # two well-separated blobs
+
+    r1 = kcenters(X, 'euclidean', n_clusters=2,
+                  random_first_center=True, random_state=7)
+    r2 = kcenters(X, 'euclidean', n_clusters=2,
+                  random_first_center=True, random_state=7)
+    assert list(r1.center_indices) == list(r2.center_indices)
+    # both blobs must be covered regardless of the seed frame
+    assert len(np.unique(np.asarray(r1.assignments))) == 2
+
+    from enspara_tpu.exception import ImproperlyConfigured
+    with pytest.raises(ImproperlyConfigured):
+        kcenters(X, 'euclidean', n_clusters=2,
+                 random_first_center=True, init_centers=[X[0]])

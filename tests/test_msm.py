@@ -422,3 +422,18 @@ def test_bootstrap_fast_equals_naive():
     assert len(fast) == len(slow) == 4
     for mf, ms in zip(fast, slow):
         assert mf == ms
+
+
+def test_msm_zip_save_load_roundtrip(tmp_path):
+    """Zip-archive persistence (extension: the reference declares
+    zipfile= but raises NotImplementedError, msm.py:191/254)."""
+    m = msm.MSM(lag_time=1, method=builders.transpose, trim=True)
+    m.fit(ASSIGNS)
+    zpath = str(tmp_path / 'model.zip')
+    m.save(zpath, zipfile=True)
+    m2 = msm.MSM.load(zpath)
+    assert m2 == m
+    # overwrite refused without force
+    with pytest.raises(exception.DataInvalid):
+        m.save(zpath, zipfile=True)
+    m.save(zpath, zipfile=True, force=True)
