@@ -437,3 +437,12 @@ def test_msm_zip_save_load_roundtrip(tmp_path):
     with pytest.raises(exception.DataInvalid):
         m.save(zpath, zipfile=True)
     m.save(zpath, zipfile=True, force=True)
+
+
+def test_msm_zip_load_rejects_traversal(tmp_path):
+    import zipfile as zf
+    evil = str(tmp_path / 'evil.zip')
+    with zf.ZipFile(evil, 'w') as z:
+        z.writestr('../escape.txt', 'x')
+    with pytest.raises(exception.DataInvalid):
+        msm.MSM.load(evil)
