@@ -522,8 +522,11 @@ def _lobpcg_refined(S, n_eigs, tol=1e-9, max_refine=30):
             'host ARPACK', exc_info=True)
         V, s1, stage1_failed = None, {}, True
     if stage1_failed:
+        # the function-level `import scipy.linalg` below makes `scipy`
+        # a local, so bind the solver explicitly here
+        import scipy.sparse.linalg as _ssl
         S64 = S.astype(np.float64)
-        w, u = scipy.sparse.linalg.eigsh(S64, k=n_eigs, which='LA')
+        w, u = _ssl.eigsh(S64, k=n_eigs, which='LA')
         order = np.argsort(-w)
         w, u = w[order], u[:, order]
         res = np.linalg.norm(S64 @ u - u * w[None, :], axis=0)

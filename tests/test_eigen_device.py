@@ -332,3 +332,38 @@ def test_transpose_timescales_device_matches_host_pipeline():
     assert_allclose(phi[:, 0], ref_phi[:, 0], atol=1e-5)   # eq pops
     expected_ts = -5.0 / np.log(ref_vals[1:])
     assert_allclose(ts, expected_ts, rtol=1e-3)
+
+
+def test_stage1_exception_falls_back_to_arpack(monkeypatch):
+    """A stage-1 crash (device error, NaN-poisoned block) must degrade
+    to the ARPACK engine with fallback=True, not propagate."""
+    import scipy.sparse
+
+    from enspara_tpu.msm import eigen_device as ed
+
+    T, pi = _sparse_metastable_msm(3000)
+
+    def boom(S, n_eigs, **kw):
+        raise RuntimeError('synthetic stage-1 failure')
+
+    monkeypatch.setattr(ed, '_filtered_subspace_device', boom)
+    vals, vecs, info = ed.eigenspectrum_reversible(
+        scipy.sparse.csr_matrix(T), pi=pi, n_eigs=5,
+        method='filtered', return_info=True)
+    assert info['fallback']
+    ref_vals, _ = ed.eigenspectrum_reversible(
+        scipy.sparse.csr_matrix(T), pi=pi, n_eigs=5, method='arpack')
+    assert np.abs(vals - ref_vals).max() < 1e-9
+
+
+def test_bucketed_ell_shape_identity():
+    from enspara_tpu.msm.eigen_device import bucketed_ell_shape
+
+    # same-decade chains collide; padding waste stays small
+    a = bucketed_ell_shape(100_000, 33)
+    b = bucketed_ell_shape(101_000, 38)
+    assert a == b
+    for n in (1000, 5000, 97_000, 500_000):
+        n_pad, w_pad = bucketed_ell_shape(n, 17)
+        assert n_pad >= n and (n_pad - n) / n < 0.13
+        assert w_pad >= 17 and w_pad % 8 == 0
