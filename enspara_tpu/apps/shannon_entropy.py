@@ -101,16 +101,26 @@ def _entropy_rows(hist):
 
 
 def _dihedral_residue_map(topology_file, atom_inds):
-    """0-based residue id (resSeq - 1) owning each dihedral, taken
-    from the dihedral's second atom."""
+    """0-based TOPOLOGY residue index owning each dihedral (taken from
+    the dihedral's second atom), plus the per-index author resSeq for
+    output labeling.
+
+    Keying by ``residue.index`` instead of the reference's
+    ``resSeq - 1`` makes numbering that starts above 1, has gaps, or
+    repeats across chains aggregate correctly instead of silently
+    dropping or merging residues (the reference would desynchronize
+    its output arrays on such topologies)."""
     from .. import io as io_mod
 
     structure = io_mod.load(topology_file)
     anchor_atoms = np.asarray(atom_inds)[:, 1].astype(int)
-    resseq = np.fromiter(
-        (structure.top.atom(a).residue.resSeq for a in anchor_atoms),
-        dtype=np.int64, count=len(anchor_atoms))
-    return resseq - 1, structure.top.n_residues
+    residues = [structure.top.atom(a).residue for a in anchor_atoms]
+    resi_map = np.fromiter((r.index for r in residues),
+                           dtype=np.int64, count=len(residues))
+    resseq_of = np.fromiter(
+        (r.resSeq for r in structure.top.residues),
+        dtype=np.int64, count=structure.top.n_residues)
+    return resi_map, structure.top.n_residues, resseq_of
 
 
 def _segment_sum(values, segment_ids, n_segments):
@@ -180,33 +190,32 @@ def _present_residues(resi_map, n_resis):
 def compute_residue_shannon_entropies(dihedral_entropies, topology_file,
                                       atom_inds, n_states):
     """Aggregate dihedral entropies into normalized per-residue values
-    and the matching 1-based residue id list — only residues that own
-    dihedrals are reported, so the two arrays always align (a
-    topology with ions/solvent/dihedral-less residues would otherwise
-    desynchronize them, a latent crash in the reference's :382).
-    (parity: :270)"""
-    resi_map, n_resis = _dihedral_residue_map(topology_file, atom_inds)
+    and the matching author residue-id (resSeq) list — only residues
+    that own dihedrals are reported, so the two arrays always align
+    (a topology with ions/solvent/dihedral-less residues would
+    otherwise desynchronize them, a latent crash in the reference's
+    :382). (parity: :270)"""
+    resi_map, n_resis, resseq_of = _dihedral_residue_map(
+        topology_file, atom_inds)
     normalized = _normalized_residue_entropies(
         np.asarray(dihedral_entropies, dtype=np.float64),
         n_states, resi_map, n_resis)
     present = _present_residues(resi_map, n_resis)
-    return normalized[present], present.astype(np.float64) + 1
+    return normalized[present], resseq_of[present].astype(np.float64)
 
 
 def _entropy_pipeline(buffer_size, n_procs, trajectories, topology_file):
     """Full pipeline over explicit parameters: featurize, fused-key
-    histogram, vectorized entropies, residue segment sums."""
+    histogram, vectorized entropies, then the shared residue
+    aggregation (one implementation — see
+    :func:`compute_residue_shannon_entropies`)."""
     featurizer = feat.RotamerFeaturizer(buffer_size, n_procs)
     featurizer.fit(trajectories)
     width = int(np.max(featurizer.n_feature_states_))
     hist = _occupancy_histograms(featurizer.feature_trajectories_, width)
-    resi_map, n_resis = _dihedral_residue_map(
-        topology_file, featurizer.atom_indices_)
-    normalized = _normalized_residue_entropies(
-        _entropy_rows(hist), featurizer.n_feature_states_,
-        resi_map, n_resis)
-    present = _present_residues(resi_map, n_resis)
-    return normalized[present], present.astype(np.float64) + 1
+    return compute_residue_shannon_entropies(
+        _entropy_rows(hist), topology_file,
+        featurizer.atom_indices_, featurizer.n_feature_states_)
 
 
 def compute_shannon_entropies(args, trj_list):

@@ -44,9 +44,26 @@ def _candidates():
 
 
 def dye_library_path(required=True):
-    """Directory of the FRET dye library, or None/raise if absent."""
+    """Directory of the FRET dye library, or None/raise if absent.
+
+    Resolving to the builtin SYNTHETIC library warns loudly (once):
+    its numbers are physically plausible but are not measurements of
+    real fluorophores, and a user who simply forgot to fetch must not
+    mistake them for science."""
+    import logging
     for cand in _candidates():
         if cand and os.path.isdir(cand):
+            if (os.path.normpath(cand)
+                    == os.path.join(_HERE, 'dyes_builtin')
+                    and not getattr(dye_library_path,
+                                    '_warned_builtin', False)):
+                dye_library_path._warned_builtin = True
+                logging.getLogger(__name__).warning(
+                    'Using the builtin SYNTHETIC dye library '
+                    '(SimFluor test dyes) — NOT real fluorophore '
+                    'data. For science, run `python -m '
+                    'enspara_tpu.data.fetch_dye_library` or set '
+                    '$ENSPARA_TPU_DYE_DIR.')
             return cand
     if required:
         raise MissingData(

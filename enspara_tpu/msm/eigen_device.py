@@ -26,15 +26,19 @@ __all__ = ['eigenspectrum_reversible', 'implied_timescales_device',
            'implied_timescales_batched', 'bucketed_ell_shape']
 
 
-def _bucket(x, q):
-    return int(-(-x // q) * q)
+from ..ops.sparse import round_up as _bucket  # noqa: E402
 
 
 def bucketed_ell_shape(n, w):
     """The padded (n_pad, w_pad) ELL shape the filtered solver
-    compiles for an n-state matrix of max row occupancy ``w`` — the
-    shape-bucket identity: two datasets share a compiled program (and
-    persistent-cache entry) iff this matches."""
+    compiles for an n-state matrix of max row occupancy ``w``.
+
+    Matching shapes are NECESSARY for two datasets to share a
+    compiled program (and persistent-cache entry); sharing also
+    requires the same requested mode count (k_block), the same
+    ELL-vs-BCOO form, and the same ``ENSPARA_TPU_EIG_ORTH`` setting —
+    all equal in the common case of repeated same-k production
+    solves, which is what this identity is used to check."""
     quantum = max(256, 1 << max(max(n - 1, 1).bit_length() - 4, 0))
     return _bucket(max(n, 1), quantum), _bucket(max(w, 1), 8)
 
@@ -439,9 +443,15 @@ def _filtered_subspace_device(S, n_eigs, tol=5e-6, max_sweeps=24):
                 # certificate can't show it — growing the block here
                 # only multiplies stage-2 cost. Hand off to fp64.
                 break
-            if grow_left and 2 * k_block < max(n // 3, k_block + 1):
-                # cluster wider than the block: double past it
-                k_block = int(min(2 * k_block, 512, n - 2))
+            grown_k = int(min(2 * k_block, 512, n - 2))
+            if grow_left and grown_k > k_block \
+                    and 2 * k_block < max(n // 3, k_block + 1):
+                # cluster wider than the block: double past it (the
+                # grown_k > k_block guard matters for large n_eigs,
+                # where the initial block already exceeds the 512 cap
+                # and "growing" would otherwise SHRINK it, making
+                # fresh()'s extra-column count negative)
+                k_block = grown_k
                 V = fresh(V)
                 sweep = _filter_sweep_fn(n_pad, w_ell, k_block,
                                          use_ell, use_qr)

@@ -211,10 +211,17 @@ class MSM(object):
 
             if zipfile:
                 import zipfile as _zipfile
-                if os.path.exists(path) and not force:
-                    raise DataInvalid(
-                        '%r exists (pass force=True to overwrite)'
-                        % path)
+                if os.path.exists(path):
+                    if not force:
+                        raise DataInvalid(
+                            '%r exists (pass force=True to overwrite)'
+                            % path)
+                    # force must also replace a prior DIRECTORY-format
+                    # model at the same path, not hand ZipFile a dir
+                    if os.path.isdir(path):
+                        shutil.rmtree(path)
+                    else:
+                        os.remove(path)
                 with _zipfile.ZipFile(path, 'w',
                                       _zipfile.ZIP_DEFLATED) as zf:
                     for fn in sorted(os.listdir(staging)):

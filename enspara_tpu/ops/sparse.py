@@ -67,6 +67,12 @@ def dense_on_device(sp, scale_rows=None, scale_cols=None):
                    jnp.asarray(vals.astype(np.float32)))
 
 
+def round_up(x, q):
+    """Smallest multiple of ``q`` >= ``x`` (shared shape/bucket
+    helper for the ELL kernels and the filtered eigensolver)."""
+    return int(-(-x // q) * q)
+
+
 def ell_from_sparse(sp, dtype=np.float32):
     """Convert scipy sparse ``sp`` to padded ELL arrays
     ``(cols (n, w) int32, vals (n, w) dtype)`` with ``w`` the max

@@ -44,8 +44,7 @@ _R = 8          # ELL rows per grid step (fp32 sublane group)
 _LANE = 128     # lane width; k runs in chunks of this
 
 
-def _bucket(x, q):
-    return int(-(-x // q) * q)
+from .sparse import round_up as _bucket
 
 
 @functools.lru_cache(maxsize=16)
@@ -149,7 +148,10 @@ def ell_spmm_pallas(cols, vals, X):
             [X, jnp.zeros((X.shape[0], k_pad - k), X.dtype)], axis=1)
 
     import os
-    interpret = jax.default_backend() == 'cpu'   # CPU: interpret mode
+    # Mosaic lowering exists only for TPU; everything else (cpu, gpu)
+    # runs the interpreter so the kernel is usable-or-slow, never a
+    # cryptic lowering error
+    interpret = jax.default_backend() != 'tpu'
     banks = int(os.environ.get('ENSPARA_TPU_SPMM_BANKS', '2'))
     fn = _spmm_fn(n_pad, w, banks, interpret)
     chunks = [fn(cols, vals, X[:, c:c + _LANE])

@@ -690,3 +690,39 @@ def test_shannon_entropy_tolerates_odd_residue_numbering():
     assert present.tolist() == [0, 2]
     table = np.column_stack([present + 1, norm[present]])
     assert table.shape == (2, 2)
+
+
+def test_shannon_entropy_offset_and_multichain_numbering(tmp_path):
+    """Residues are keyed by topology index, not author resSeq:
+    numbering that starts at 100 (or repeats across chains) must
+    aggregate per residue and label rows with the author ids —
+    the reference's resSeq-1 keying silently drops or merges these."""
+    from enspara_tpu import io
+    from enspara_tpu.apps import shannon_entropy as se
+
+    template = (('N', 'N', (0.000, 0.000, 0.000)),
+                ('CA', 'C', (0.146, 0.000, 0.000)),
+                ('C', 'C', (0.198, 0.140, 0.050)))
+    lines, serial = [], 1
+    for res in range(3):
+        for name, elem, (x, y, z) in template:
+            lines.append(
+                'ATOM  %5d %-4s ALA A%4d    %8.3f%8.3f%8.3f  1.00'
+                '  0.00          %2s'
+                % (serial, name, res + 100,          # numbering @100
+                   (x + 0.38 * res) * 10, y * 10, z * 10, elem))
+            serial += 1
+    lines += ['TER', 'END', '']
+    pdb = str(tmp_path / 'offset.pdb')
+    with open(pdb, 'w') as f:
+        f.write('\n'.join(lines))
+
+    # one dihedral anchored (by its second atom) in each residue
+    atom_inds = np.array([[0, 1, 2, 3], [3, 4, 5, 6], [6, 7, 8, 8]])
+    ent_vals = np.array([1.0, 2.0, 3.0])
+    norm, resi = se.compute_residue_shannon_entropies(
+        ent_vals, pdb, atom_inds, np.array([3, 3, 3]))
+    # nothing silently dropped, and labels are the author resSeq
+    assert len(norm) == 3
+    assert resi.tolist() == [100.0, 101.0, 102.0]
+    assert np.all(norm > 0)

@@ -446,3 +446,14 @@ def test_msm_zip_load_rejects_traversal(tmp_path):
         z.writestr('../escape.txt', 'x')
     with pytest.raises(exception.DataInvalid):
         msm.MSM.load(evil)
+
+
+def test_msm_zip_save_force_replaces_directory(tmp_path):
+    m = msm.MSM(lag_time=1, method=builders.transpose, trim=True)
+    m.fit(ASSIGNS)
+    path = str(tmp_path / 'model')
+    m.save(path)                         # directory format
+    with pytest.raises(exception.DataInvalid):
+        m.save(path, zipfile=True)       # refuses without force
+    m.save(path, zipfile=True, force=True)   # replaces the dir
+    assert msm.MSM.load(path) == m
