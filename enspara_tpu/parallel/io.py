@@ -69,7 +69,11 @@ def load_npy_as_striped(filenames, stride=1):
                           % inner)
     global_lengths = [(s[0] + stride - 1) // stride for s in shapes]
     own = striped_range(len(filenames))
-    rows = [np.load(filenames[i])[::stride] for i in own]
+    # strided reads go through the mmap so only the kept rows are
+    # materialized (a full np.load of a 20 GB file to keep 1/stride
+    # of it would page the whole file through RAM)
+    rows = [np.asarray(np.load(filenames[i], mmap_mode='r')[::stride])
+            for i in own]
     local = np.concatenate(rows) if rows else np.array([])
     return global_lengths, local
 

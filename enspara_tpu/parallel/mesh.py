@@ -109,8 +109,13 @@ def mesh_platform(mesh):
 
 @functools.lru_cache(maxsize=None)
 def cpu_mesh():
-    """A 1-device CPU mesh (for jobs rerouted off the accelerator)."""
-    return Mesh(np.array(jax.devices('cpu')[:1]), (FRAME_AXIS,))
+    """A 1-device CPU mesh (for jobs rerouted off the accelerator).
+
+    Uses a LOCAL cpu device: in a multi-host job, ``jax.devices`` is
+    globally ordered, so taking its first element would hand every
+    process a device only process 0 can address."""
+    return Mesh(np.array(jax.local_devices(backend='cpu')[:1]),
+                (FRAME_AXIS,))
 
 
 def maybe_small_job_mesh(work):

@@ -103,8 +103,10 @@ def distribute_frame(data_local, global_index, axis=FRAME_AXIS):
     local_idx = jnp.clip(global_index - start, 0, n_local - 1)
     row = jax.lax.dynamic_index_in_dim(data_local, local_idx, axis=0,
                                        keepdims=False)
-    contrib = jnp.where(owned, row.astype(jnp.float32),
-                        jnp.zeros_like(row, jnp.float32))
+    # preserve the caller's dtype (the reference's Bcast is
+    # dtype-preserving; an earlier float32 cast silently corrupted
+    # integer rows and rounded fp64 coordinates)
+    contrib = jnp.where(owned, row, jnp.zeros_like(row))
     return jax.lax.psum(contrib, axis)
 
 
@@ -112,28 +114,44 @@ def distribute_frame(data_local, global_index, axis=FRAME_AXIS):
 # host-level striped compat (reference mpi/ops.py API, process-striped)
 # ---------------------------------------------------------------------
 
-def _proc_info():
-    try:
-        return jax.process_index(), jax.process_count()
-    except Exception:
-        return 0, 1
+from .io import _process_info as _proc_info  # shared rank/size helper
 
 
 def _allgather_obj(obj):
     """Gather a numpy array (possibly different length per process)
-    from every process. Lengths are agreed first, then each process's
-    stripe is broadcast in turn — the analogue of the reference's
-    round-robin bcast loop (mpi/ops.py:74-75)."""
+    from every process. Each stripe's FULL metadata (shape + dtype) is
+    agreed first, then each process's stripe is broadcast in turn —
+    the analogue of the reference's round-robin bcast loop
+    (mpi/ops.py:74-75).
+
+    Metadata must come from the OWNER, not from the local stripe: a
+    process whose stripe is empty (e.g. fewer files than processes)
+    holds a 1-D float64 ``np.array([])`` whose shape/dtype disagree
+    with the owners' (k, d) float32 data, and mismatched avals across
+    processes crash or deadlock the collective."""
     rank, size = _proc_info()
     obj = np.asarray(obj)
     if size == 1:
         return [obj]
     from jax.experimental import multihost_utils
-    lengths = multihost_utils.process_allgather(np.asarray(len(obj)))
+
+    # per-process metadata vector: [ndim, dim0..dim3, kind, itemsize]
+    # (dtype travels as (kind char, itemsize) — numpy 2 has no public
+    # num->dtype constructor)
+    meta = np.zeros(7, dtype=np.int64)
+    meta[0] = obj.ndim
+    meta[1:1 + obj.ndim] = obj.shape
+    meta[5] = ord(obj.dtype.kind)
+    meta[6] = obj.dtype.itemsize
+    metas = multihost_utils.process_allgather(meta)
+
     out = []
     for r in range(size):
-        shape = (int(lengths[r]),) + obj.shape[1:]
-        send = obj if r == rank else np.zeros(shape, obj.dtype)
+        ndim = int(metas[r][0])
+        shape = tuple(int(d) for d in metas[r][1:1 + ndim])
+        dtype = np.dtype('%s%d' % (chr(int(metas[r][5])),
+                                   int(metas[r][6])))
+        send = obj if r == rank else np.zeros(shape, dtype)
         out.append(multihost_utils.broadcast_one_to_all(
             send, is_source=(r == rank)))
     return out

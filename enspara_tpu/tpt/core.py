@@ -35,7 +35,13 @@ __all__ = ['committors', 'mfpts']
 
 # densify absorbing-state solves on device up to this many states
 # (n^2 fp32 = 1 GB at 16k; past that, host sparse LU)
-_DENSE_SOLVE_MAX_STATES = 16384
+# measured on v5e: XLA's blocked LU overflows scoped VMEM somewhere in
+# the 11-16k decade (17.5 MB request against the 16 MB limit at
+# n=12000), so the device-LU dispatch cap sits at the largest size
+# verified to factor (10k, reference-configs config4). Past the cap —
+# or if the device attempt fails anyway — the host sparse engines
+# take over.
+_DENSE_SOLVE_MAX_STATES = 10240
 
 
 def _device_solve_profitable():
@@ -75,15 +81,25 @@ _LU_FNS = None
 
 def _absorbing_csr_system(tprob, sinks, sources, all_absorbing):
     """Build (I - Q) with absorbing rows/cols zeroed and unit diagonal,
-    plus the right-hand side R, entirely in CSR arithmetic — O(nnz)
+    plus the SUMMED right-hand-side vector ``b`` (committors are
+    linear in the sink columns, so one solve of the summed RHS
+    replaces a solve per sink), entirely in CSR arithmetic — O(nnz)
     with C-speed kernels. The previous LIL formulation (mirroring the
     reference, tpt/core.py:60-67) spent seconds per 10k-state query on
-    python-loop row surgery."""
+    python-loop row surgery; an intermediate version materialized the
+    (n, n_sinks) dense RHS, which at 10^6 states x 10^4-state sink
+    sets is an 80 GB allocation.
+
+    Duplicated entries in ``sinks``/``sources`` are deduplicated: the
+    committor to a sink SET cannot depend on how often a member is
+    listed."""
     n = tprob.shape[0]
     Tc = tprob.tocsr()
-    R = np.asarray(Tc[:, sinks].todense(), dtype=np.float64)
-    R[sinks] = 1.0
-    R[sources] = 0.0
+    sinks_u = np.unique(sinks)
+    b = np.asarray(Tc[:, sinks_u].sum(axis=1),
+                   dtype=np.float64).ravel()
+    b[sinks_u] = 1.0
+    b[np.unique(sources)] = 0.0
 
     # unique: a state listed in both sources and sinks (or duplicated
     # within either) must still get diagonal exactly 1.0, matching the
@@ -100,7 +116,7 @@ def _absorbing_csr_system(tprob, sinks, sources, all_absorbing):
          (absorbing_unique, absorbing_unique)), shape=(n, n))
     A = A.tocsr()
     A.eliminate_zeros()
-    return A, R
+    return A, b
 
 
 def _refined_solve(A_dense32, B, A_exact=None, max_refine=10,
@@ -374,38 +390,50 @@ def committors(tprob, sources, sinks, pi=None):
     n_states = tprob.shape[0]
 
     if is_sparse:
-        I_m_Q, R = _absorbing_csr_system(tprob, sinks, sources,
+        I_m_Q, b = _absorbing_csr_system(tprob, sinks, sources,
                                          all_absorbing)
 
-        B = None
+        q = None
         if (n_states <= _DENSE_SOLVE_MAX_STATES
                 and _device_solve_profitable()):
-            B = _refined_solve(_dense_on_device(I_m_Q), R,
-                               A_exact=I_m_Q)
-            if B is None:
-                logger.info('fp32 refinement stalled; falling back '
-                            'to the host sparse path')
-        if B is None:
-            # q = sum_j x_j over sink columns and the system is
-            # linear, so one solve of the summed RHS suffices
+            # committors are linear in the sink columns, so ONE solve
+            # of the summed RHS vector replaces a solve per sink. The
+            # device LU is resource-limited below the size cap (XLA's
+            # blocked LU overflows v5e scoped VMEM somewhere in the
+            # 11-16k decade), so any device failure degrades to the
+            # host sparse engines instead of crashing.
+            try:
+                q = _refined_solve(_dense_on_device(I_m_Q), b,
+                                   A_exact=I_m_Q)
+            except Exception:
+                logger.info('device LU path failed; falling back to '
+                            'the host sparse path', exc_info=True)
+                q = None
+            if q is None:
+                logger.info('fp32 refinement unavailable; using the '
+                            'host sparse path')
+        if q is None:
             q = _large_sparse_absorbing_solve(
-                tprob.tocsr(), I_m_Q, np.asarray(R).sum(axis=1), pi)
-        else:
-            q = np.asarray(B).reshape(
-                n_states, sinks.shape[0]).sum(axis=1)
+                tprob.tocsr(), I_m_Q, b, pi)
     else:
         dense = np.asarray(tprob, dtype=float)
-        R = dense[:, sinks].copy()
-        R[sinks] = 1.0
-        R[sources] = 0.0
+        sinks_u = np.unique(sinks)
+        b = dense[:, sinks_u].sum(axis=1)
+        b[sinks_u] = 1.0
+        b[np.unique(sources)] = 0.0
         I_m_Q = _I_m_Q(dense, all_absorbing, n_states=n_states)
-        B = None
+        q = None
         if n_states >= 64 and _device_solve_profitable():
-            B = _refined_solve(I_m_Q, R)
-        if B is None:
-            B = np.linalg.solve(I_m_Q, R)
-        q = B.reshape(n_states, sinks.shape[0]).sum(axis=1)
+            try:
+                q = _refined_solve(I_m_Q, b)
+            except Exception:
+                logger.info('device LU path failed; using the host '
+                            'dense solve', exc_info=True)
+                q = None
+        if q is None:
+            q = np.linalg.solve(I_m_Q, b)
 
+    q = np.asarray(q)
     q[sinks] = 1.0
     return q
 
@@ -418,8 +446,14 @@ def mfpts(tprob, sinks=None, populations=None, lagtime=1.):
     cap: the absorbing solve (I-Q) x = 1 runs through the same
     pi-symmetrized-CG / SuperLU dispatch as :func:`committors`, so
     10^5-10^6-state MFPTs never build an n^2 array."""
+    # sparse + sinks stays on the sparse host dispatch not only past
+    # the densification cap but also whenever the device LU path is
+    # unprofitable (CPU-only hosts): toarray() + dense solve on a 16k
+    # sparse system costs GBs and minutes where the CSR engines take
+    # seconds
     if scipy.sparse.issparse(tprob) and sinks is not None \
-            and tprob.shape[0] > _DENSE_SOLVE_MAX_STATES:
+            and (tprob.shape[0] > _DENSE_SOLVE_MAX_STATES
+                 or not _device_solve_profitable()):
         sinks = np.array(sinks, dtype=int).reshape(-1)
         n_states = tprob.shape[0]
         A, _ = _absorbing_csr_system(tprob, sinks,
@@ -448,7 +482,12 @@ def mfpts(tprob, sinks=None, populations=None, lagtime=1.):
     c = np.ones(n_states)
     c[sinks] = 0
     if n_states >= 64 and _device_solve_profitable():
-        x = _refined_solve(I_m_Q, c)
+        try:
+            x = _refined_solve(I_m_Q, c)
+        except Exception:
+            logger.info('device LU path failed; using the host dense '
+                        'solve', exc_info=True)
+            x = None
         if x is not None:
             return lagtime * x
     return lagtime * np.linalg.solve(I_m_Q, c)

@@ -261,12 +261,12 @@ def test_committors_mfpts_large_sparse_cg_path():
     q = committors(T, sources, sinks, pi=pi)
     q_nopi = committors(T, sources, sinks)
 
-    A, R = core._absorbing_csr_system(
+    A, b = core._absorbing_csr_system(
         T, np.asarray(sinks), np.asarray(sources),
         np.asarray(sources + sinks))
     lu = scipy.sparse.linalg.splu(A.tocsc(),
                                   permc_spec='MMD_AT_PLUS_A')
-    q_lu = lu.solve(np.asarray(R, dtype=np.float64)).sum(axis=1)
+    q_lu = lu.solve(np.asarray(b, dtype=np.float64))
     q_lu[sinks] = 1.0
     assert_allclose(q, q_lu, rtol=1e-9, atol=1e-12)
     # the ARPACK stationary estimate perturbs the symmetrizer by
@@ -314,11 +314,11 @@ def test_committors_large_sparse_nonreversible_falls_back(monkeypatch):
 
     sources, sinks = [0], [n // 2]
     q = committors(T, sources, sinks)
-    A, R = core._absorbing_csr_system(
+    A, b = core._absorbing_csr_system(
         T, np.asarray(sinks), np.asarray(sources),
         np.asarray(sources + sinks))
     q_lu = scipy.sparse.linalg.splu(A.tocsc()).solve(
-        np.asarray(R, dtype=np.float64)).sum(axis=1)
+        np.asarray(b, dtype=np.float64))
     q_lu[sinks] = 1.0
     assert_allclose(q, q_lu, rtol=1e-9, atol=1e-12)
 
@@ -344,3 +344,19 @@ def test_mfpts_large_sparse_takes_cg_not_fallback(caplog):
     assert mf.shape == (n,) and (mf[sinks] == 0).all()
     assert not any('stalled' in r.message for r in caplog.records), \
         [r.message for r in caplog.records]
+
+
+def test_committors_duplicate_sinks_are_deduplicated():
+    """Listing a sink twice must not double the committor (the RHS is
+    built from UNIQUE sink columns; probabilities cannot exceed 1)."""
+    rng = np.random.default_rng(9)
+    T = rng.random((6, 6)) + np.eye(6)
+    T /= T.sum(axis=1, keepdims=True)
+    q1 = committors(T, [0], [5])
+    q2 = committors(T, [0], [5, 5])
+    assert_allclose(q1, q2, atol=1e-12)
+    assert np.all(q2 <= 1.0 + 1e-12)
+    # sparse path too
+    import scipy.sparse as sp
+    q3 = committors(sp.csr_matrix(T), [0], [5, 5])
+    assert_allclose(q1, q3, atol=1e-9)
