@@ -688,7 +688,9 @@ def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
         if tile is not None and tile != prep.tile:
             raise ValueError('prepared frames use tile=%d, got tile=%d'
                              % (prep.tile, tile))
-        if precision != 'fp32' and precision != prep.precision:
+        if precision != prep.precision:
+            # symmetric: an explicit fp32 request on bf16-prepared
+            # frames must not silently run with bf16 rounding
             raise ValueError('prepared frames are %s, got precision=%s'
                              % (prep.precision, precision))
     else:

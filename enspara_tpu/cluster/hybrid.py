@@ -61,7 +61,12 @@ def hybrid(X, distance_method, n_iters=5, n_clusters=None,
     result = _kcenters(
         X, distance_method, n_clusters=n_clusters,
         dist_cutoff=dist_cutoff, init_centers=init_centers,
-        random_first_center=random_first_center, mesh=mesh)
+        random_first_center=random_first_center,
+        # the seed must reach the first-center draw, or a pinned
+        # random_state still yields a different clustering every run
+        random_state=(random_state.randint(2 ** 31)
+                      if random_first_center else None),
+        mesh=mesh)
 
     if n_iters <= 0:
         return result

@@ -159,12 +159,21 @@ def _kcenters_fast(X, metric, n_clusters, dist_cutoff, init_centers,
         n_init = len(init_center_data)
         # recover the init centers' frame indices the way the
         # reference does (kcenters.py:195-206): the min-distance frame
-        # of each init cluster. Only usable when every init center
-        # actually owns frames.
+        # of each init cluster. An init center that owns NO frames
+        # (duplicates, or centers dominated by others) cannot be
+        # given a frame index — and letting it through leaves -1
+        # sentinels in center_indices that silently corrupt
+        # downstream partitioning/kmedoids — so it is rejected
+        # loudly instead.
         init_ctr_inds = util.find_cluster_centers(
             init_assignments, init_distances)
         if len(init_ctr_inds) != n_init:
-            init_ctr_inds = None
+            owned = np.unique(np.asarray(init_assignments))
+            missing = sorted(set(range(n_init)) - set(owned.tolist()))
+            raise ImproperlyConfigured(
+                'init_centers %s own no frames (duplicated centers, '
+                'or centers dominated by another init center); '
+                'remove them from the warm start' % missing)
 
     res = engine.kcenters_device(
         X, metric=metric, n_clusters=n_clusters, dist_cutoff=dist_cutoff,
@@ -204,6 +213,16 @@ def _kcenters_host(traj, distance_method, n_clusters, dist_cutoff,
         assignments, distances = util.assign_to_nearest_center(
             traj, centers, distance_method)
         ctr_inds = list(util.find_cluster_centers(assignments, distances))
+        if len(ctr_inds) != len(centers):
+            # an init center owning no frames would make the grown
+            # centers' labels (len(ctr_inds)-based) collide with
+            # existing init labels — fail loudly instead
+            owned = set(np.unique(assignments).tolist())
+            missing = sorted(set(range(len(centers))) - owned)
+            raise ImproperlyConfigured(
+                'init_centers %s own no frames (duplicated centers, '
+                'or centers dominated by another init center); '
+                'remove them from the warm start' % missing)
 
     while (len(ctr_inds) < n_clusters) and (distances.max() > dist_cutoff):
         new_center_index = int(np.argmax(distances))

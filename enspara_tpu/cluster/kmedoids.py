@@ -116,7 +116,14 @@ def kmedoids(X, distance_method, n_clusters=None, n_iters=5,
         X, metric, n_clusters, assignments, distances,
         cluster_center_inds, random_state)
 
-    assert np.all(np.asarray(distances)[cluster_center_inds] < 1e-3)
+    if not np.all(np.asarray(distances)[cluster_center_inds] < 1e-3):
+        raise DataInvalid(
+            'Warm-start assignments/distances are inconsistent with '
+            'centers drawn from X: the recovered center frames sit '
+            '%g away from their own cluster centers. Pass '
+            'cluster_center_inds explicitly if the centers are not '
+            'frames of X.'
+            % float(np.asarray(distances)[cluster_center_inds].max()))
 
     return _kmedoids_iterations(
         X, metric, n_iters, cluster_center_inds, assignments, distances,
@@ -171,8 +178,12 @@ def _kmedoids_iterations(X, metric, n_iters, cluster_center_inds,
         from sklearn.utils import check_random_state
 
         rs = check_random_state(random_state)
+        # the device engine consumes coordinate arrays; Trajectory
+        # objects (which have no __array__) must hand over .xyz here
+        # the way the k-centers front door does
+        X_dev = X.xyz if hasattr(X, 'xyz') else X
         m, d, a = kmedoids_sweeps_device(
-            X, metric_name, np.asarray(assignments),
+            X_dev, metric_name, np.asarray(assignments),
             np.asarray(distances, dtype=np.float64),
             np.asarray(cluster_center_inds),
             n_sweeps=n_iters, seed=int(rs.randint(2 ** 31)))

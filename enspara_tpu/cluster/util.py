@@ -56,6 +56,8 @@ def gather_frames(X, indices):
     centers over a remote/tunneled device link that loop dominated
     the whole khybrid pipeline — ~30 ms latency each)."""
     indices = np.asarray(indices, dtype=int)
+    if hasattr(X, 'xyz'):
+        X = X.xyz                      # Trajectory -> coordinate array
     try:
         import jax
         if isinstance(X, jax.Array):
@@ -415,13 +417,19 @@ def compute_batches(lengths, batch_size):
     batches = [[]]
     room = batch_size
     for i, ln in enumerate(lengths):
-        if ln < room:
+        # <= (not <): a trajectory exactly filling the remaining room
+        # belongs in the CURRENT batch — with strict <, a first
+        # trajectory of exactly batch_size frames left an empty
+        # leading batch that crashed the loader downstream
+        if ln <= room:
             batches[-1].append(i)
             room -= ln
         else:
             batches.append([i])
             room = batch_size - ln
-    return batches
+    # an oversized first trajectory (ln > batch_size) opens a new
+    # batch immediately, stranding the initial empty list
+    return [b for b in batches if b]
 
 
 def determine_batch_size(n_atoms, dtype_bytes, frac_mem):

@@ -232,6 +232,18 @@ def assigns_to_counts_device(assigns_padded, mask, lag_time, n_states,
     """
     import jax.numpy as jnp
 
+    if not isinstance(lag_time, numbers.Integral) or lag_time < 1:
+        raise exception.DataInvalid(
+            'lag_time must be a positive integer; got %r' % (lag_time,))
+    if isinstance(assigns_padded, np.ndarray) \
+            and assigns_padded.size \
+            and assigns_padded.max(initial=-1) >= n_states:
+        # the host coo path raises on out-of-range states; the device
+        # bincount would silently DROP them — validate host inputs up
+        # front (device-resident inputs are the caller's contract)
+        raise exception.DataInvalid(
+            'assignment id %d >= n_states=%d'
+            % (int(assigns_padded.max()), n_states))
     a = jnp.asarray(assigns_padded, jnp.int32)
     m = jnp.asarray(mask, bool)
     start = a[:, :-lag_time]
@@ -332,8 +344,10 @@ def eigenspectrum(T, n_eigs=None, left=True, maxiter=100000, tol=1E-30):
     A = T.transpose() if left else T
 
     if scipy.sparse.issparse(A):
-        if dim < 1000:
-            # ARPACK can't return near-full spectra; densify small inputs
+        if dim < 1000 or k >= dim - 1:
+            # ARPACK can't return near-full spectra (it requires
+            # k < dim-1, so the n_eigs=None default would always
+            # crash the sparse branch); densify instead
             w, phi = scipy.linalg.eig(A.toarray().astype(float))
         else:
             w, phi = scipy.sparse.linalg.eigs(
@@ -377,11 +391,7 @@ def trim_disconnected(counts, threshold=1, renumber_states=True):
     keep_states = np.where(labels == maxpop_subgraph)[0]
 
     if renumber_states:
-        new_states = np.arange(len(keep_states))
-        trimmed_counts = np.zeros((len(keep_states), len(keep_states)),
-                                  dtype=counts.dtype)
-        trimmed_counts[np.ix_(new_states, new_states)] = \
-            counts[np.ix_(keep_states, keep_states)]
+        trimmed_counts = counts[np.ix_(keep_states, keep_states)].copy()
         mapping = TrimMapping(zip(keep_states, range(len(trimmed_counts))))
     else:
         trim_states = np.where(labels != maxpop_subgraph)
