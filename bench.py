@@ -3,25 +3,29 @@
 
 Runs the flagship pipeline (BASELINE.md: k-centers RMSD clustering of
 1M frames to 1000 states + top-20 implied timescales) on whatever
-devices are present and prints ONE JSON line whose headline metric is
-QCP-RMSD frame-center pair evaluations per second inside the full
-clustering loop (global argmax + cross-shard center fetch + distance
-kernel + min-update every iteration), measured with data resident in
-HBM (the steady state of a production run). Every timed section is
-min-of-3; the JSON carries the max/min run spread, and a spread above
-1.5x is annotated as tunnel/host contention instead of silently
+devices are present and prints ONE COMPACT JSON line whose headline
+metric is QCP-RMSD frame-center pair evaluations per second inside the
+full clustering loop (global argmax + cross-shard center fetch +
+distance kernel + min-update every iteration), measured with data
+resident in HBM (the steady state of a production run).
+
+Output contract (round-4 postmortem: the driver captures only the last
+~2 KB of stdout, and the round-4 line outgrew it and recorded as a
+truncated fragment):
+
+  - stdout's LAST line is a compact JSON object (< ~1.5 KB): headline
+    metric, the extra metric families (value/unit/vs_baseline only),
+    run spread, retry count, backend, and a sha256 of the full record.
+  - the FULL record (provenance, denominator notes, per-section times,
+    contention annotations, best-record history) goes to
+    ``benchmarks/bench-latest-result.json``.
+
+Timing policy: every timed section is min-of-3; when a section's
+max/min spread exceeds 1.5x (the dev tunnel contends with host CPU and
+can inflate a single run 5x — round-3 postmortem), the whole batch of
+3 is re-run, up to 2 retries, and the batch with the smallest spread
+wins. A still-contended record is annotated instead of silently
 becoming the round's number.
-
-The line also carries an ``extra_metrics`` list covering the other
-BASELINE.json metric families:
-
-  - ``kcenters_frames_per_sec``    (k-centers frames/sec family)
-  - ``eigsolve_top20_timescales_s`` (eigsolve seconds family: HBM
-    counts -> transpose builder -> top-21 reversible eigh as ONE
-    fused device program, warm; cross-checked against the host
-    engine to 1e-4)
-  - ``northstar_1m_to_top20_s``    (end-to-end: clustering + counts +
-    fused timescales tail, vs the <60 s v5p-8 north-star budget)
 
 ``vs_baseline`` denominators: the reference publishes no numbers
 (BASELINE.md); pairs/s and frames/s normalize against an estimated
@@ -30,11 +34,16 @@ threaded C QCP kernel at ~1.5e6 pairs/s/core (64-atom structures) on a
 16-core node, which is what `enspara.cluster` achieves on one machine
 without MPI. The eigsolve family normalizes against the measured
 reference CPU per-lag cost (benchmarks/reference-cpu-config2-result
-.json: 3.48 s / 10 lags). Time-valued metrics report
-``vs_baseline = baseline_s / ours_s`` so >1 always means faster.
+.json: 3.48 s / 10 lags). The joint-counts family normalizes against
+the measured reference `libinfo` CPU joint-histogram cost on this host
+(benchmarks/reference-cpu-libinfo-result.json). Time-valued metrics
+report ``vs_baseline = baseline_s / ours_s`` so >1 always means
+faster.
 """
 
+import hashlib
 import json
+import os
 import time
 
 import numpy as np
@@ -47,6 +56,8 @@ LAG = 10
 N_FRAMES = 1_000_000
 N_ATOMS = 64
 N_CLUSTERS = 1000
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def _backend_alive_once(timeout_s=180):
@@ -92,6 +103,39 @@ def _stage(msg):
     import sys
     print('# %s %s' % (time.strftime('%H:%M:%S'), msg),
           file=sys.stderr, flush=True)
+
+
+def _timed_section(fn, name, n_runs=3, spread_limit=1.5, retries=2):
+    """min-of-``n_runs`` with bounded auto-retry of contended batches.
+
+    Runs a batch of ``n_runs`` timings; if the batch's max/min spread
+    exceeds ``spread_limit`` (tunnel/host contention signature), the
+    batch is re-run up to ``retries`` times and the batch with the
+    smallest spread wins — so a transient contention window heals
+    itself instead of poisoning the round's number (round-4: a 2.21x
+    spread left the round dependent on the committed prior record).
+
+    Returns ``(times_of_winning_batch, n_retries_used)``.
+    """
+    def one_batch():
+        ts = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return ts
+
+    best = one_batch()
+    used = 0
+    while max(best) / min(best) > spread_limit and used < retries:
+        used += 1
+        _stage('%s: batch spread %.2fx > %.1fx; retry %d/%d'
+               % (name, max(best) / min(best), spread_limit, used,
+                  retries))
+        cand = one_batch()
+        if max(cand) / min(cand) < max(best) / min(best):
+            best = cand
+    return best, used
 
 
 def main():
@@ -159,12 +203,14 @@ def main():
     cluster(2)
     _stage('compiled; measuring')
 
-    cluster_times = []
-    res = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        res = cluster(N_CLUSTERS)
-        cluster_times.append(time.perf_counter() - t0)
+    res_box = []
+
+    def run_cluster():
+        res_box.append(cluster(N_CLUSTERS))
+
+    cluster_times, cluster_retries = _timed_section(
+        run_cluster, 'cluster')
+    res = res_box[-1]
     best = min(cluster_times)
 
     _stage('clustering measured; MSM tail')
@@ -188,16 +234,18 @@ def main():
                 frames, mesh=mesh if mesh.size > 1 else None,
                 precision='bf16')
 
-            def cluster16(k):
-                return kcenters_device_fused(
-                    data16, n_clusters=k, k_max=N_CLUSTERS,
+            def cluster16():
+                r16 = kcenters_device_fused(
+                    data16, n_clusters=N_CLUSTERS, k_max=N_CLUSTERS,
                     mesh=mesh if mesh.size > 1 else None)
+                assert r16.n_found == N_CLUSTERS
 
-            cluster16(2)
-            t0 = time.perf_counter()
-            res16 = cluster16(N_CLUSTERS)
-            bf16_s = time.perf_counter() - t0
-            assert res16.n_found == N_CLUSTERS
+            kcenters_device_fused(
+                data16, n_clusters=2, k_max=N_CLUSTERS,
+                mesh=mesh if mesh.size > 1 else None)   # compile
+            bf16_times, _ = _timed_section(cluster16, 'bf16', n_runs=1,
+                                           retries=1)
+            bf16_s = min(bf16_times)
             bf16_extra = [{
                 'metric': 'kcenters_bf16_pairs_per_sec',
                 'value': round(pairs / bf16_s, 1),
@@ -225,29 +273,33 @@ def main():
                                            N_CLUSTERS)   # warm
     transpose_timescales_device(counts_warm, n_eigs=21,
                                 lag_time=LAG)             # warm
-    counts_times = []
-    counts_dev = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        counts_dev = assigns_to_counts_device(assigns, mask, LAG,
-                                              N_CLUSTERS)
-        np.asarray(counts_dev.sum())   # materialize, 8-byte fetch
-        counts_times.append(time.perf_counter() - t0)
+    counts_box = []
+
+    def run_counts():
+        c = assigns_to_counts_device(assigns, mask, LAG, N_CLUSTERS)
+        np.asarray(c.sum())   # materialize, 8-byte fetch
+        counts_box.append(c)
+
+    counts_times, counts_retries = _timed_section(run_counts, 'counts')
     counts_s = min(counts_times)
+    counts_dev = counts_box[-1]
 
     # counts never leave HBM: builder + pi-symmetrized top-21 eigh run
     # as ONE device program; only the 21 modes cross the link. Any
     # failure on this path degrades to the host-round-trip engine
     # instead of killing the benchmark.
-    eig_times = []
+    eig_retries = 0
     try:
-        vals = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _, vals, _ = transpose_timescales_device(
+        vals_box = []
+
+        def run_eig():
+            _, v, _ = transpose_timescales_device(
                 counts_dev, n_eigs=21, lag_time=LAG)
-            eig_times.append(time.perf_counter() - t0)
+            vals_box.append(v)
+
+        eig_times, eig_retries = _timed_section(run_eig, 'eigsolve')
         eigsolve_s = min(eig_times)
+        vals = vals_box[-1]
         assert vals.shape == (21,)
 
         # integrity: the fused device tail must agree with the host
@@ -264,51 +316,92 @@ def main():
         # in this degraded path the builder runs on the host, so its
         # cost belongs inside the timed region to keep the metric
         # end-to-end honest
-        eig_times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _, T, pi = builders.transpose(
-                counts_host.astype(np.float64))
-            vals, _ = eigenspectrum_reversible(T, pi=pi, n_eigs=21,
-                                               method='eigh')
-            eig_times.append(time.perf_counter() - t0)
+        vals_box = []
+
+        def run_eig_host():
+            _, T, pi = builders.transpose(counts_host.astype(np.float64))
+            v, _ = eigenspectrum_reversible(T, pi=pi, n_eigs=21,
+                                            method='eigh')
+            vals_box.append(v)
+
+        eig_times, eig_retries = _timed_section(run_eig_host,
+                                                'eigsolve-host')
         eigsolve_s = min(eig_times)
-        assert vals.shape == (21,)
+        assert vals_box[-1].shape == (21,)
 
     northstar_s = best + counts_s + eigsolve_s
 
-    # run-to-run spread over the repeated sections: the dev tunnel
-    # contends with host CPU and can inflate a single run 5x (round-3
-    # postmortem) — a contended record must say so instead of silently
-    # becoming the round's number
+    # run-to-run spread over the repeated sections (after any retries)
     spread = max(
         max(ts) / min(ts)
         for ts in (cluster_times, counts_times, eig_times) if ts)
     contended = spread > 1.5
+    total_retries = cluster_retries + counts_retries + eig_retries
 
-    result = {
+    extra_metrics = [
+        {'metric': 'kcenters_frames_per_sec',
+         'value': round(frames_per_sec, 1),
+         'unit': 'frames/s',
+         'vs_baseline': round(
+             frames_per_sec
+             / (REFERENCE_PAIRS_PER_SEC / N_CLUSTERS), 3)},
+        {'metric': 'eigsolve_top20_timescales_s',
+         'value': round(eigsolve_s, 4),
+         'unit': 's',
+         'vs_baseline': round(REFERENCE_EIGSOLVE_S / eigsolve_s, 3)},
+        {'metric': 'northstar_1m_to_top20_s',
+         'value': round(northstar_s, 3),
+         'unit': 's',
+         'vs_baseline': round(NORTHSTAR_BUDGET_S / northstar_s, 3)},
+    ] + bf16_extra
+
+    # joint-counts family (CARDS/exposons flagship): promoted from the
+    # committed on-chip record (benchmarks/reference-configs-result
+    # .json config3) with a MEASURED reference denominator when the
+    # libinfo probe artifact exists. Not re-measured here — the bench
+    # stays the north-star pipeline; the record and its denominator
+    # are both committed artifacts.
+    ji_path = os.path.join(_HERE, 'benchmarks',
+                           'reference-cpu-libinfo-result.json')
+    cfg_path = os.path.join(_HERE, 'benchmarks',
+                            'reference-configs-result.json')
+    joint_note = None
+    try:
+        with open(ji_path) as f:
+            ji = json.load(f)
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        ours_s = cfg['config3']['tpu_s']
+        ref_s = ji['reference_total_s']
+        extra_metrics.append(
+            {'metric': 'cards_joint_counts_4xmi_s',
+             'value': round(ours_s, 2),
+             'unit': 's',
+             'vs_baseline': round(ref_s / ours_s, 3)})
+        joint_note = (
+            'cards_joint_counts_4xmi_s: ours from committed on-chip '
+            'config3 record (%s); denominator %.1f s MEASURED from '
+            'the reference libinfo joint-histogram path on this host '
+            '(%s)' % (cfg_path, ref_s, ji_path))
+    except (OSError, KeyError, ValueError):
+        pass
+
+    detail = {
         'metric': 'kcenters_qcp_rmsd_pairs_per_sec',
         'value': round(pairs_per_sec, 1),
         'unit': 'pairs/s',
         'vs_baseline': round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
-        'extra_metrics': [
-            {'metric': 'kcenters_frames_per_sec',
-             'value': round(frames_per_sec, 1),
-             'unit': 'frames/s',
-             'vs_baseline': round(
-                 frames_per_sec
-                 / (REFERENCE_PAIRS_PER_SEC / N_CLUSTERS), 3)},
-            {'metric': 'eigsolve_top20_timescales_s',
-             'value': round(eigsolve_s, 4),
-             'unit': 's',
-             'vs_baseline': round(REFERENCE_EIGSOLVE_S / eigsolve_s, 3)},
-            {'metric': 'northstar_1m_to_top20_s',
-             'value': round(northstar_s, 3),
-             'unit': 's',
-             'vs_baseline': round(NORTHSTAR_BUDGET_S / northstar_s, 3)},
-        ] + bf16_extra,
-        'timing_policy': 'min-of-3 per section',
+        'extra_metrics': extra_metrics,
+        'timing_policy': ('min-of-3 per section; contended batches '
+                          '(spread > 1.5x) re-run up to 2 times, '
+                          'smallest-spread batch wins'),
         'run_spread_max_over_min': round(spread, 3),
+        'retries_used': total_retries,
+        'section_times_s': {
+            'cluster': [round(t, 4) for t in cluster_times],
+            'counts': [round(t, 4) for t in counts_times],
+            'eigsolve': [round(t, 4) for t in eig_times],
+        },
         'baseline_denominators': {
             'kcenters_qcp_rmsd_pairs_per_sec':
                 '%.1e pairs/s ESTIMATED single-node reference: '
@@ -325,13 +418,17 @@ def main():
                 'measurement' % NORTHSTAR_BUDGET_S,
         },
     }
+    if joint_note:
+        detail['baseline_denominators']['cards_joint_counts_4xmi_s'] \
+            = joint_note
     if contended:
-        result['contention_warning'] = (
-            'run-to-run spread %.2fx exceeds 1.5x — tunnel/host '
-            'contention signature; treat the min as a lower bound on '
-            'contention-free performance and prefer the best committed '
-            'on-chip record' % spread)
-    result['provenance'] = {
+        detail['contention_warning'] = (
+            'run-to-run spread %.2fx exceeds 1.5x even after %d '
+            'retries — tunnel/host contention signature; treat the '
+            'min as a lower bound on contention-free performance and '
+            'prefer the best committed on-chip record'
+            % (spread, total_retries))
+    detail['provenance'] = {
         'backend': jax.default_backend(),
         'devices': [str(d) for d in jax.devices()],
         'n_devices': jax.device_count(),
@@ -341,26 +438,22 @@ def main():
         'n_clusters': N_CLUSTERS,
     }
     if degraded:
-        result['degraded'] = ('device tunnel unavailable after 3 '
+        detail['degraded'] = ('device tunnel unavailable after 3 '
                               'probes with backoff; measured on the '
                               'CPU backend')
         # the dev-box tunnel has multi-hour outages (STATUS.md): point
         # at the most recent committed ON-CHIP record so a degraded
         # run never erases the chip evidence for the round
-        import os
-        rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           'benchmarks', 'bench-v5e-result.json')
+        rec = os.path.join(_HERE, 'benchmarks', 'bench-v5e-result.json')
         if os.path.exists(rec):
             with open(rec) as f:
-                result['latest_onchip_record'] = json.load(f)
+                detail['latest_onchip_record'] = json.load(f)
     else:
         # healthy chip run: persist as the round's on-chip record —
         # but never clobber a strictly better prior record with a
         # contended/slower one (round-3 postmortem: a 12.9 s contended
         # run overwrote the same-day 2.6 s record)
-        import os
-        rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           'benchmarks', 'bench-v5e-result.json')
+        rec = os.path.join(_HERE, 'benchmarks', 'bench-v5e-result.json')
         if jax.default_backend() == 'tpu':
             def _northstar_of(record):
                 for m in record.get('extra_metrics', []):
@@ -375,15 +468,50 @@ def main():
                 except (OSError, ValueError):
                     prior = None
             if prior is not None and (_northstar_of(prior)
-                                      < _northstar_of(result)):
-                result['best_onchip_record'] = prior
+                                      < _northstar_of(detail)):
+                detail['best_onchip_record'] = prior
             else:
                 try:
                     with open(rec, 'w') as f:
-                        json.dump(result, f, indent=1)
+                        json.dump(detail, f, indent=1)
                 except OSError:
                     pass
-    print(json.dumps(result))
+
+    # full record to disk; compact line (the driver's 2 KB tail
+    # capture) to stdout — see the module docstring's output contract
+    detail_blob = json.dumps(detail, indent=1, sort_keys=True)
+    detail_path = os.path.join(_HERE, 'benchmarks',
+                               'bench-latest-result.json')
+    try:
+        with open(detail_path, 'w') as f:
+            f.write(detail_blob)
+    except OSError:
+        detail_path = None
+
+    compact = {
+        'metric': detail['metric'],
+        'value': detail['value'],
+        'unit': detail['unit'],
+        'vs_baseline': detail['vs_baseline'],
+        'extra_metrics': [
+            {'metric': m['metric'], 'value': m['value'],
+             'unit': m['unit'], 'vs_baseline': m['vs_baseline']}
+            for m in extra_metrics],
+        'run_spread_max_over_min': round(spread, 3),
+        'retries_used': total_retries,
+        'backend': jax.default_backend(),
+    }
+    if contended:
+        compact['contended'] = True
+    if degraded:
+        compact['degraded'] = True
+    if detail_path:
+        compact['detail'] = 'benchmarks/bench-latest-result.json'
+        compact['detail_sha256'] = hashlib.sha256(
+            detail_blob.encode()).hexdigest()[:16]
+    line = json.dumps(compact)
+    assert len(line) < 1900, 'compact line too long: %d' % len(line)
+    print(line)
 
 
 if __name__ == '__main__':

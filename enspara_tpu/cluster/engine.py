@@ -163,7 +163,7 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
                     dist_cutoff=None, k_max=None,
                     init_distances=None, init_assignments=None,
                     n_init_centers=0, init_center_indices=None,
-                    mesh=None, precision='fp32'):
+                    mesh=None, precision=None):
     """Run the sharded device k-centers loop.
 
     Parameters mirror the reference's ``kcenters()``
@@ -171,7 +171,9 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
     (n, d) or coordinates (n, n_atoms, 3) for ``metric='rmsd'``.
     ``precision='bf16'`` (metric='rmsd' on TPU only) streams frames as
     bfloat16 for ~2x throughput at ~4e-3 relative distance error (see
-    :func:`kcenters_device_fused`).
+    :func:`kcenters_device_fused`). ``None`` (the default) means fp32
+    for raw inputs and inherit-from-prep for
+    :class:`PreparedRMSDFrames`.
     """
     if metric not in _METRIC_TO_FRAME:
         raise ValueError('device engine supports metrics %s, got %r'
@@ -199,7 +201,7 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
             init_center_indices=init_center_indices,
             mesh=mesh if mesh.size > 1 else None,
             precision=precision)
-    if precision != 'fp32':
+    if precision not in (None, 'fp32'):
         raise ValueError("precision='bf16' requires metric='rmsd' on "
                          "a TPU backend (the bf16 stream lives in the "
                          "fused Pallas path)")
@@ -659,7 +661,7 @@ def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
                           init_assignments=None, n_init_centers=0,
                           init_center_indices=None, tile=None,
                           interpret=None, mesh=None,
-                          precision='fp32'):
+                          precision=None):
     """Fused k-centers for metric='rmsd' (the fast path behind
     :func:`kcenters_device` on TPU). Same result contract. With a
     multi-device ``mesh`` the loop runs SPMD with explicit collectives
@@ -688,14 +690,16 @@ def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
         if tile is not None and tile != prep.tile:
             raise ValueError('prepared frames use tile=%d, got tile=%d'
                              % (prep.tile, tile))
-        if precision != prep.precision:
-            # symmetric: an explicit fp32 request on bf16-prepared
-            # frames must not silently run with bf16 rounding
+        if precision is not None and precision != prep.precision:
+            # an EXPLICIT mismatching request must not silently run
+            # at the prep's precision; the None default inherits from
+            # the prep (bf16-prepared frames work without repeating
+            # precision='bf16' at every call — ADVICE r4)
             raise ValueError('prepared frames are %s, got precision=%s'
                              % (prep.precision, precision))
     else:
         prep = prepare_rmsd_frames(X, tile=tile, mesh=mesh,
-                                   precision=precision)
+                                   precision=precision or 'fp32')
     frames_r, g = prep.frames_r, prep.g
     n, A, tile, n_shards = prep.n, prep.n_atoms, prep.tile, prep.n_shards
     n_pad = frames_r.shape[1]

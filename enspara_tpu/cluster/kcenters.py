@@ -121,8 +121,16 @@ def kcenters(traj, distance_method, n_clusters=None, dist_cutoff=None,
             raise ImproperlyConfigured(
                 "'random_first_center' and 'init_centers' both pick "
                 'the starting center; pass one or the other')
-        rng = np.random.default_rng(random_state)
-        first = int(rng.integers(len(xyz)))
+        # accept the full sklearn-style random_state contract
+        # (None/int/RandomState/Generator) like hybrid/kmedoids do —
+        # default_rng alone rejects RandomState instances (ADVICE r4)
+        if isinstance(random_state, np.random.RandomState):
+            from sklearn.utils import check_random_state
+            first = int(check_random_state(random_state)
+                        .randint(len(xyz)))
+        else:
+            rng = np.random.default_rng(random_state)
+            first = int(rng.integers(len(xyz)))
         init_centers = [traj[first] if hasattr(traj, 'xyz')
                         else xyz[first]]
 

@@ -129,6 +129,12 @@ def ell_spmm_pallas(cols, vals, X):
     import jax
     import jax.numpy as jnp
 
+    # the kernel's scratch accumulator is float32: cast the operands
+    # up front so non-fp32 inputs get a well-defined fp32 result
+    # instead of a DMA/store dtype mismatch deep in Mosaic (ADVICE r4)
+    X = jnp.asarray(X, jnp.float32)
+    vals = jnp.asarray(vals, jnp.float32)
+
     n, w = cols.shape
     k = X.shape[1]
     n_pad = _bucket(n, _R)

@@ -131,6 +131,14 @@ def _allgather_obj(obj):
     processes crash or deadlock the collective."""
     rank, size = _proc_info()
     obj = np.asarray(obj)
+    # the metadata vector below has exactly 4 shape slots, so higher
+    # ranks must fail loudly (on every process count, so the limit is
+    # caught in single-process tests too) instead of silently
+    # overwriting the dtype slot (ADVICE r4)
+    if obj.ndim > 4:
+        raise ValueError(
+            '_allgather_obj supports arrays of ndim <= 4, got ndim=%d'
+            % obj.ndim)
     if size == 1:
         return [obj]
     from jax.experimental import multihost_utils
@@ -149,8 +157,11 @@ def _allgather_obj(obj):
     for r in range(size):
         ndim = int(metas[r][0])
         shape = tuple(int(d) for d in metas[r][1:1 + ndim])
-        dtype = np.dtype('%s%d' % (chr(int(metas[r][5])),
-                                   int(metas[r][6])))
+        kind = chr(int(metas[r][5]))
+        # sizeless kinds: np.dtype('?1') is invalid — bool rebuilds
+        # from the bare kind char (ADVICE r4)
+        dtype = (np.dtype(kind) if kind == '?' else
+                 np.dtype('%s%d' % (kind, int(metas[r][6]))))
         send = obj if r == rank else np.zeros(shape, dtype)
         out.append(multihost_utils.broadcast_one_to_all(
             send, is_source=(r == rank)))

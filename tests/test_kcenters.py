@@ -229,3 +229,16 @@ def test_random_first_center(tmp_path):
     with pytest.raises(ImproperlyConfigured):
         kcenters(X, 'euclidean', n_clusters=2,
                  random_first_center=True, init_centers=[X[0]])
+
+
+def test_random_first_center_accepts_randomstate():
+    """np.random.RandomState satisfies the sklearn-style random_state
+    contract used by hybrid/kmedoids (ADVICE r4: default_rng alone
+    rejects RandomState instances)."""
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(100, 4)).astype(np.float32)
+    r1 = kcenters(X, 'euclidean', n_clusters=2, random_first_center=True,
+                  random_state=np.random.RandomState(3))
+    r2 = kcenters(X, 'euclidean', n_clusters=2, random_first_center=True,
+                  random_state=np.random.RandomState(3))
+    assert list(r1.center_indices) == list(r2.center_indices)

@@ -62,3 +62,15 @@ def test_distribute_frame():
     out = _run_sharded(
         lambda dl: distribute_frame(dl, jnp.int32(41)), data)
     assert_array_equal(np.asarray(out), data[41])
+
+
+def test_allgather_obj_rejects_ndim_over_4():
+    """The stripe-metadata vector has 4 shape slots; a 5-D array must
+    fail loudly instead of corrupting the dtype slot (ADVICE r4)."""
+    from enspara_tpu.parallel.ops import _allgather_obj
+    import pytest
+    with pytest.raises(ValueError, match='ndim'):
+        _allgather_obj(np.zeros((1, 1, 1, 1, 1)))
+    # 4-D and bool arrays are fine on the 1-process shortcut
+    out = _allgather_obj(np.ones((2, 2), dtype=bool))
+    assert out[0].dtype == np.dtype(bool)

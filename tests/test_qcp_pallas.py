@@ -215,3 +215,30 @@ def test_prepared_frames_reuse():
     with np.testing.assert_raises(ValueError):
         engine.kcenters_device_fused(prep, n_clusters=4,
                                      precision='bf16', interpret=True)
+
+
+def test_prepared_bf16_frames_inherit_precision():
+    """precision=None (the default) inherits the prep's precision, so
+    bf16-prepared frames cluster without repeating precision='bf16' at
+    every call; only an EXPLICIT mismatching request raises
+    (ADVICE r4: the old symmetric check made the default indistinct
+    from an explicit fp32 request)."""
+    from enspara_tpu.cluster import engine
+
+    rng = np.random.default_rng(51)
+    templates = rng.normal(size=(4, 8, 3)).astype(np.float32) * 5.0
+    X = (templates[np.arange(256) % 4]
+         + 0.01 * rng.normal(size=(256, 8, 3)).astype(np.float32))
+
+    prep16 = engine.prepare_rmsd_frames(X, tile=128, precision='bf16')
+    res = engine.kcenters_device_fused(prep16, n_clusters=4,
+                                       interpret=True)   # no precision
+    assert res.n_found == 4
+    # explicit matching request still works
+    res2 = engine.kcenters_device_fused(prep16, n_clusters=4,
+                                        precision='bf16', interpret=True)
+    np.testing.assert_array_equal(res.assignments, res2.assignments)
+    # explicit MISMATCHING request still raises
+    with np.testing.assert_raises(ValueError):
+        engine.kcenters_device_fused(prep16, n_clusters=4,
+                                     precision='fp32', interpret=True)

@@ -29,3 +29,20 @@ def test_ell_spmm_pallas_matches_scipy(n, k, density, seed):
                                    jnp.asarray(X)))
     Yref = (A.astype(np.float64) @ X.astype(np.float64))
     assert np.abs(Y - Yref).max() < 1e-4
+
+
+def test_ell_spmm_pallas_casts_non_fp32_inputs():
+    """fp64/bf16 operands are cast to the kernel's fp32 accumulator
+    dtype up front instead of hitting a Mosaic dtype mismatch
+    (ADVICE r4)."""
+    rng = np.random.default_rng(7)
+    A = scipy.sparse.random(65, 65, density=0.05, random_state=7,
+                            format='csr') + scipy.sparse.eye(65) * 0.5
+    cols, vals = ell_from_sparse(A)
+    X64 = rng.normal(size=(65, 12))                    # float64
+    Y = np.asarray(ell_spmm_pallas(jnp.asarray(cols),
+                                   np.asarray(vals, np.float64),
+                                   np.asarray(X64)))
+    assert Y.dtype == np.float32
+    Yref = A.astype(np.float64) @ X64
+    np.testing.assert_allclose(Y, Yref, rtol=2e-5, atol=2e-5)
