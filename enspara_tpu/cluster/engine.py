@@ -460,11 +460,12 @@ def _kcenters_loop_fused(frames_r, g, dist, assig, n_start, n_clusters,
         cvec = col.reshape(3, a_pad).T                 # cvec[a, j]
         gb = jax.lax.dynamic_slice(g, (0, gidx), (1, 1))
         cid = jnp.reshape(i, (1, 1)).astype(jnp.int32)
-        d, a = kcenters_iteration_pallas(
+        # the kernel's epilogue hands back the next (max, argmax), so
+        # no separate 4 MB argmax pass runs between iterations
+        d, a, lm, la = kcenters_iteration_pallas(
             frames_r, g, d, a, cvec, gb, cid, n_atoms_real,
-            interpret=interpret, tile=tile)
-        gidx2 = jnp.argmax(d[0]).astype(jnp.int32)
-        return (i + 1, d, a, c, gidx2, d[0, gidx2])
+            interpret=interpret, tile=tile, with_argmax=True)
+        return (i + 1, d, a, c, la[0, 0], lm[0, 0])
 
     init = (jnp.asarray(n_start, jnp.int32), dist, assig, ctr_inds,
             gidx0, md0)
@@ -568,10 +569,18 @@ def _kcenters_loop_fused_sharded(frames_r, g, dist, assig, n_start,
             gb = jax.lax.psum(jnp.where(owned, gb_l, 0.0), FRAME_AXIS)
             cvec = col.reshape(3, a_pad).T
             cid = jnp.reshape(i, (1, 1)).astype(jnp.int32)
-            d, a = kcenters_iteration_pallas(
+            # the kernel epilogue accumulates this shard's (max,
+            # argmax) — no separate per-iteration argmax pass over the
+            # local distance row (the per-center fixed cost the chunk
+            # megakernel eliminated single-chip); only the two scalars
+            # cross the collective
+            d, a, lm, la = kcenters_iteration_pallas(
                 frames_l, g_l, d, a, cvec, gb, cid, n_atoms_real,
-                interpret=interpret, tile=tile)
-            md2, gidx2 = global_best(d)
+                interpret=interpret, tile=tile, with_argmax=True)
+            vals = jax.lax.all_gather(lm[0, 0], FRAME_AXIS)
+            args = jax.lax.all_gather(start + la[0, 0], FRAME_AXIS)
+            md2 = jnp.max(vals)
+            gidx2 = jnp.min(jnp.where(vals == md2, args, imax))
             return (i + 1, d, a, ctrs, gidx2, md2)
 
         init = (jnp.asarray(n_start, jnp.int32), dist_l, assig_l,
