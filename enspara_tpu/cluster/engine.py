@@ -517,6 +517,63 @@ def _kcenters_loop_megafused(frames_r, g, dist, assig, n_start,
     return d, a, c[:k_max], i
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('k_max', 'n_atoms_real',
+                                    'interpret', 'tile', 'chunk_g'))
+def _kcenters_loop_megafused_skip(frames_r, g, dist, assig, n_start,
+                                  n_clusters, dist_cutoff, k_max,
+                                  n_atoms_real, interpret=False,
+                                  tile=None, chunk_g=64):
+    """The megafused chunk loop with tile-granular triangle-inequality
+    DMA skipping (ops/kcenters_skip_pallas): per-tile (max, argmax)
+    summaries are carried across chunk calls, and a tile whose max
+    cached distance is <= md/2 never crosses HBM this iteration.
+    Results are bit-identical to :func:`_kcenters_loop_megafused`
+    (the skip bound is exactly the strict-< no-op region).
+
+    Also returns the per-center skipped-tile counts for the skip-
+    fraction ablation (-1 marks unplaced slots)."""
+    from ..ops.kcenters_skip_pallas import (kcenters_chunk_skip_pallas,
+                                            skip_t_pad, tile_summaries)
+
+    G = int(min(chunk_g, k_max))
+    n_pad = frames_r.shape[1]
+    t_pad = skip_t_pad(n_pad // tile)
+    ctr_pad = jnp.full((k_max + G,), -1, jnp.int32)
+    skc_pad = jnp.full((k_max + G,), -1, jnp.int32)
+    gidx0 = jnp.argmax(dist[0]).astype(jnp.int32)
+    md0 = dist[0, gidx0]
+    tmax0, targ0 = tile_summaries(dist, tile, t_pad)
+    ntot = jnp.full((1, 1), n_clusters, jnp.int32)
+    cut = jnp.full((1, 1), dist_cutoff, jnp.float32)
+
+    def cond(state):
+        i = state[0]
+        md = state[5]
+        return (i < n_clusters) & (md > dist_cutoff)
+
+    def step(state):
+        i, d, a, c, gidx, md, tmax, targ, skc = state
+        (d, a, ctrs, g2, m2, tmax, targ,
+         scnt) = kcenters_chunk_skip_pallas(
+            frames_r, g, d, a, tmax, targ,
+            jnp.reshape(gidx, (1, 1)).astype(jnp.int32),
+            jnp.reshape(md, (1, 1)).astype(jnp.float32),
+            jnp.reshape(i, (1, 1)).astype(jnp.int32), ntot, cut,
+            G, n_atoms_real, interpret=interpret, tile=tile)
+        placed = jnp.sum(ctrs[:, 0] != -1).astype(jnp.int32)
+        c = jax.lax.dynamic_update_slice(c, ctrs[:, 0], (i,))
+        skc = jax.lax.dynamic_update_slice(skc, scnt[:, 0], (i,))
+        return (i + placed, d, a, c, g2[0, 0], m2[0, 0], tmax, targ,
+                skc)
+
+    init = (jnp.asarray(n_start, jnp.int32), dist, assig, ctr_pad,
+            gidx0, md0, tmax0, targ0, skc_pad)
+    out = jax.lax.while_loop(cond, step, init)
+    i, d, a, c = out[0], out[1], out[2], out[3]
+    return d, a, c[:k_max], i, out[8][:k_max]
+
+
 def _kcenters_loop_fused_sharded(frames_r, g, dist, assig, n_start,
                                  n_clusters, dist_cutoff, k_max,
                                  n_atoms_real, mesh, interpret, tile):
