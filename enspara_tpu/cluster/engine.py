@@ -574,6 +574,98 @@ def _kcenters_loop_megafused_skip(frames_r, g, dist, assig, n_start,
     return d, a, c[:k_max], i, out[8][:k_max]
 
 
+_TRISKIP_THRESH = 0.05
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('k_max', 'n_atoms_real',
+                                    'interpret', 'tile', 'chunk_g'))
+def _kcenters_loop_megafused_adaptive(frames_r, g, dist, assig,
+                                      n_start, n_clusters, dist_cutoff,
+                                      k_max, n_atoms_real,
+                                      interpret=False, tile=None,
+                                      chunk_g=64):
+    """Chunked megafused loop that picks, per 64-center chunk, between
+    the plain chunk megakernel and the triangle-inequality skip kernel
+    (``lax.cond``; both compile once).
+
+    The skip kernel wins only when whole tiles sit below md/2 — data
+    with covered-basin structure (benchmarks/triskip-ablation-result
+    .json: up to 61% of tiles skipped while basins are being claimed,
+    ~0% on concentration-dominated data where it costs ~3.5%
+    overhead). The chooser estimates the NEXT chunk's skippable tile
+    fraction directly from the per-tile summaries (one cheap XLA pass
+    when the previous chunk ran the plain kernel) and engages the skip
+    kernel above ``_TRISKIP_THRESH``. Results are bit-identical either
+    way, so the choice is pure scheduling."""
+    from ..ops.kcenters_chunk_pallas import kcenters_chunk_pallas
+    from ..ops.kcenters_skip_pallas import (kcenters_chunk_skip_pallas,
+                                            skip_t_pad, tile_summaries)
+
+    G = int(min(chunk_g, k_max))
+    n_pad = frames_r.shape[1]
+    n_tiles = n_pad // tile
+    t_pad = skip_t_pad(n_tiles)
+    ctr_pad = jnp.full((k_max + G,), -1, jnp.int32)
+    skc_pad = jnp.full((k_max + G,), -1, jnp.int32)
+    gidx0 = jnp.argmax(dist[0]).astype(jnp.int32)
+    md0 = dist[0, gidx0]
+    tmax0, targ0 = tile_summaries(dist, tile, t_pad)
+    ntot = jnp.full((1, 1), n_clusters, jnp.int32)
+    cut = jnp.full((1, 1), dist_cutoff, jnp.float32)
+    lanes_t = jnp.arange(t_pad, dtype=jnp.int32)[None, :]
+
+    def skip_frac(tmax, md):
+        hits = ((tmax <= 0.5 * md) & jnp.isfinite(md)
+                & (lanes_t < n_tiles))
+        return jnp.sum(hits.astype(jnp.float32)) / n_tiles
+
+    def cond(state):
+        i = state[0]
+        md = state[5]
+        return (i < n_clusters) & (md > dist_cutoff)
+
+    def step(state):
+        i, d, a, c, gidx, md, tmax, targ, use_skip, skc = state
+        gidx11 = jnp.reshape(gidx, (1, 1)).astype(jnp.int32)
+        md11 = jnp.reshape(md, (1, 1)).astype(jnp.float32)
+        i11 = jnp.reshape(i, (1, 1)).astype(jnp.int32)
+
+        def run_skip(args):
+            d, a, tmax, targ = args
+            (d, a, ctrs, g2, m2, tmax, targ,
+             scnt) = kcenters_chunk_skip_pallas(
+                frames_r, g, d, a, tmax, targ, gidx11, md11, i11,
+                ntot, cut, G, n_atoms_real, interpret=interpret,
+                tile=tile)
+            return d, a, ctrs, g2, m2, tmax, targ, scnt
+
+        def run_mega(args):
+            d, a, _, _ = args
+            d, a, ctrs, g2, m2 = kcenters_chunk_pallas(
+                frames_r, g, d, a, gidx11, md11, i11, ntot, cut,
+                G, n_atoms_real, interpret=interpret, tile=tile)
+            tmax, targ = tile_summaries(d, tile, t_pad)
+            scnt = jnp.where(ctrs == -1, -1, 0)
+            return d, a, ctrs, g2, m2, tmax, targ, scnt
+
+        d, a, ctrs, g2, m2, tmax, targ, scnt = jax.lax.cond(
+            use_skip, run_skip, run_mega, (d, a, tmax, targ))
+        placed = jnp.sum(ctrs[:, 0] != -1).astype(jnp.int32)
+        c = jax.lax.dynamic_update_slice(c, ctrs[:, 0], (i,))
+        skc = jax.lax.dynamic_update_slice(skc, scnt[:, 0], (i,))
+        use_skip = skip_frac(tmax, m2[0, 0]) >= _TRISKIP_THRESH
+        return (i + placed, d, a, c, g2[0, 0], m2[0, 0], tmax, targ,
+                use_skip, skc)
+
+    init = (jnp.asarray(n_start, jnp.int32), dist, assig, ctr_pad,
+            gidx0, md0, tmax0, targ0,
+            skip_frac(tmax0, md0) >= _TRISKIP_THRESH, skc_pad)
+    out = jax.lax.while_loop(cond, step, init)
+    i, d, a, c = out[0], out[1], out[2], out[3]
+    return d, a, c[:k_max], i, out[9][:k_max]
+
+
 def _kcenters_loop_fused_sharded(frames_r, g, dist, assig, n_start,
                                  n_clusters, dist_cutoff, k_max,
                                  n_atoms_real, mesh, interpret, tile):
@@ -672,34 +764,115 @@ class PreparedRMSDFrames(NamedTuple):
     precision: str
 
 
-def prepare_rmsd_frames(X, tile=None, mesh=None, precision='fp32'):
+_STREAM_CHUNK_BYTES = 64 * (1 << 20)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=('a_pad', 'precision'))
+def _ingest_chunk(frames_buf, g_buf, chunk, off, a_pad, precision):
+    """Center one coordinate chunk, derive its G row, and scatter both
+    into the prepared buffers at column ``off`` (traced, so every
+    chunk reuses one compiled program; donation keeps the big buffer
+    in place). Runs while the NEXT chunk's ``device_put`` is already
+    in flight — the double-buffered ingest pipeline measured at 1.54x
+    in benchmarks/ingest_probe.py."""
+    ch = chunk - jnp.mean(chunk, axis=1, keepdims=True)
+    if precision == 'bf16':
+        # round ONCE, then derive g from the rounded coordinates so G
+        # and S agree and self-distances stay ~0 (same contract as the
+        # monolithic path)
+        ch = ch.astype(jnp.bfloat16)
+        g_src = ch.astype(jnp.float32)
+    else:
+        g_src = ch
+    g_ch = jnp.sum(g_src * g_src, axis=(1, 2)).reshape(1, -1)
+    A = ch.shape[1]
+    ch_r = jnp.pad(jnp.transpose(ch, (2, 1, 0)),
+                   ((0, 0), (0, a_pad - A), (0, 0))) \
+        .reshape(3 * a_pad, ch.shape[0])
+    frames_buf = jax.lax.dynamic_update_slice(frames_buf, ch_r,
+                                              (0, off))
+    g_buf = jax.lax.dynamic_update_slice(g_buf, g_ch, (0, off))
+    return frames_buf, g_buf
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _fix_g_tail(g_buf, n):
+    # padding frames keep the monolithic path's g == 1.0 convention
+    # (their distances are -inf, so the value is inert either way)
+    idx = jax.lax.broadcasted_iota(jnp.int32, g_buf.shape, 1)
+    return jnp.where(idx >= n, 1.0, g_buf)
+
+
+def _prepare_rmsd_frames_streamed(X, n, A, A_pad, n_pad, precision):
+    """Chunked host->device ingest: decode/astype of chunk i+1 on the
+    host and its H2D copy overlap chunk i's on-device centering +
+    layout transform (async dispatch pipelines them — no explicit
+    threads needed). Numerically identical to the monolithic path."""
+    dtype = jnp.bfloat16 if precision == 'bf16' else jnp.float32
+    cf = max(1, int(_STREAM_CHUNK_BYTES // (A * 3 * 4)))
+    frames_buf = jnp.zeros((3 * A_pad, n_pad), dtype)
+    g_buf = jnp.ones((1, n_pad), jnp.float32)
+    for off in range(0, n, cf):
+        hi = min(off + cf, n)
+        chunk = np.asarray(X[off:hi], dtype=np.float32)
+        if hi - off < cf:
+            chunk = np.concatenate(
+                [chunk, np.zeros((cf - (hi - off), A, 3), np.float32)])
+        dev = jax.device_put(chunk)          # async H2D
+        frames_buf, g_buf = _ingest_chunk(
+            frames_buf, g_buf, dev, jnp.int32(off), A_pad, precision)
+    return frames_buf, _fix_g_tail(g_buf, jnp.int32(n))
+
+
+def prepare_rmsd_frames(X, tile=None, mesh=None, precision='fp32',
+                        stream='auto'):
     """One-time ingest of ``(n, n_atoms, 3)`` coordinates (host or
     device) into the fused k-centers layout. See
-    :class:`PreparedRMSDFrames`."""
+    :class:`PreparedRMSDFrames`.
+
+    ``stream='auto'`` (default) pipelines host inputs through chunked
+    ``device_put`` + on-device transform (H2D copy, centering and the
+    layout transpose overlap; ~1.5x faster ingest on a PCIe-class
+    link, benchmarks/ingest-probe-result.json) whenever the input is
+    a host array on a 1-shard mesh and spans multiple chunks;
+    ``stream=False`` forces the monolithic path."""
     from ..ops.qcp_update_pallas import TILE_N
 
     if precision not in ('fp32', 'bf16'):
         raise ValueError("precision must be 'fp32' or 'bf16', got %r"
                          % (precision,))
     n_shards = 1 if mesh is None else mesh.size
+    if not isinstance(X, (np.ndarray, jax.Array)):
+        X = np.asarray(X)
     n = len(X)
+    if X.ndim != 3 or X.shape[-1] != 3:
+        raise ValueError("prepare_rmsd_frames requires (n, n_atoms, 3)"
+                         ' coordinates, got %s' % (X.shape,))
+    A = int(X.shape[1])
     if tile is None:
-        A_dim = X.shape[1] if hasattr(X, 'shape') else np.shape(X)[1]
-        A_pad_est = ((int(A_dim) + 7) // 8) * 8
+        A_pad_est = ((A + 7) // 8) * 8
         cap = (64 * 1024 * 1024) // (2 * 4 * 3 * A_pad_est)
         tile = int(min(TILE_N, max(256, (cap // 128) * 128)))
-
-    data = _prepare_data(X, 'rmsd')
-    if not isinstance(data, jax.Array):
-        data = jnp.asarray(data)
-    data = _center_structures(data)
-    A = data.shape[1]
 
     chunk = tile * n_shards
     n_pad = ((n + chunk - 1) // chunk) * chunk
     # bf16 blocks tile (16, 128): pad atoms to 16 so 3*A_pad tiles
     a_mult = 16 if precision == 'bf16' else 8
     A_pad = ((A + a_mult - 1) // a_mult) * a_mult
+
+    stream_cf = _STREAM_CHUNK_BYTES // (A * 3 * 4)
+    if (stream in ('auto', True) and n_shards == 1
+            and not isinstance(X, jax.Array) and n > stream_cf):
+        frames_r, g = _prepare_rmsd_frames_streamed(
+            X, n, A, A_pad, n_pad, precision)
+        return PreparedRMSDFrames(frames_r, g, n, A, int(tile),
+                                  n_shards, precision)
+
+    data = _prepare_data(X, 'rmsd')
+    if not isinstance(data, jax.Array):
+        data = jnp.asarray(data)
+    data = _center_structures(data)
 
     if precision == 'bf16':
         # round ONCE, then derive g (and the stream) from the rounded
@@ -792,11 +965,13 @@ def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
             jax.device_put(jnp.asarray(assig), sh),
             np.int32(n_init_centers), n_clusters_eff, cutoff_eff,
             k_max, A, mesh, bool(interpret), int(tile))
-    elif (n_pad * 8 + 16 * 3 * A_pad * int(tile)) <= 96 * 1024 * 1024:
-        # mega-kernel keeps the (1, n) dist+assig state in VMEM
-        # scratch for the whole launch; gate on it fitting alongside
-        # the double-buffered frame blocks
-        d, a, c, n_found = _kcenters_loop_megafused(
+    elif (n_pad * 12 + 16 * 3 * A_pad * int(tile)) <= 96 * 1024 * 1024:
+        # mega-kernel path: the (1, n) dist+assig(+g, for the skip
+        # variant) state lives in VMEM for whole chunk launches; gate
+        # on it fitting alongside the double-buffered frame blocks.
+        # The adaptive loop engages triangle-inequality tile skipping
+        # per chunk when the data offers it (bit-identical either way)
+        d, a, c, n_found, _ = _kcenters_loop_megafused_adaptive(
             frames_r, g, jnp.asarray(dist), jnp.asarray(assig),
             np.int32(n_init_centers), n_clusters_eff, cutoff_eff,
             k_max, A, interpret=bool(interpret), tile=int(tile))

@@ -1,0 +1,131 @@
+"""Triangle-inequality tile-skip kernel: bit-identity against the
+non-skip chunk megakernel (interpret mode; the on-chip equivalence and
+the skip-fraction/runtime ablation live in
+benchmarks/triskip_ablation.py).
+
+The skip rule (ops/kcenters_skip_pallas docstring) is exactly the
+strict-< no-op region of the k-centers update, so distances,
+assignments and center choices must be IDENTICAL on any input — the
+only degree of freedom is which tile DMAs get elided.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from enspara_tpu.cluster.engine import (_kcenters_loop_megafused,
+                                        _kcenters_loop_megafused_skip,
+                                        _kcenters_loop_megafused_adaptive,
+                                        prepare_rmsd_frames)
+
+
+def _basin_data(rng, n, a, n_basins, noise=0.02, dwell=64):
+    """Temporally ordered metastable-basin frames — the regime where
+    tiles become provably inert once their basin is covered."""
+    templates = rng.normal(size=(n_basins, a, 3)).astype(np.float32)
+    seg = np.cumsum(rng.random(n) < 1.0 / dwell)
+    basin = rng.integers(0, n_basins, size=seg.max() + 1)[seg]
+    X = (templates[basin]
+         + noise * rng.normal(size=(n, a, 3)).astype(np.float32))
+    return X
+
+
+def _run(fn, prep, n, k, cutoff=0.0, n_start=0, init=None, **kw):
+    n_pad = prep.frames_r.shape[1]
+    dist = np.full((1, n_pad), np.inf, np.float32)
+    assig = np.full((1, n_pad), -1, np.int32)
+    if init is not None:
+        dist[0, :n], assig[0, :n] = init
+    dist[0, n:] = -np.inf
+    return fn(prep.frames_r, prep.g, jnp.asarray(dist),
+              jnp.asarray(assig), np.int32(n_start), np.int32(k),
+              np.float32(cutoff), k, prep.n_atoms, interpret=True,
+              tile=prep.tile, **kw)
+
+
+@pytest.mark.parametrize('precision', ['fp32', 'bf16'])
+def test_skip_loop_bit_identical(precision):
+    rng = np.random.default_rng(3)
+    n, a, k = 1024, 10, 48
+    X = _basin_data(rng, n, a, n_basins=40)
+    prep = prepare_rmsd_frames(X, tile=128, precision=precision)
+
+    ref = _run(_kcenters_loop_megafused, prep, n, k)
+    out = _run(_kcenters_loop_megafused_skip, prep, n, k)
+    assert int(out[3]) == int(ref[3]) == k
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(ref[i]),
+                                      np.asarray(out[i]))
+    skc = np.asarray(out[4])
+    assert (skc >= 0).all() and skc.sum() > 0, \
+        'basin data must produce some tile skips'
+
+
+def test_skip_loop_cutoff_and_warm_start():
+    rng = np.random.default_rng(5)
+    n, a = 768, 8
+    X = _basin_data(rng, n, a, n_basins=12)
+    prep = prepare_rmsd_frames(X, tile=128)
+
+    # cutoff mode stops both loops at the same center count
+    ref = _run(_kcenters_loop_megafused, prep, n, 64, cutoff=0.5)
+    out = _run(_kcenters_loop_megafused_skip, prep, n, 64, cutoff=0.5)
+    assert int(out[3]) == int(ref[3]) < 64
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(ref[i]),
+                                      np.asarray(out[i]))
+
+    # warm start: resume both from the first run's state
+    init = (np.asarray(ref[0])[0, :n], np.asarray(ref[1])[0, :n])
+    k0 = int(ref[3])
+    ref2 = _run(_kcenters_loop_megafused, prep, n, k0 + 8,
+                n_start=k0, init=init)
+    out2 = _run(_kcenters_loop_megafused_skip, prep, n, k0 + 8,
+                n_start=k0, init=init)
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(ref2[i]),
+                                      np.asarray(out2[i]))
+
+
+def test_adaptive_loop_bit_identical_and_switches():
+    """The adaptive chooser must leave results untouched, and on data
+    with a sustained skip window (a tight ball plus one wildly spread
+    tile that keeps md high while the ball tiles sit far below md/2)
+    it must actually engage the skip kernel after the first chunk."""
+    rng = np.random.default_rng(9)
+    n, a, k = 2048, 8, 32
+    base = rng.normal(size=(a, 3)).astype(np.float32)
+    X = (base[None]
+         + 0.001 * rng.normal(size=(n, a, 3)).astype(np.float32))
+    # the last tile: far-away, widely spread frames — every new center
+    # lands here and md stays large, so the ball tiles skip forever
+    X[1920:] = 10.0 * rng.normal(size=(128, a, 3)).astype(np.float32)
+    prep = prepare_rmsd_frames(X, tile=128)
+
+    ref = _run(_kcenters_loop_megafused, prep, n, k)
+    out = _run(_kcenters_loop_megafused_adaptive, prep, n, k,
+               chunk_g=8)
+    assert int(out[3]) == int(ref[3]) == k
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(ref[i]),
+                                      np.asarray(out[i]))
+    skc = np.asarray(out[4])
+    assert skc.sum() > 0, 'adaptive loop never engaged the skip kernel'
+    # after the first (always-plain) chunk, most ball tiles must skip
+    assert skc[8:].max() >= 10
+
+
+def test_adaptive_loop_concentrated_data():
+    """iid high-dimensional data: the chooser should keep the plain
+    kernel (estimated skippable fraction ~0) and results must still
+    match."""
+    rng = np.random.default_rng(11)
+    n, a, k = 1024, 16, 32
+    X = rng.normal(size=(n, a, 3)).astype(np.float32)
+    prep = prepare_rmsd_frames(X, tile=128)
+
+    ref = _run(_kcenters_loop_megafused, prep, n, k)
+    out = _run(_kcenters_loop_megafused_adaptive, prep, n, k)
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(ref[i]),
+                                      np.asarray(out[i]))
