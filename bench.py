@@ -371,7 +371,7 @@ def main():
             ji = json.load(f)
         with open(cfg_path) as f:
             cfg = json.load(f)
-        ours_s = cfg['config3']['tpu_s']
+        ours_s = cfg['config3']['cards_4xMI_s']
         ref_s = ji['reference_total_s']
         extra_metrics.append(
             {'metric': 'cards_joint_counts_4xmi_s',
