@@ -189,19 +189,43 @@ class RaggedArray(object):
         if lengths is None:
             if len(array) > 0 and _is_iterable(array[0]):
                 # list/array of rows
-                rows = [np.asarray(r) for r in array]
-                self.lengths = np.array([len(r) for r in rows],
+                rows, homogeneous = [], True
+                for r in array:
+                    try:
+                        rr = np.asarray(r)
+                    except ValueError:      # inhomogeneous inner dims
+                        homogeneous = False
+                        break
+                    if rr.dtype == object:
+                        homogeneous = False
+                        break
+                    rows.append(rr)
+                if homogeneous and len(rows) > 1 and \
+                        len(set(r.shape[1:] for r in rows)) > 1:
+                    homogeneous = False
+                self.lengths = np.array([len(r) for r in array],
                                         dtype=np.int64)
-                if error_checking and len(rows) > 1:
-                    inner = set(r.shape[1:] for r in rows)
-                    if len(inner) > 1:
-                        raise DataInvalid(
-                            'The array elements in the input are not '
-                            'consistent: inner shapes %s' % inner)
-                if len(rows):
-                    self._data = np.concatenate(rows)
+                if homogeneous:
+                    if len(rows):
+                        self._data = np.concatenate(rows)
+                    else:
+                        self._data = np.array([])
                 else:
-                    self._data = np.array([])
+                    # doubly-ragged input (rows whose elements differ
+                    # in shape): stored per-element as an object
+                    # array, shape reports (n, None, None) — matching
+                    # the reference's nested-object contract
+                    # (test_ra.py:60-62). Compute kernels require
+                    # homogeneous inner dims; this form is for
+                    # carrying/indexing only.
+                    obj = np.empty(int(self.lengths.sum()),
+                                   dtype=object)
+                    k = 0
+                    for r in array:
+                        for item in r:
+                            obj[k] = np.asarray(item)
+                            k += 1
+                    self._data = obj
             elif len(array) > 0:
                 # flat array of scalars -> single row
                 self._data = np.array(array, copy=copy)
@@ -250,6 +274,9 @@ class RaggedArray(object):
             second = 0
         if self._data.ndim > 1:
             return (len(self.lengths), second) + self._data.shape[1:]
+        if self._data.dtype == object and len(self._data):
+            # doubly-ragged storage: one more unknown axis
+            return (len(self.lengths), second, None)
         return (len(self.lengths), second)
 
     @property
