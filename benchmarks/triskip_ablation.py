@@ -47,7 +47,7 @@ enable_compilation_cache()
 
 from enspara_tpu.cluster.engine import (
     _kcenters_loop_megafused, _kcenters_loop_megafused_skip,
-    _kcenters_loop_megafused_adaptive, prepare_rmsd_frames)
+    prepare_rmsd_frames)
 
 N, A, K = 1_000_000, 64, 1000
 N_BASINS = 896
@@ -117,9 +117,7 @@ def main():
         entry = {'n': N, 'a': A, 'k': K, 'n_tiles': n_tiles}
         outs = {}
         for name, fn in (('mega', _kcenters_loop_megafused),
-                         ('skip', _kcenters_loop_megafused_skip),
-                         ('adaptive',
-                          _kcenters_loop_megafused_adaptive)):
+                         ('skip', _kcenters_loop_megafused_skip)):
             warm = run(fn)                      # compile
             assert int(np.asarray(warm[3])) == K
             ts = []
@@ -134,11 +132,9 @@ def main():
                 'spread': round(max(ts) / min(ts), 3),
             }
 
-        for other in ('skip', 'adaptive'):
-            for i in range(3):
-                np.testing.assert_array_equal(
-                    np.asarray(outs['mega'][i]),
-                    np.asarray(outs[other][i]))
+        for i in range(3):
+            np.testing.assert_array_equal(np.asarray(outs['mega'][i]),
+                                          np.asarray(outs['skip'][i]))
         entry['bit_identical'] = True
 
         skc = np.asarray(outs['skip'][4]).astype(np.float64)
@@ -151,21 +147,12 @@ def main():
         }
         entry['speedup_skip_over_mega'] = round(
             entry['mega']['best_s'] / entry['skip']['best_s'], 4)
-        entry['speedup_adaptive_over_mega'] = round(
-            entry['mega']['best_s'] / entry['adaptive']['best_s'], 4)
-        skc_a = np.asarray(outs['adaptive'][4]).astype(np.float64)
-        entry['adaptive_skipped_tile_share'] = round(
-            float(skc_a[skc_a >= 0].sum())
-            / (n_tiles * max(1, (skc_a >= 0).sum())), 4)
         results[regime] = entry
-        print('# %s: mega %.3fs skip %.3fs (%.2fx) adaptive %.3fs '
-              '(%.2fx), skip frac mean %.3f'
-              % (regime, entry['mega']['best_s'],
-                 entry['skip']['best_s'],
-                 entry['speedup_skip_over_mega'],
-                 entry['adaptive']['best_s'],
-                 entry['speedup_adaptive_over_mega'],
-                 entry['skip_fraction']['mean']),
+        print('# %s: mega %.3fs skip %.3fs (%.2fx), skip frac mean '
+              '%.3f' % (regime, entry['mega']['best_s'],
+                        entry['skip']['best_s'],
+                        entry['speedup_skip_over_mega'],
+                        entry['skip_fraction']['mean']),
               file=sys.stderr, flush=True)
         del fr, g, prep, outs
 

@@ -543,7 +543,7 @@ def _kcenters_loop_megafused_skip(frames_r, g, dist, assig, n_start,
     skc_pad = jnp.full((k_max + G,), -1, jnp.int32)
     gidx0 = jnp.argmax(dist[0]).astype(jnp.int32)
     md0 = dist[0, gidx0]
-    tmax0, targ0 = tile_summaries(dist, tile, t_pad)
+    tmax0 = tile_summaries(dist, tile, t_pad)
     ntot = jnp.full((1, 1), n_clusters, jnp.int32)
     cut = jnp.full((1, 1), dist_cutoff, jnp.float32)
 
@@ -553,10 +553,9 @@ def _kcenters_loop_megafused_skip(frames_r, g, dist, assig, n_start,
         return (i < n_clusters) & (md > dist_cutoff)
 
     def step(state):
-        i, d, a, c, gidx, md, tmax, targ, skc = state
-        (d, a, ctrs, g2, m2, tmax, targ,
-         scnt) = kcenters_chunk_skip_pallas(
-            frames_r, g, d, a, tmax, targ,
+        i, d, a, c, gidx, md, tmax, skc = state
+        d, a, ctrs, g2, m2, tmax, scnt = kcenters_chunk_skip_pallas(
+            frames_r, g, d, a, tmax,
             jnp.reshape(gidx, (1, 1)).astype(jnp.int32),
             jnp.reshape(md, (1, 1)).astype(jnp.float32),
             jnp.reshape(i, (1, 1)).astype(jnp.int32), ntot, cut,
@@ -564,106 +563,13 @@ def _kcenters_loop_megafused_skip(frames_r, g, dist, assig, n_start,
         placed = jnp.sum(ctrs[:, 0] != -1).astype(jnp.int32)
         c = jax.lax.dynamic_update_slice(c, ctrs[:, 0], (i,))
         skc = jax.lax.dynamic_update_slice(skc, scnt[:, 0], (i,))
-        return (i + placed, d, a, c, g2[0, 0], m2[0, 0], tmax, targ,
-                skc)
+        return (i + placed, d, a, c, g2[0, 0], m2[0, 0], tmax, skc)
 
     init = (jnp.asarray(n_start, jnp.int32), dist, assig, ctr_pad,
-            gidx0, md0, tmax0, targ0, skc_pad)
+            gidx0, md0, tmax0, skc_pad)
     out = jax.lax.while_loop(cond, step, init)
     i, d, a, c = out[0], out[1], out[2], out[3]
-    return d, a, c[:k_max], i, out[8][:k_max]
-
-
-_TRISKIP_THRESH = 0.05
-
-
-@functools.partial(jax.jit,
-                   static_argnames=('k_max', 'n_atoms_real',
-                                    'interpret', 'tile', 'chunk_g'))
-def _kcenters_loop_megafused_adaptive(frames_r, g, dist, assig,
-                                      n_start, n_clusters, dist_cutoff,
-                                      k_max, n_atoms_real,
-                                      interpret=False, tile=None,
-                                      chunk_g=64):
-    """Chunked megafused loop that picks, per 64-center chunk, between
-    the plain chunk megakernel and the triangle-inequality skip kernel
-    (``lax.cond``; both compile once).
-
-    The skip kernel wins only when whole tiles sit below md/2 — data
-    with covered-basin structure (benchmarks/triskip-ablation-result
-    .json: up to 61% of tiles skipped while basins are being claimed,
-    ~0% on concentration-dominated data where it costs ~3.5%
-    overhead). The chooser estimates the NEXT chunk's skippable tile
-    fraction directly from the per-tile summaries (one cheap XLA pass
-    when the previous chunk ran the plain kernel) and engages the skip
-    kernel above ``_TRISKIP_THRESH``. Results are bit-identical either
-    way, so the choice is pure scheduling."""
-    from ..ops.kcenters_chunk_pallas import kcenters_chunk_pallas
-    from ..ops.kcenters_skip_pallas import (kcenters_chunk_skip_pallas,
-                                            skip_t_pad, tile_summaries)
-
-    G = int(min(chunk_g, k_max))
-    n_pad = frames_r.shape[1]
-    n_tiles = n_pad // tile
-    t_pad = skip_t_pad(n_tiles)
-    ctr_pad = jnp.full((k_max + G,), -1, jnp.int32)
-    skc_pad = jnp.full((k_max + G,), -1, jnp.int32)
-    gidx0 = jnp.argmax(dist[0]).astype(jnp.int32)
-    md0 = dist[0, gidx0]
-    tmax0, targ0 = tile_summaries(dist, tile, t_pad)
-    ntot = jnp.full((1, 1), n_clusters, jnp.int32)
-    cut = jnp.full((1, 1), dist_cutoff, jnp.float32)
-    lanes_t = jnp.arange(t_pad, dtype=jnp.int32)[None, :]
-
-    def skip_frac(tmax, md):
-        hits = ((tmax <= 0.5 * md) & jnp.isfinite(md)
-                & (lanes_t < n_tiles))
-        return jnp.sum(hits.astype(jnp.float32)) / n_tiles
-
-    def cond(state):
-        i = state[0]
-        md = state[5]
-        return (i < n_clusters) & (md > dist_cutoff)
-
-    def step(state):
-        i, d, a, c, gidx, md, tmax, targ, use_skip, skc = state
-        gidx11 = jnp.reshape(gidx, (1, 1)).astype(jnp.int32)
-        md11 = jnp.reshape(md, (1, 1)).astype(jnp.float32)
-        i11 = jnp.reshape(i, (1, 1)).astype(jnp.int32)
-
-        def run_skip(args):
-            d, a, tmax, targ = args
-            (d, a, ctrs, g2, m2, tmax, targ,
-             scnt) = kcenters_chunk_skip_pallas(
-                frames_r, g, d, a, tmax, targ, gidx11, md11, i11,
-                ntot, cut, G, n_atoms_real, interpret=interpret,
-                tile=tile)
-            return d, a, ctrs, g2, m2, tmax, targ, scnt
-
-        def run_mega(args):
-            d, a, _, _ = args
-            d, a, ctrs, g2, m2 = kcenters_chunk_pallas(
-                frames_r, g, d, a, gidx11, md11, i11, ntot, cut,
-                G, n_atoms_real, interpret=interpret, tile=tile)
-            tmax, targ = tile_summaries(d, tile, t_pad)
-            scnt = jnp.where(ctrs == -1, -1, 0)
-            return d, a, ctrs, g2, m2, tmax, targ, scnt
-
-        d, a, ctrs, g2, m2, tmax, targ, scnt = jax.lax.cond(
-            use_skip, run_skip, run_mega, (d, a, tmax, targ))
-        placed = jnp.sum(ctrs[:, 0] != -1).astype(jnp.int32)
-        c = jax.lax.dynamic_update_slice(c, ctrs[:, 0], (i,))
-        skc = jax.lax.dynamic_update_slice(skc, scnt[:, 0], (i,))
-        use_skip = skip_frac(tmax, m2[0, 0]) >= _TRISKIP_THRESH
-        return (i + placed, d, a, c, g2[0, 0], m2[0, 0], tmax, targ,
-                use_skip, skc)
-
-    init = (jnp.asarray(n_start, jnp.int32), dist, assig, ctr_pad,
-            gidx0, md0, tmax0, targ0,
-            skip_frac(tmax0, md0) >= _TRISKIP_THRESH, skc_pad)
-    out = jax.lax.while_loop(cond, step, init)
-    i, d, a, c = out[0], out[1], out[2], out[3]
-    return d, a, c[:k_max], i, out[9][:k_max]
+    return d, a, c[:k_max], i, out[7][:k_max]
 
 
 def _kcenters_loop_fused_sharded(frames_r, g, dist, assig, n_start,
@@ -966,12 +872,23 @@ def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
             np.int32(n_init_centers), n_clusters_eff, cutoff_eff,
             k_max, A, mesh, bool(interpret), int(tile))
     elif (n_pad * 12 + 16 * 3 * A_pad * int(tile)) <= 96 * 1024 * 1024:
-        # mega-kernel path: the (1, n) dist+assig(+g, for the skip
-        # variant) state lives in VMEM for whole chunk launches; gate
-        # on it fitting alongside the double-buffered frame blocks.
-        # The adaptive loop engages triangle-inequality tile skipping
-        # per chunk when the data offers it (bit-identical either way)
-        d, a, c, n_found, _ = _kcenters_loop_megafused_adaptive(
+        # tri-skip megakernel: the (1, n) dist+assig+g state lives in
+        # VMEM for whole chunk launches (gated on fitting alongside
+        # the frame buffers) and tiles provably inert under the
+        # Gonzalez bound skip their frame DMA. Measured >= the plain
+        # megakernel in EVERY regime (1.00x concentrated data, 1.11x
+        # basin data at 1M x 64 x 1000 — benchmarks/triskip-ablation-
+        # result.json), bit-identical results, so it is the
+        # unconditional default
+        d, a, c, n_found, _ = _kcenters_loop_megafused_skip(
+            frames_r, g, jnp.asarray(dist), jnp.asarray(assig),
+            np.int32(n_init_centers), n_clusters_eff, cutoff_eff,
+            k_max, A, interpret=bool(interpret), tile=int(tile))
+    elif (n_pad * 8 + 16 * 3 * A_pad * int(tile)) <= 96 * 1024 * 1024:
+        # the skip variant also keeps g in VMEM (12 bytes/frame of
+        # state vs 8): frame counts that only fit the leaner budget
+        # run the plain megakernel
+        d, a, c, n_found = _kcenters_loop_megafused(
             frames_r, g, jnp.asarray(dist), jnp.asarray(assig),
             np.int32(n_init_centers), n_clusters_eff, cutoff_eff,
             k_max, A, interpret=bool(interpret), tile=int(tile))

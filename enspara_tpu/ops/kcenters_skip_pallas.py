@@ -24,13 +24,17 @@ Differences from the non-skip chunk kernel
 (``ops/kcenters_chunk_pallas``):
 
 * frames are fetched with MANUAL double-buffered DMA (skippable);
-  the per-lane argmax carry is replaced by per-tile ``(max, argmax)``
-  summaries, updated with one cross-lane reduce per COMPUTED tile and
-  carried across chunk calls (a skipped tile's stored summary stays
-  exact because its distances did not change). The summaries live
-  TWICE: a (1, t_pad) VMEM vector for the boundary argmax reduce, and
-  an SMEM scalar array for the per-step skip queries — Mosaic cannot
-  read a dynamic unaligned lane from VMEM, but SMEM indexes freely.
+  the per-lane argmax carry is replaced by per-tile MAX summaries,
+  updated with one cross-lane reduce per COMPUTED tile and carried
+  across chunk calls (a skipped tile's stored summary stays exact
+  because its distances did not change). The summaries live TWICE: a
+  (1, t_pad) VMEM vector for the boundary reduce, and an SMEM scalar
+  array for the per-step skip queries — Mosaic cannot read a dynamic
+  unaligned lane from VMEM, but SMEM indexes freely. No per-tile
+  ARGMAX is maintained: the boundary finds the winning tile from the
+  max vector and recomputes the argmax inside that one tile (its
+  (1, tile) distance slice is tile-aligned, so the dynamic VMEM read
+  is legal) — one extra reduce per ITERATION instead of one per tile.
 * the (dist, assig, g) state is staged ONCE per chunk call by DMA
   into whole-array VMEM buffers instead of streaming (1, tile)
   blocks every step — the non-skip kernel pays ~20 MB/iteration of
@@ -61,9 +65,9 @@ _IMAX = jnp.iinfo(jnp.int32).max
 
 def _kernel(gidx0_ref, max0_ref, ioff_ref, ntot_ref, cutoff_ref,
             tmax_sin, frames_hbm, g_hbm, dist_hbm, assig_hbm,
-            tmax_in, targ_in,
+            tmax_in,
             dist_out, assig_out, ctr_out, ngidx_out, nmax_out,
-            tmax_out, targ_out, skipcnt_out,
+            tmax_out, skipcnt_out,
             g_s, fbuf, win_ref, col_ref, stmax,
             smem_f, smem_i, sem, sem_c, sem_s,
             *, a_pad, n_atoms_real, tile, t_pad, approx_recip):
@@ -74,13 +78,25 @@ def _kernel(gidx0_ref, max0_ref, ioff_ref, ntot_ref, cutoff_ref,
     sl = pl.ds(pl.multiple_of(it * tile, tile), tile)
     lanes_t = jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1)
 
+    def global_argmax():
+        """(max, first global argmax) of the live distances: winning
+        tile from the max vector (ties -> smallest tile index, which
+        holds the first global occurrence), then one reduce inside
+        that tile's — tile-aligned, so dynamically sliceable — row."""
+        m = jnp.max(tmax_out[:])
+        win_t = jnp.min(jnp.where(tmax_out[:] == m, lanes_t, _IMAX))
+        row = dist_out[:, pl.ds(pl.multiple_of(win_t * tile, tile),
+                                tile)]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        return m, win_t * tile + jnp.min(
+            jnp.where(row == m, lanes, _IMAX))
+
     # ---- launch start: stage state into the VMEM-resident buffers
     # (dist/assig live in their whole-array OUT buffers for the whole
     # launch; one flush at the end is the only write-back traffic)
     @pl.when((ik == 0) & (it == 0))
     def _():
         tmax_out[:] = tmax_in[:]
-        targ_out[:] = targ_in[:]
 
         def body(j, _):
             stmax[j] = tmax_sin[0, j]
@@ -105,10 +121,9 @@ def _kernel(gidx0_ref, max0_ref, ioff_ref, ntot_ref, cutoff_ref,
 
         @pl.when((ik > 0) & (smem_i[1] == 0))
         def _():
-            m = jnp.max(tmax_out[:])
+            m, gidx = global_argmax()
             smem_f[0] = m
-            smem_i[0] = jnp.min(jnp.where(tmax_out[:] == m,
-                                          targ_out[:], _IMAX))
+            smem_i[0] = gidx
 
         cur_max = smem_f[0]
         cur_gidx = smem_i[0]
@@ -216,13 +231,11 @@ def _kernel(gidx0_ref, max0_ref, ioff_ref, ntot_ref, cutoff_ref,
         dist_out[:, sl] = nd
         assig_out[:, sl] = jnp.where(upd, cid, assig_out[:, sl])
 
-        # refresh this tile's summary: first-max within the tile
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        # refresh this tile's max summary (argmax is recomputed only
+        # for the winning tile at the boundary — per-tile we pay ONE
+        # cross-lane reduce, not two)
         m = jnp.max(nd)
-        a = jnp.min(jnp.where(nd == m, it * tile + lanes, _IMAX))
-        sel = lanes_t == it
-        tmax_out[:] = jnp.where(sel, m, tmax_out[:])
-        targ_out[:] = jnp.where(sel, a, targ_out[:])
+        tmax_out[:] = jnp.where(lanes_t == it, m, tmax_out[:])
         stmax[it] = m
 
     @pl.when((ik == n_k - 1) & (it == n_t - 1))
@@ -231,29 +244,22 @@ def _kernel(gidx0_ref, max0_ref, ioff_ref, ntot_ref, cutoff_ref,
         # failing pair still sits in SMEM
         @pl.when(smem_i[1] == 0)
         def _():
-            m = jnp.max(tmax_out[:])
+            m, gidx = global_argmax()
             smem_f[0] = m
-            smem_i[0] = jnp.min(jnp.where(tmax_out[:] == m,
-                                          targ_out[:], _IMAX))
+            smem_i[0] = gidx
         ngidx_out[0, 0] = smem_i[0]
         nmax_out[0, 0] = smem_f[0]
 
 
 def tile_summaries(dist, tile, t_pad):
-    """Initial per-tile (max, first-argmax) summaries of a (1, n)
-    distance row, in the kernel's carry layout. Padding lanes are
-    -inf so they never win the boundary reduce."""
+    """Initial per-tile max summaries of a (1, n) distance row, in the
+    kernel's carry layout. Padding lanes are -inf so they never win
+    the boundary reduce."""
     n_pad = dist.shape[1]
     n_t = n_pad // tile
-    dd = dist.reshape(n_t, tile)
-    m = jnp.max(dd, axis=1)
-    a = (jnp.argmax(dd, axis=1).astype(jnp.int32)
-         + jnp.arange(n_t, dtype=jnp.int32) * tile)
+    m = jnp.max(dist.reshape(n_t, tile), axis=1)
     tmax = jnp.full((1, t_pad), -jnp.inf, jnp.float32)
-    targ = jnp.zeros((1, t_pad), jnp.int32)
-    tmax = tmax.at[0, :n_t].set(m.astype(jnp.float32))
-    targ = targ.at[0, :n_t].set(a)
-    return tmax, targ
+    return tmax.at[0, :n_t].set(m.astype(jnp.float32))
 
 
 def skip_t_pad(n_tiles):
@@ -265,7 +271,7 @@ def skip_t_pad(n_tiles):
 @functools.partial(jax.jit,
                    static_argnames=('n_iters', 'n_atoms_real',
                                     'interpret', 'tile'))
-def kcenters_chunk_skip_pallas(frames_r, g, dist, assig, tmax, targ,
+def kcenters_chunk_skip_pallas(frames_r, g, dist, assig, tmax,
                                gidx0, max0, i_offset, n_total,
                                dist_cutoff, n_iters, n_atoms_real,
                                interpret=False, tile=2048):
@@ -273,18 +279,17 @@ def kcenters_chunk_skip_pallas(frames_r, g, dist, assig, tmax, targ,
     tile-granular triangle-inequality DMA skipping.
 
     Same contract as :func:`ops.kcenters_chunk_pallas
-    .kcenters_chunk_pallas` plus the carried per-tile summaries:
+    .kcenters_chunk_pallas` plus the carried per-tile summary:
 
     Parameters
     ----------
-    tmax, targ : (1, t_pad) float32 / int32 — per-tile (max, first
-        argmax as a global frame index) of ``dist``, from
+    tmax : (1, t_pad) float32 — per-tile max of ``dist``, from
         :func:`tile_summaries` on the first call and the previous
-        call's outputs afterwards. ``t_pad`` must equal
+        call's output afterwards. ``t_pad`` must equal
         ``skip_t_pad(n // tile)``.
 
     Returns ``(dist, assig, ctr_inds (n_iters, 1), next_gidx (1, 1),
-    next_max (1, 1), tmax, targ, skipcnt (n_iters, 1))`` where
+    next_max (1, 1), tmax, skipcnt (n_iters, 1))`` where
     ``skipcnt[i]`` is the number of frame tiles whose DMA+compute was
     skipped in iteration ``i`` (-1 for iterations past the stop).
     """
@@ -292,8 +297,7 @@ def kcenters_chunk_skip_pallas(frames_r, g, dist, assig, tmax, targ,
     a_pad = rows // 3
     n_tiles = n // tile
     t_pad = skip_t_pad(n_tiles)
-    assert tmax.shape == (1, t_pad) and targ.shape == (1, t_pad), \
-        (tmax.shape, t_pad)
+    assert tmax.shape == (1, t_pad), (tmax.shape, t_pad)
     kernel = functools.partial(_kernel, a_pad=a_pad,
                                n_atoms_real=float(n_atoms_real),
                                tile=tile, t_pad=t_pad,
@@ -319,7 +323,6 @@ def kcenters_chunk_skip_pallas(frames_r, g, dist, assig, tmax, targ,
             pl.BlockSpec(memory_space=pl.ANY),          # dist HBM
             pl.BlockSpec(memory_space=pl.ANY),          # assig HBM
             whole((1, t_pad)),                          # tmax in
-            whole((1, t_pad)),                          # targ in
         ],
         out_specs=[
             whole((1, n)),                              # dist state
@@ -329,7 +332,6 @@ def kcenters_chunk_skip_pallas(frames_r, g, dist, assig, tmax, targ,
             smem11,                                     # next gidx
             smem11,                                     # next max
             whole((1, t_pad)),                          # tmax out
-            whole((1, t_pad)),                          # targ out
             pl.BlockSpec((n_iters, 1), lambda ik, it: (0, 0),
                          memory_space=pltpu.SMEM),      # skip counts
         ],
@@ -340,7 +342,6 @@ def kcenters_chunk_skip_pallas(frames_r, g, dist, assig, tmax, targ,
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, t_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, t_pad), jnp.int32),
             jax.ShapeDtypeStruct((n_iters, 1), jnp.int32),
         ],
         scratch_shapes=[
@@ -355,9 +356,9 @@ def kcenters_chunk_skip_pallas(frames_r, g, dist, assig, tmax, targ,
             pltpu.SemaphoreType.DMA(()),                # center window
             pltpu.SemaphoreType.DMA((3,)),              # state staging
         ],
-        input_output_aliases={8: 0, 9: 1, 10: 5, 11: 6},
+        input_output_aliases={8: 0, 9: 1, 10: 5},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(gidx0, max0, i_offset, n_total, dist_cutoff, tmax,
-      frames_r, g, dist, assig, tmax, targ)
+      frames_r, g, dist, assig, tmax)

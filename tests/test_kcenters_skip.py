@@ -15,7 +15,7 @@ import pytest
 
 from enspara_tpu.cluster.engine import (_kcenters_loop_megafused,
                                         _kcenters_loop_megafused_skip,
-                                        _kcenters_loop_megafused_adaptive,
+                                        kcenters_device_fused,
                                         prepare_rmsd_frames)
 
 
@@ -87,11 +87,10 @@ def test_skip_loop_cutoff_and_warm_start():
                                       np.asarray(out2[i]))
 
 
-def test_adaptive_loop_bit_identical_and_switches():
-    """The adaptive chooser must leave results untouched, and on data
-    with a sustained skip window (a tight ball plus one wildly spread
-    tile that keeps md high while the ball tiles sit far below md/2)
-    it must actually engage the skip kernel after the first chunk."""
+def test_skip_loop_sustained_window():
+    """Data with a sustained skip window (a tight ball plus one wildly
+    spread tile that keeps md high while the ball tiles sit far below
+    md/2): results identical, ball tiles skipped every iteration."""
     rng = np.random.default_rng(9)
     n, a, k = 2048, 8, 32
     base = rng.normal(size=(a, 3)).astype(np.float32)
@@ -103,29 +102,29 @@ def test_adaptive_loop_bit_identical_and_switches():
     prep = prepare_rmsd_frames(X, tile=128)
 
     ref = _run(_kcenters_loop_megafused, prep, n, k)
-    out = _run(_kcenters_loop_megafused_adaptive, prep, n, k,
-               chunk_g=8)
+    out = _run(_kcenters_loop_megafused_skip, prep, n, k)
     assert int(out[3]) == int(ref[3]) == k
     for i in range(3):
         np.testing.assert_array_equal(np.asarray(ref[i]),
                                       np.asarray(out[i]))
     skc = np.asarray(out[4])
-    assert skc.sum() > 0, 'adaptive loop never engaged the skip kernel'
-    # after the first (always-plain) chunk, most ball tiles must skip
-    assert skc[8:].max() >= 10
+    # after the first center the 15 ball tiles are provably inert
+    assert skc[1:k].min() >= 10
 
 
-def test_adaptive_loop_concentrated_data():
-    """iid high-dimensional data: the chooser should keep the plain
-    kernel (estimated skippable fraction ~0) and results must still
-    match."""
+def test_dispatch_uses_skip_kernel():
+    """kcenters_device_fused's default single-chip tier is the
+    tri-skip megakernel; end-to-end results match the plain loop on
+    concentrated data (where skipping never fires)."""
     rng = np.random.default_rng(11)
     n, a, k = 1024, 16, 32
     X = rng.normal(size=(n, a, 3)).astype(np.float32)
     prep = prepare_rmsd_frames(X, tile=128)
 
     ref = _run(_kcenters_loop_megafused, prep, n, k)
-    out = _run(_kcenters_loop_megafused_adaptive, prep, n, k)
-    for i in range(3):
-        np.testing.assert_array_equal(np.asarray(ref[i]),
-                                      np.asarray(out[i]))
+    res = kcenters_device_fused(prep, n_clusters=k, interpret=True)
+    assert res.n_found == k
+    np.testing.assert_array_equal(
+        np.asarray(ref[1])[0, :n].astype(np.int64), res.assignments)
+    np.testing.assert_array_equal(
+        np.asarray(ref[2])[:k].astype(np.int64), res.center_indices)
