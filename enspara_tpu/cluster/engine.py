@@ -574,7 +574,8 @@ def _kcenters_loop_megafused_skip(frames_r, g, dist, assig, n_start,
 
 def _kcenters_loop_fused_sharded(frames_r, g, dist, assig, n_start,
                                  n_clusters, dist_cutoff, k_max,
-                                 n_atoms_real, mesh, interpret, tile):
+                                 n_atoms_real, mesh, interpret, tile,
+                                 tri_skip=True):
     """Multi-chip fused k-centers: each shard runs the Pallas iteration
     kernel on its local frames; the per-iteration argmax and the
     center-frame broadcast are explicit mesh collectives — the same
@@ -582,9 +583,18 @@ def _kcenters_loop_fused_sharded(frames_r, g, dist, assig, n_start,
     (enspara/cluster/kcenters.py:314-378: allgather of local max/argmax
     + Bcast of the winning frame), here riding ICI.
 
+    With ``tri_skip`` (default) each shard runs the per-iteration
+    tile-skip kernel: the Gonzalez bound holds GLOBALLY (every
+    existing center is >= the global md from the new one), so a local
+    tile whose max cached distance is <= md/2 skips its frame DMA no
+    matter which shard owns the new center — multi-chip gets the same
+    basin-data stream savings as the single-chip chunk path.
+
     Inputs are sharded on their last (frame) axis; ties break toward
     the smallest global index, matching the serial ``np.argmax``.
     """
+    from ..ops.kcenters_skip_pallas import (
+        kcenters_iteration_skip_pallas, skip_t_pad, tile_summaries)
     from ..ops.qcp_update_pallas import kcenters_iteration_pallas
 
     def body(frames_l, g_l, dist_l, assig_l):
@@ -605,13 +615,15 @@ def _kcenters_loop_fused_sharded(frames_r, g, dist, assig, n_start,
             return best, gidx
 
         md0, gidx0 = global_best(dist_l)
+        t_pad = skip_t_pad(n_local // tile)
+        tmax0 = tile_summaries(dist_l, tile, t_pad)
 
         def cond(state):
-            i, d, a, ctrs, gidx, md = state
+            i, md = state[0], state[5]
             return (i < n_clusters) & (md > dist_cutoff)
 
         def step(state):
-            i, d, a, ctrs, gidx, md = state
+            i, d, a, ctrs, gidx, md, tmax = state
             ctrs = ctrs.at[i].set(gidx)
             # owner-masked slice + psum = Bcast of the center column
             start = (jax.lax.axis_index(FRAME_AXIS) * n_local) \
@@ -622,24 +634,31 @@ def _kcenters_loop_fused_sharded(frames_r, g, dist, assig, n_start,
             col = jax.lax.psum(jnp.where(owned, col, 0.0), FRAME_AXIS)
             gb_l = jax.lax.dynamic_slice(g_l, (0, lidx), (1, 1))
             gb = jax.lax.psum(jnp.where(owned, gb_l, 0.0), FRAME_AXIS)
-            cvec = col.reshape(3, a_pad).T
             cid = jnp.reshape(i, (1, 1)).astype(jnp.int32)
             # the kernel epilogue accumulates this shard's (max,
             # argmax) — no separate per-iteration argmax pass over the
             # local distance row (the per-center fixed cost the chunk
             # megakernel eliminated single-chip); only the two scalars
             # cross the collective
-            d, a, lm, la = kcenters_iteration_pallas(
-                frames_l, g_l, d, a, cvec, gb, cid, n_atoms_real,
-                interpret=interpret, tile=tile, with_argmax=True)
+            if tri_skip:
+                d, a, tmax, lm, la, _ = kcenters_iteration_skip_pallas(
+                    frames_l, g_l, d, a, tmax,
+                    col.astype(jnp.float32), gb,
+                    cid, jnp.reshape(md, (1, 1)).astype(jnp.float32),
+                    n_atoms_real, interpret=interpret, tile=tile)
+            else:
+                cvec = col.reshape(3, a_pad).T
+                d, a, lm, la = kcenters_iteration_pallas(
+                    frames_l, g_l, d, a, cvec, gb, cid, n_atoms_real,
+                    interpret=interpret, tile=tile, with_argmax=True)
             vals = jax.lax.all_gather(lm[0, 0], FRAME_AXIS)
             args = jax.lax.all_gather(start + la[0, 0], FRAME_AXIS)
             md2 = jnp.max(vals)
             gidx2 = jnp.min(jnp.where(vals == md2, args, imax))
-            return (i + 1, d, a, ctrs, gidx2, md2)
+            return (i + 1, d, a, ctrs, gidx2, md2, tmax)
 
         init = (jnp.asarray(n_start, jnp.int32), dist_l, assig_l,
-                ctr_inds, gidx0, md0)
+                ctr_inds, gidx0, md0, tmax0)
         i, d, a, ctrs = jax.lax.while_loop(cond, step, init)[:4]
         return d, a, ctrs, i
 

@@ -362,3 +362,205 @@ def kcenters_chunk_skip_pallas(frames_r, g, dist, assig, tmax,
         interpret=interpret,
     )(gidx0, max0, i_offset, n_total, dist_cutoff, tmax,
       frames_r, g, dist, assig, tmax)
+
+
+# ---------------------------------------------------------------------
+# per-iteration variant for the SHARDED loop: the center is chosen
+# globally (collective argmax across shards), so it arrives as inputs
+# (column + G + id + the global md); each shard skips its LOCAL tiles
+# under the same Gonzalez bound — d(c_j, c_new) >= md holds for every
+# existing center GLOBALLY, so a local tile with tmax <= md/2 is
+# provably inert no matter which shard owns the new center.
+# ---------------------------------------------------------------------
+
+
+def _iter_kernel(gb_ref, cid_ref, md_ref, tmax_sin, frames_hbm, g_hbm,
+                 dist_hbm, assig_hbm, tmax_in, col_in,
+                 dist_out, assig_out, tmax_out, lmax_out, larg_out,
+                 skipcnt_out,
+                 g_s, fbuf, col_ref, stmax, sem, sem_s,
+                 *, a_pad, n_atoms_real, tile, t_pad, approx_recip):
+    it = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    sl = pl.ds(pl.multiple_of(it * tile, tile), tile)
+    lanes_t = jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1)
+
+    @pl.when(it == 0)
+    def _():
+        tmax_out[:] = tmax_in[:]
+        col_ref[:] = col_in[:]
+
+        def body(j, _):
+            stmax[j] = tmax_sin[0, j]
+            return 0
+        jax.lax.fori_loop(0, n_t, body, 0)
+        for k, (src, dst) in enumerate(((dist_hbm, dist_out),
+                                        (assig_hbm, assig_out),
+                                        (g_hbm, g_s))):
+            dma = pltpu.make_async_copy(src, dst, sem_s.at[k])
+            dma.start()
+            dma.wait()
+        skippable = ((tmax_out[:] <= 0.5 * md_ref[0, 0])
+                     & jnp.isfinite(md_ref[0, 0])
+                     & (lanes_t < n_t))
+        skipcnt_out[0, 0] = jnp.sum(skippable.astype(jnp.int32))
+
+    md = md_ref[0, 0]
+    finite = md < jnp.inf
+
+    def tile_skippable(j):
+        return (stmax[j] <= 0.5 * md) & finite
+
+    compute_cur = jnp.logical_not(tile_skippable(it))
+    b = jax.lax.rem(it, 2)
+
+    @pl.when(compute_cur & (it == 0))
+    def _():
+        pltpu.make_async_copy(
+            frames_hbm.at[:, sl], fbuf.at[b], sem.at[b]).start()
+
+    nxt = it + 1
+    nxt_skip = tile_skippable(jnp.minimum(nxt, n_t - 1))
+
+    @pl.when((nxt < n_t) & jnp.logical_not(nxt_skip))
+    def _():
+        bn = jax.lax.rem(nxt, 2)
+        pltpu.make_async_copy(
+            frames_hbm.at[:, pl.ds(pl.multiple_of(nxt * tile, tile),
+                                   tile)],
+            fbuf.at[bn], sem.at[bn]).start()
+
+    @pl.when(compute_cur)
+    def _():
+        pltpu.make_async_copy(
+            frames_hbm.at[:, sl], fbuf.at[b], sem.at[b]).wait()
+        fb = fbuf[b]
+        if fb.dtype != jnp.float32:
+            fb = fb.astype(jnp.float32)
+        S = [[None] * 3 for _ in range(3)]
+        for j in range(3):
+            for i in range(3):
+                fo, co = i * a_pad, j * a_pad
+                acc = fb[fo:fo + 8, :] * col_ref[co:co + 8, :]
+                for c in range(8, a_pad, 8):
+                    acc = acc + (fb[fo + c:fo + c + 8, :]
+                                 * col_ref[co + c:co + c + 8, :])
+                S[i][j] = jnp.sum(acc, axis=0, keepdims=True)
+
+        gsum = g_s[:, sl] + gb_ref[0, 0]
+        Sc = tuple(S[i][j] for i in range(3) for j in range(3))
+        d_new = qcp.rmsd_from_S_components_unrolled(
+            Sc, gsum, n_atoms_real, approx_recip=approx_recip)
+
+        old_d = dist_out[:, sl]
+        upd = d_new < old_d
+        nd = jnp.where(upd, d_new, old_d)
+        dist_out[:, sl] = nd
+        assig_out[:, sl] = jnp.where(upd, cid_ref[0, 0],
+                                     assig_out[:, sl])
+        m = jnp.max(nd)
+        tmax_out[:] = jnp.where(lanes_t == it, m, tmax_out[:])
+        stmax[it] = m
+
+    @pl.when(it == n_t - 1)
+    def _():
+        # this shard's (max, first argmax) of the updated distances,
+        # for the cross-shard collective
+        m = jnp.max(tmax_out[:])
+        win_t = jnp.min(jnp.where(tmax_out[:] == m, lanes_t, _IMAX))
+        row = dist_out[:, pl.ds(pl.multiple_of(win_t * tile, tile),
+                                tile)]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        lmax_out[0, 0] = m
+        larg_out[0, 0] = win_t * tile + jnp.min(
+            jnp.where(row == m, lanes, _IMAX))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('n_atoms_real', 'interpret',
+                                    'tile'))
+def kcenters_iteration_skip_pallas(frames_r, g, dist, assig, tmax,
+                                   col, g_center, center_id, md,
+                                   n_atoms_real, interpret=False,
+                                   tile=2048):
+    """One k-centers iteration with tile-granular DMA skipping against
+    a GLOBALLY chosen center (the sharded loop's building block).
+
+    Parameters
+    ----------
+    frames_r, g, dist, assig : as in
+        :func:`..qcp_update_pallas.kcenters_iteration_pallas` (local
+        shard arrays).
+    tmax : (1, t_pad) float32 per-tile max carry
+        (:func:`tile_summaries` initially, this function's output
+        afterwards).
+    col : (3*A_pad, 1) float32 — the new center's column (rows
+        ``j*A_pad + a``), already broadcast across shards.
+    g_center, center_id : (1, 1) scalars.
+    md : (1, 1) float32 — the GLOBAL max distance that selected this
+        center (the Gonzalez bound's reference value).
+
+    Returns ``(dist, assig, tmax, lmax (1,1), largmax (1,1),
+    skipcnt (1,1))`` — lmax/largmax are this shard's max and FIRST
+    local argmax of the updated distances.
+    """
+    rows, n = frames_r.shape
+    a_pad = rows // 3
+    n_tiles = n // tile
+    t_pad = skip_t_pad(n_tiles)
+    assert tmax.shape == (1, t_pad), (tmax.shape, t_pad)
+    kernel = functools.partial(_iter_kernel, a_pad=a_pad,
+                               n_atoms_real=float(n_atoms_real),
+                               tile=tile, t_pad=t_pad,
+                               approx_recip=True)
+
+    smem11 = pl.BlockSpec((1, 1), lambda it: (0, 0),
+                          memory_space=pltpu.SMEM)
+    whole = lambda shape: pl.BlockSpec(shape, lambda it: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            smem11,                                     # center G
+            smem11,                                     # center id
+            smem11,                                     # global md
+            pl.BlockSpec((1, t_pad), lambda it: (0, 0),
+                         memory_space=pltpu.SMEM),      # tmax (SMEM)
+            pl.BlockSpec(memory_space=pl.ANY),          # frames HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # g HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # dist HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # assig HBM
+            whole((1, t_pad)),                          # tmax in
+            whole((rows, 1)),                           # center col
+        ],
+        out_specs=[
+            whole((1, n)),                              # dist state
+            whole((1, n)),                              # assig state
+            whole((1, t_pad)),                          # tmax out
+            smem11,                                     # local max
+            smem11,                                     # local argmax
+            smem11,                                     # skip count
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, n), jnp.float32),            # g state
+            pltpu.VMEM((2, rows, tile), frames_r.dtype),  # frame bufs
+            pltpu.VMEM((rows, 1), jnp.float32),         # center col
+            pltpu.SMEM((t_pad,), jnp.float32),          # tile maxes
+            pltpu.SemaphoreType.DMA((2,)),              # frame bufs
+            pltpu.SemaphoreType.DMA((3,)),              # state staging
+        ],
+        input_output_aliases={6: 0, 7: 1, 8: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(g_center, center_id, md, tmax, frames_r, g, dist, assig, tmax,
+      col)

@@ -128,3 +128,45 @@ def test_dispatch_uses_skip_kernel():
         np.asarray(ref[1])[0, :n].astype(np.int64), res.assignments)
     np.testing.assert_array_equal(
         np.asarray(ref[2])[:k].astype(np.int64), res.center_indices)
+
+
+def test_sharded_tri_skip_matches_plain_sharded():
+    """The sharded loop's per-iteration tile-skip kernel (global-md
+    Gonzalez bound per shard) must match the plain sharded kernel
+    bit-for-bit on basin data where skips actually fire, across the
+    8-virtual-device mesh."""
+    import jax
+    from jax.sharding import Mesh
+    from enspara_tpu.cluster import engine
+    from enspara_tpu.parallel.mesh import FRAME_AXIS
+
+    devs = np.array(jax.devices()[:8])
+    if len(devs) < 8:
+        pytest.skip('needs 8 virtual devices')
+    mesh = Mesh(devs, (FRAME_AXIS,))
+
+    rng = np.random.default_rng(21)
+    n, a, k = 4096, 8, 48
+    X = _basin_data(rng, n, a, n_basins=40, dwell=256)
+    prep = prepare_rmsd_frames(X, tile=128, mesh=mesh)
+
+    def run(tri_skip):
+        n_pad = prep.frames_r.shape[1]
+        dist = np.full((1, n_pad), np.inf, np.float32)
+        dist[0, n:] = -np.inf
+        assig = np.full((1, n_pad), -1, np.int32)
+        from enspara_tpu.parallel.mesh import NamedSharding, P
+        sh = NamedSharding(mesh, P(None, FRAME_AXIS))
+        return engine._kcenters_loop_fused_sharded(
+            prep.frames_r, prep.g,
+            jax.device_put(np.asarray(dist), sh),
+            jax.device_put(np.asarray(assig), sh),
+            np.int32(0), np.int32(k), np.float32(0.0), k, a, mesh,
+            True, prep.tile, tri_skip=tri_skip)
+
+    d1, a1, c1, n1 = run(False)
+    d2, a2, c2, n2 = run(True)
+    assert int(np.asarray(n1)) == int(np.asarray(n2)) == k
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
