@@ -91,6 +91,13 @@ def process_command_line(argv):
         '--random-state', default=None, type=int,
         help='Random seed for medoid proposals.')
     cluster_args.add_argument(
+        '--locality-sort', default=False, action='store_true',
+        help='Reorder frames by a 1-pivot RMSD key before clustering '
+             'so the tri-skip kernels can elide DMA for provably '
+             'inert tiles even on temporally shuffled data (kcenters '
+             '+ rmsd only). Finds a different — equally valid — '
+             'Gonzalez covering than the unsorted order.')
+    cluster_args.add_argument(
         '--precision', default='fp32', choices=['fp32', 'bf16'],
         help='bf16 streams frames as bfloat16 through the fused TPU '
              'k-centers kernels: ~2x frame capacity per chip at ~4e-3 '
@@ -180,6 +187,12 @@ def process_command_line(argv):
         raise exception.ImproperlyConfigured(
             '--precision bf16 is only implemented for kcenters with '
             'the rmsd metric (the fused TPU streaming path).')
+    if args.locality_sort and (
+            args.Clusterer is not KCenters
+            or args.cluster_distance != 'rmsd'):
+        raise exception.ImproperlyConfigured(
+            '--locality-sort is only implemented for kcenters with '
+            'the rmsd metric (the fused TPU tri-skip path).')
     if args.Clusterer is not KMedoids:
         for name in (args.init_center_inds, args.init_distances,
                      args.init_assignments):
@@ -247,6 +260,8 @@ def main(argv=None):
 
     if args.precision != 'fp32':
         kwargs['precision'] = args.precision
+    if args.locality_sort:
+        kwargs['sort'] = 'locality'
 
     clustering = args.Clusterer(
         metric=args.cluster_distance,

