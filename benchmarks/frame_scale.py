@@ -67,9 +67,16 @@ def synth_prep(n, precision):
     key = jax.random.PRNGKey(3)
     for off in range(0, n, CF):
         key, sub = jax.random.split(key)
+        chunk = synth_chunk(sub)
+        # dynamic_update_slice CLAMPS an out-of-bounds start — a chunk
+        # reaching past n_pad would shift backwards and overwrite
+        # earlier frames (r5 review finding); truncate the tail chunk
+        cf_eff = min(CF, n_pad - off)
+        if cf_eff < CF:
+            chunk = chunk[:cf_eff]
         frames_buf, g_buf = _ingest_chunk(
-            frames_buf, g_buf, synth_chunk(sub), jnp.int32(off),
-            a_pad, precision)
+            frames_buf, g_buf, chunk, jnp.int32(off), a_pad,
+            precision)
     return PreparedRMSDFrames(frames_buf, _fix_g_tail(g_buf,
                                                       jnp.int32(n)),
                               n, A, TILE, 1, precision)

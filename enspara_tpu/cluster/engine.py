@@ -746,17 +746,25 @@ def _prepare_rmsd_frames_streamed(X, n, A, A_pad, n_pad, precision):
     """Chunked host->device ingest: decode/astype of chunk i+1 on the
     host and its H2D copy overlap chunk i's on-device centering +
     layout transform (async dispatch pipelines them — no explicit
-    threads needed). Numerically identical to the monolithic path."""
+    threads needed). Numerically identical to the monolithic path.
+
+    The final chunk is truncated to the remaining PADDED length, never
+    zero-padded past it: ``dynamic_update_slice`` CLAMPS out-of-bounds
+    start indices, so a chunk reaching beyond ``n_pad`` would silently
+    shift backwards and overwrite earlier frames (r5 review finding —
+    the tail chunk costs one extra compiled shape instead)."""
     dtype = jnp.bfloat16 if precision == 'bf16' else jnp.float32
     cf = max(1, int(_STREAM_CHUNK_BYTES // (A * 3 * 4)))
     frames_buf = jnp.zeros((3 * A_pad, n_pad), dtype)
     g_buf = jnp.ones((1, n_pad), jnp.float32)
     for off in range(0, n, cf):
-        hi = min(off + cf, n)
+        cf_eff = min(cf, n_pad - off)
+        hi = min(off + cf_eff, n)
         chunk = np.asarray(X[off:hi], dtype=np.float32)
-        if hi - off < cf:
+        if hi - off < cf_eff:
             chunk = np.concatenate(
-                [chunk, np.zeros((cf - (hi - off), A, 3), np.float32)])
+                [chunk,
+                 np.zeros((cf_eff - (hi - off), A, 3), np.float32)])
         dev = jax.device_put(chunk)          # async H2D
         frames_buf, g_buf = _ingest_chunk(
             frames_buf, g_buf, dev, jnp.int32(off), A_pad, precision)
@@ -814,8 +822,12 @@ def prepare_rmsd_frames(X, tile=None, mesh=None, precision='fp32',
         raise ValueError("sort must be None or 'locality', got %r"
                          % (sort,))
     perm = None
+    pre_centered = False
     if sort == 'locality':
-        X, perm = _locality_sort(X)   # device array: monolithic path
+        # device array -> monolithic path below; already centered by
+        # the key computation, so don't pay a second centering pass
+        X, perm = _locality_sort(X)
+        pre_centered = True
     n_shards = 1 if mesh is None else mesh.size
     if not isinstance(X, (np.ndarray, jax.Array)):
         X = np.asarray(X)
@@ -846,7 +858,8 @@ def prepare_rmsd_frames(X, tile=None, mesh=None, precision='fp32',
     data = _prepare_data(X, 'rmsd')
     if not isinstance(data, jax.Array):
         data = jnp.asarray(data)
-    data = _center_structures(data)
+    if not pre_centered:
+        data = _center_structures(data)
 
     if precision == 'bf16':
         # round ONCE, then derive g (and the stream) from the rounded

@@ -186,6 +186,15 @@ class RaggedArray(object):
     __slots__ = ('_data', '_array', 'lengths')
 
     def __init__(self, array, lengths=None, error_checking=True, copy=True):
+        # NOTE on error_checking: accepted for reference API
+        # compatibility (there it gates an input-structure scan that
+        # auto-disables above 20k rows); here the cheap validations
+        # (lengths-vs-data size) run unconditionally and inner-shape
+        # mismatches in row inputs are NOT an error in either codebase
+        # — mismatched rows store as per-element object arrays with
+        # shape (n, None, None) (reference test_ra.py:60-62), a
+        # carrying/indexing form; compute kernels require homogeneous
+        # inner dims and fail on the object dtype when misused.
         if lengths is None:
             if len(array) > 0 and _is_iterable(array[0]):
                 # list/array of rows

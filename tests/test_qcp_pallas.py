@@ -288,3 +288,29 @@ def test_streamed_ingest_equals_monolithic(precision, monkeypatch):
                                             interpret=True)
     np.testing.assert_array_equal(res_raw.assignments,
                                   res_strm.assignments)
+
+
+def test_streamed_ingest_unaligned_chunk(monkeypatch):
+    """Regression (r5 review): a stream chunk size that is NOT a tile
+    multiple makes the final zero-padded chunk reach past n_pad, and
+    dynamic_update_slice CLAMPS the start — silently shifting the tail
+    backwards over real frames. The tail chunk must truncate to the
+    remaining padded length instead."""
+    from enspara_tpu.cluster import engine
+
+    rng = np.random.default_rng(99)
+    A, n = 10, 700
+    X = rng.normal(size=(n, A, 3)).astype(np.float32) * 3.0
+
+    # cf = 300 frames: offsets 0/300/600, last chunk would reach 900
+    # past n_pad=768 (tile=128) without the truncation
+    monkeypatch.setattr(engine, '_STREAM_CHUNK_BYTES', 300 * A * 3 * 4)
+    mono = engine.prepare_rmsd_frames(X, tile=128, stream=False)
+    strm = engine.prepare_rmsd_frames(X, tile=128)
+    np.testing.assert_allclose(np.asarray(mono.frames_r),
+                               np.asarray(strm.frames_r),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(mono.frames_r) == 0.0,
+                                  np.asarray(strm.frames_r) == 0.0)
+    np.testing.assert_allclose(np.asarray(mono.g), np.asarray(strm.g),
+                               rtol=2e-5, atol=0)
