@@ -1,6 +1,7 @@
 """CHARMM/NAMD DCD trajectory read/write (Fortran-record binary,
 coordinates in Angstroms on disk, nm in memory)."""
 
+import os
 import struct
 
 import numpy as np
@@ -48,8 +49,30 @@ def _read_record(f):
         return None
     (n,) = struct.unpack('<i', head)
     data = f.read(n)
+    if len(data) < n:
+        # tail-truncated file (simulation killed mid-write): treat the
+        # partial record as EOF so the complete frames before it load
+        return None
     f.read(4)
     return data
+
+
+def scan_dcd(filename):
+    """(n_frames, n_atoms) from the header records + file size —
+    no coordinate decode. Size-derived so truncated tails and writers
+    with a stale NSET header field both count correctly."""
+    with open(filename, 'rb') as f:
+        header = _read_record(f)
+        if header is None or header[:4] != b'CORD':
+            raise MissingData('%s is not a DCD file' % filename)
+        has_cell = struct.unpack('<i', header[44:48])[0]
+        _read_record(f)                    # title
+        (n_atoms,) = struct.unpack('<i', _read_record(f))
+        data_start = f.tell()
+    frame_bytes = (3 * (4 * n_atoms + 8)
+                   + ((6 * 8 + 8) if has_cell else 0))
+    total = os.path.getsize(filename) - data_start
+    return total // frame_bytes, n_atoms
 
 
 def load_dcd(filename, top=None, stride=None, atom_indices=None,
@@ -113,8 +136,9 @@ def load_dcd(filename, top=None, stride=None, atom_indices=None,
     xyz = xyz[sl]
     cell_vectors = cell_vectors[sl] if cell_vectors is not None else None
 
-    ttop = top.top if hasattr(top, 'top') else top
-    traj = Trajectory(xyz, ttop, unitcell_vectors=cell_vectors)
+    from .trajectory import _resolve_top
+    traj = Trajectory(xyz, _resolve_top(top),
+                      unitcell_vectors=cell_vectors)
     if atom_indices is not None:
         traj = traj.atom_slice(atom_indices)
     return traj

@@ -33,8 +33,9 @@ def load_hdf5(filename, top=None, stride=None, atom_indices=None,
             angles = np.asarray(f['cell_angles'][sl])
             cell = _lengths_angles_to_vectors(lengths, angles)
 
-    ttop = top.top if hasattr(top, 'top') else top
-    traj = Trajectory(xyz, ttop, time=time, unitcell_vectors=cell)
+    from .trajectory import _resolve_top
+    traj = Trajectory(xyz, _resolve_top(top), time=time,
+                      unitcell_vectors=cell)
     if atom_indices is not None:
         traj = traj.atom_slice(atom_indices)
     return traj

@@ -28,17 +28,22 @@ def load_pdb(filename):
     residue = None
     last_chain_id = None
     last_res_key = None
-    n_atoms_model0 = None
     in_later_model = False
+    cell = None
 
     with _open(filename) as f:
         for line in f:
             rec = line[:6]
-            if rec == 'MODEL ':
+            if rec == 'CRYST1':
+                try:
+                    cell = (float(line[6:15]), float(line[15:24]),
+                            float(line[24:33]), float(line[33:40]),
+                            float(line[40:47]), float(line[47:54]))
+                except ValueError:
+                    cell = None
+            elif rec == 'MODEL ':
                 if coords:
                     models.append(coords)
-                    if n_atoms_model0 is None:
-                        n_atoms_model0 = len(coords)
                     coords = []
                     in_later_model = True
             elif rec == 'ENDMDL':
@@ -84,7 +89,14 @@ def load_pdb(filename):
     n_atoms = top.n_atoms
     xyz = np.array([m[:n_atoms] for m in models if len(m) >= n_atoms],
                    dtype=np.float32)
-    return Trajectory(xyz, top)
+    ucv = None
+    if cell is not None and cell[0] > 0:
+        from .dcd import _vectors_from_cell
+        v = _vectors_from_cell(cell[0] * 0.1, cell[1] * 0.1,
+                               cell[2] * 0.1, cell[3], cell[4],
+                               cell[5])
+        ucv = np.tile(v[None], (xyz.shape[0], 1, 1))
+    return Trajectory(xyz, top, unitcell_vectors=ucv)
 
 
 def write_pdb(filename, traj):
@@ -92,7 +104,14 @@ def write_pdb(filename, traj):
     xyz = np.asarray(traj.xyz)
     top = traj.top
     multi = xyz.shape[0] > 1
+    ucv = getattr(traj, 'unitcell_vectors', None)
     with _open(filename, 'wt') as f:
+        if ucv is not None:
+            from .dcd import _cell_from_vectors
+            a, b, c, al, be, ga = _cell_from_vectors(
+                np.asarray(ucv[0], np.float64) * 10.0)
+            f.write('CRYST1%9.3f%9.3f%9.3f%7.2f%7.2f%7.2f P 1      '
+                    '   1\n' % (a, b, c, al, be, ga))
         for m in range(xyz.shape[0]):
             if multi:
                 f.write('MODEL     %4d\n' % (m + 1))

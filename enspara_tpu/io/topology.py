@@ -27,19 +27,20 @@ _STD_RESIDUES = frozenset([
     'TYR', 'VAL', 'HSD', 'HSE', 'HSP', 'HID', 'HIE', 'HIP', 'CYX',
     'NLE', 'NME', 'ACE', 'MSE', 'SEP', 'TPO'])
 
-_TWO_LETTER = frozenset(['Cl', 'Br', 'Na', 'Mg', 'Ca', 'Zn', 'Fe',
-                         'Se', 'CL', 'BR', 'NA', 'MG', 'CA', 'ZN',
-                         'FE', 'SE'])
-
-
 def guess_element(atom_name, residue_name=''):
     """Element symbol from a PDB-style atom name."""
     name = atom_name.strip()
     if not name:
         return ''
-    if residue_name.strip() in ('HOH', 'WAT', 'TIP3', 'SOL'):
+    res = residue_name.strip().upper()
+    if res in ('HOH', 'WAT', 'TIP3', 'SOL'):
         return 'O' if name.startswith('O') else 'H'
     stripped = name.lstrip('0123456789')
+    # 'CA' is ambiguous (alpha carbon vs a calcium ion): only the
+    # residue name can disambiguate — calcium-ion residues are named
+    # for the ion, while every other residue's CA is carbon
+    if stripped.upper() == 'CA' and res in ('CA', 'CAL', 'CA2'):
+        return 'Ca'
     if len(stripped) >= 2 and stripped[:2].capitalize() in \
             ('Cl', 'Br', 'Na', 'Mg', 'Zn', 'Fe', 'Se') and \
             residue_name.strip() not in _STD_RESIDUES:
@@ -197,7 +198,6 @@ class Topology(object):
     def subset(self, atom_indices):
         """New topology containing only the given atoms (in order)."""
         atom_indices = list(atom_indices)
-        keep = set(atom_indices)
         new = Topology()
         chain_map = {}
         res_map = {}
@@ -211,7 +211,6 @@ class Topology(object):
                 res_map[r.index] = new.add_residue(
                     r.name, chain_map[c.index], r.resSeq, r.segment_id)
             new.add_atom(a.name, a.element, res_map[r.index], a.serial)
-        del keep
         return new
 
     def copy(self):
@@ -341,7 +340,6 @@ def _eval_selection(tokens, top):
                            'all'):
                     break
                 vals.append(take())
-            vals = [v for v in vals if v != 'or']
             if t == 'name':
                 vs = set(vals)
                 return np.array([a.name in vs for a in top.atoms])

@@ -60,6 +60,13 @@ class Trajectory(object):
 
     def __getitem__(self, key):
         if isinstance(key, (int, np.integer)):
+            n = self.n_frames
+            if not -n <= key < n:
+                # a silent empty slice here hides the bad index until
+                # downstream statistics NaN out (review finding)
+                raise IndexError(
+                    'frame index %d out of range for %d frames'
+                    % (key, n))
             key = slice(key, key + 1) if key != -1 else slice(-1, None)
         xyz = self.xyz[key]
         time = self.time[key]
@@ -204,7 +211,12 @@ def load(filename, top=None, stride=None, atom_indices=None,
     """Load a trajectory file, dispatching on extension (.pdb, .xtc,
     .h5, .dcd). ``top`` may be a Topology, Trajectory, or path to a
     PDB."""
-    ext = os.path.splitext(str(filename))[1].lower()
+    fname = str(filename).lower()
+    ext = os.path.splitext(fname)[1]
+    if ext == '.gz' and not fname.endswith('.pdb.gz'):
+        raise DataInvalid(
+            'only gzipped PDBs (.pdb.gz) are supported; got %r'
+            % (filename,))
     top = _resolve_top(top)
     if ext in ('.pdb', '.gz'):
         from .pdb import load_pdb

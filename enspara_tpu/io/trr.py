@@ -60,8 +60,12 @@ def _read_frame_header(f):
 
     if h['box_size']:
         fsize = h['box_size'] // 9
-    elif h['x_size'] and h['natoms']:
-        fsize = h['x_size'] // (3 * h['natoms'])
+    elif h['natoms'] and (h['x_size'] or h['v_size'] or h['f_size']):
+        # GROMACS infers the width from whichever per-atom block is
+        # present — a double-precision v/f-only frame (nstvout !=
+        # nstxout) must not fall back to 4 bytes and desync the stream
+        per_atom = h['x_size'] or h['v_size'] or h['f_size']
+        fsize = per_atom // (3 * h['natoms'])
     else:
         fsize = 4
     if fsize not in (4, 8):
@@ -78,6 +82,26 @@ def _read_reals(f, n, fsize):
     if len(buf) < n * fsize:
         raise DataInvalid('truncated TRR frame')
     return np.frombuffer(buf, dt, n).astype(np.float32)
+
+
+def scan_trr(filename):
+    """(n_frames, n_atoms) by walking frame headers and seeking past
+    the payload blocks — no coordinate decode."""
+    n_frames, n_atoms = 0, 0
+    with open(filename, 'rb') as f:
+        while True:
+            try:
+                h = _read_frame_header(f)
+            except DataInvalid:
+                break                      # truncated tail
+            if h is None:
+                break
+            payload = (h['box_size'] + h['vir_size'] + h['pres_size']
+                       + h['x_size'] + h['v_size'] + h['f_size'])
+            f.seek(payload, 1)
+            n_frames += 1
+            n_atoms = h['natoms']
+    return n_frames, n_atoms
 
 
 def load_trr(filename, top=None, stride=None, atom_indices=None,

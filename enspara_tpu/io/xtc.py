@@ -83,7 +83,9 @@ def load_xtc(filename, top=None, stride=None, atom_indices=None,
         sl = slice(None)
     xyz, box, time = xyz[sl], box[sl], time[sl]
 
-    traj = Trajectory(xyz, top, time=time, unitcell_vectors=box)
+    from .trajectory import _resolve_top
+    traj = Trajectory(xyz, _resolve_top(top), time=time,
+                      unitcell_vectors=box)
     if atom_indices is not None:
         traj = traj.atom_slice(atom_indices)
     return traj

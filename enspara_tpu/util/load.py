@@ -47,6 +47,12 @@ def sound_trajectory(trj, stride=1, frame=None):
     if ext == '.xtc':
         from ..io.xtc import scan_xtc
         n_frames, _ = scan_xtc(trj)
+    elif ext == '.dcd':
+        from ..io.dcd import scan_dcd
+        n_frames, _ = scan_dcd(trj)
+    elif ext == '.trr':
+        from ..io.trr import scan_trr
+        n_frames, _ = scan_trr(trj)
     elif ext in ('.h5', '.hdf5'):
         import h5py
         with h5py.File(trj, 'r') as f:

@@ -2,6 +2,7 @@
 
 import ctypes
 import functools
+import itertools
 import multiprocessing as mp
 import os
 
@@ -29,6 +30,7 @@ def auto_nprocs():
 # ---------------------------------------------------------------------
 
 _SHARED = {}
+_POOL_SEQ = itertools.count()
 
 
 def _pool_init(key, buf):
@@ -56,7 +58,9 @@ def pool_dense2d(arr, processes=None):
     arr = np.asarray(arr)
     buf = mp.Array(ctypes.c_double, arr.size, lock=False)
     buf[:] = arr.astype(np.float64).ravel()
-    key = 'dense2d'
+    # unique per pool: a fixed key would let a second pool clobber the
+    # parent-side buffer behind the first pool's retrieve()
+    key = 'dense2d-%d' % next(_POOL_SEQ)
     pool = mp.Pool(processes=processes, initializer=_pool_init,
                    initargs=(key, buf))
     _pool_init(key, buf)  # parent can retrieve too
@@ -73,7 +77,7 @@ def pool_sparse2d(arr, processes=None):
     buf[:nnz] = coo.data.astype(np.float64)
     buf[nnz:2 * nnz] = coo.row.astype(np.float64)
     buf[2 * nnz:] = coo.col.astype(np.float64)
-    key = 'sparse2d'
+    key = 'sparse2d-%d' % next(_POOL_SEQ)
     pool = mp.Pool(processes=processes, initializer=_pool_init,
                    initargs=(key, buf))
     _pool_init(key, buf)

@@ -544,3 +544,130 @@ def test_format_roundtrip_iid_fuzz(fmt, writer, loader, lossy):
     tol = 2e-3 if lossy else 1e-5
     err = np.abs(bx - xyz).max()
     assert err < tol, '%s roundtrip err %g' % (fmt, err)
+
+
+# --- round-5 review fixes -------------------------------------------
+
+def test_loaders_resolve_top_path(tmp_path):
+    """load_xtc/load_dcd/load_hdf5 accept a PDB path or Trajectory as
+    top, like the rest of the package (review: they stored the raw
+    string/Trajectory as topology)."""
+    from enspara_tpu import io as io_mod
+    from enspara_tpu.io.dcd import write_dcd, load_dcd
+    from enspara_tpu.io.hdf5 import load_hdf5
+
+    traj = make_traj()
+    pdb = str(tmp_path / 'top.pdb')
+    traj[0].save(pdb)
+    dcd = str(tmp_path / 't.dcd')
+    write_dcd(dcd, traj)
+    for top in (pdb, traj):
+        out = load_dcd(dcd, top=top)
+        assert out.topology.n_atoms == traj.n_atoms
+        assert out.topology.atom(0).name == traj.topology.atom(0).name
+
+    h5 = str(tmp_path / 't.h5')
+    traj.save(h5)
+    out = load_hdf5(h5, top=pdb)
+    assert out.topology.n_atoms == traj.n_atoms
+
+
+def test_truncated_dcd_recovers_complete_frames(tmp_path):
+    """A tail-truncated DCD (simulation killed mid-write) yields the
+    complete frames instead of crashing (review finding)."""
+    from enspara_tpu.io.dcd import write_dcd, load_dcd, scan_dcd
+
+    traj = make_traj()
+    dcd = str(tmp_path / 't.dcd')
+    write_dcd(dcd, traj)
+    full = load_dcd(dcd)
+    data = open(dcd, 'rb').read()
+    cut = str(tmp_path / 'cut.dcd')
+    open(cut, 'wb').write(data[:-30])     # clip into the last record
+    part = load_dcd(cut)
+    assert part.n_frames == full.n_frames - 1
+    np.testing.assert_array_equal(part.xyz, full.xyz[:-1])
+    nf, na = scan_dcd(cut)
+    assert (nf, na) == (full.n_frames - 1, full.n_atoms)
+
+
+def test_scan_helpers_match_loads(tmp_path):
+    from enspara_tpu.io.dcd import write_dcd, scan_dcd
+    from enspara_tpu.io.trr import write_trr, scan_trr
+    from enspara_tpu.util.load import sound_trajectory
+
+    traj = make_traj()
+    dcd = str(tmp_path / 't.dcd')
+    trr = str(tmp_path / 't.trr')
+    write_dcd(dcd, traj)
+    write_trr(trr, traj)
+    assert scan_dcd(dcd) == (traj.n_frames, traj.n_atoms)
+    assert scan_trr(trr) == (traj.n_frames, traj.n_atoms)
+    assert sound_trajectory(dcd) == traj.n_frames
+    assert sound_trajectory(trr, stride=2) == -(-traj.n_frames // 2)
+
+
+def test_guess_element_calcium_vs_alpha_carbon():
+    from enspara_tpu.io.topology import guess_element
+
+    assert guess_element('CA', 'ALA') == 'C'      # alpha carbon
+    assert guess_element('CA', 'LIG') == 'C'      # ligand carbon
+    assert guess_element('CA', 'CA') == 'Ca'      # calcium ion
+    assert guess_element('CA', 'CAL') == 'Ca'
+    assert guess_element('NA', 'NA') == 'Na'
+
+
+def test_pdb_cryst1_roundtrip(tmp_path):
+    """Unit cells survive a PDB round trip (review: CRYST1 was
+    silently dropped in both directions)."""
+    from enspara_tpu import io as io_mod
+
+    traj = make_traj()
+    cell = np.tile(np.diag([2.0, 3.0, 4.0]).astype(np.float32)[None],
+                   (traj.n_frames, 1, 1))
+    traj = type(traj)(traj.xyz, traj.topology,
+                      unitcell_vectors=cell)
+    pdb = str(tmp_path / 'c.pdb')
+    traj.save(pdb)
+    back = io_mod.load(pdb)
+    assert back.unitcell_vectors is not None
+    np.testing.assert_allclose(back.unitcell_vectors[0],
+                               cell[0], atol=1e-3)
+
+
+def test_gz_routing_rejects_non_pdb(tmp_path):
+    from enspara_tpu import io as io_mod
+    from enspara_tpu.exception import DataInvalid
+    import pytest
+
+    bogus = str(tmp_path / 't.xtc.gz')
+    open(bogus, 'wb').write(b'\x1f\x8bctually not')
+    with pytest.raises(DataInvalid, match='pdb.gz'):
+        io_mod.load(bogus)
+
+
+def test_trajectory_int_index_bounds():
+    import pytest
+
+    traj = make_traj()
+    with pytest.raises(IndexError):
+        traj[traj.n_frames]
+    with pytest.raises(IndexError):
+        traj[-traj.n_frames - 1]
+    assert traj[-1].n_frames == 1
+
+
+def test_two_pools_do_not_clobber():
+    """Each pool gets a unique shared-buffer key (review: a second
+    pool overwrote the parent-side buffer of the first)."""
+    from enspara_tpu.util.parallel import pool_dense2d
+
+    A = np.arange(6, dtype=np.float64).reshape(2, 3)
+    B = -np.ones((3, 2))
+    p1, get1 = pool_dense2d(A, processes=1)
+    p2, get2 = pool_dense2d(B, processes=1)
+    try:
+        np.testing.assert_array_equal(get1(), A)
+        np.testing.assert_array_equal(get2(), B)
+    finally:
+        p1.terminate(); p2.terminate()
