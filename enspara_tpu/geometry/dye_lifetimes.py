@@ -15,7 +15,7 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 from scipy.optimize import curve_fit
 
-from .. import ra
+from .. import exception, ra
 from ..msm import builders, synthetic_data
 from . import dyes_from_expt_dist as dyes_exp_dist
 from . import explicit_r0_calc as r0c
@@ -110,9 +110,13 @@ def explicit_static_dyes(d_name, a_name, d_eqs, a_eqs, d_centers,
 def fully_averaged_explict_dyes(d_name, a_name, d_eqs, a_eqs, d_centers,
                                 a_centers, dye_params, dyelibrary,
                                 n_samples=1000, rng_seed=None):
-    """Isotropic treatment: population-weighted average FRET efficiency
-    over all (donor, acceptor) state pairs. (reference:
-    dye_lifetimes.py:162)"""
+    """Isotropic treatment, REFERENCE-FAITHFUL including its quirk:
+    the reference's loop (dye_lifetimes.py:162) computes the
+    population-weighted average efficiency but then flips every coin
+    on the stale loop variable — i.e. the LAST (donor, acceptor)
+    pair's efficiency. That exact convention is reproduced here so the
+    live oracles agree; the weighted tables (FE_tab, pair_eqs) are
+    returned for callers who want the average the name suggests."""
     rng = np.random.default_rng(rng_seed)
     J, Qd, _Td = dye_params
 
@@ -357,6 +361,11 @@ def calc_lifetimes(pdb_center_num, d_centers, d_tcounts, a_centers,
         lifetimes = events[:, 0]
         outcomes = events[:, 1]
     elif dye_treatment == 'Monte-carlo-device':
+        if save_dye_trj:
+            raise exception.ImproperlyConfigured(
+                "save_dye_trj requires dye_treatment='Monte-carlo': "
+                'the lockstep device MC does not record per-photon '
+                'state paths')
         lifetimes, outcomes = resolve_excitations_device(
             dyenames[0], dyenames[1], d_tprobs, a_tprobs,
             d_mod_eqs, a_mod_eqs, d_centers, a_centers, dye_params,
@@ -398,6 +407,13 @@ def _sample_lifetimes_guarenteed_photon(states, lifetimes, outcomes,
     lts = np.empty(len(states))
     for i, state in enumerate(states):
         n_events = len(lifetimes[state])
+        if all(o == 'non_radiative' for o in outcomes[state]):
+            # the reference's redraw loop (dye_lifetimes.py:535) hangs
+            # forever here; fail loudly instead
+            raise exception.DataInvalid(
+                'state %s has only non-radiative events (n=%d): no '
+                'photon can be drawn — increase n_samples or check '
+                'the dye rates' % (state, n_events))
         pick = rng.choice(n_events)
         while outcomes[state][pick] == 'non_radiative':
             pick = rng.choice(n_events)    # no photon: redraw

@@ -92,13 +92,21 @@ def condense_sidechain_sasas(sasas, top):
 
     sc_ids = get_sidechain_atom_ids(top)
 
-    # one 0/1 membership matrix, so the condensation is a single
-    # (frames x atoms) @ (atoms x residues) product — MXU-friendly and
-    # free of per-residue host loops over the frame axis
-    member = np.zeros((sasas.shape[1], len(sc_ids)), dtype='float32')
+    # sparse 0/1 membership (each atom belongs to at most one
+    # residue): a dense (atoms x residues) matrix is ~99.9% zeros and
+    # multi-GB on large complexes (review finding) — the CSR product
+    # does the same single-pass condensation in O(F * A)
+    import scipy.sparse
+
+    rows, cols = [], []
     for r, ids in enumerate(sc_ids):
         if ids.size == 0:
             logger.warning('Found 0 sidechain atoms for residue %s.', r)
-        member[ids, r] = 1.0
-
-    return np.asarray(sasas, dtype='float32') @ member
+        rows.append(ids)
+        cols.append(np.full(ids.size, r, dtype=np.int64))
+    rows = np.concatenate(rows) if rows else np.array([], dtype=np.int64)
+    cols = np.concatenate(cols) if cols else np.array([], dtype=np.int64)
+    member = scipy.sparse.csr_matrix(
+        (np.ones(rows.size, dtype='float32'), (rows, cols)),
+        shape=(sasas.shape[1], len(sc_ids)))
+    return np.asarray(np.asarray(sasas, dtype='float32') @ member)

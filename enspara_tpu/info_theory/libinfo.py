@@ -62,6 +62,12 @@ def matrix_bincount2d(a, b, n_a, n_b, mesh=None):
         'Feature arrays a and b must match in length'
     assert a.max() < n_a, 'States indices must be contiguous.'
     assert b.max() < n_b, 'States indices must be contiguous.'
+    # negative labels (e.g. -1 unassigned sentinels) would be DROPPED
+    # silently by the one-hot path (undercounted joint counts) while
+    # the host fallback crashes — fail loudly on both instead
+    assert a.min() >= 0 and b.min() >= 0, \
+        'State indices must be non-negative (mask or trim unassigned '\
+        'frames before joint counting).'
 
     try:
         jc = _matrix_bincount2d_device(a, b, int(n_a), int(n_b),

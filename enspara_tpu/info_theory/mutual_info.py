@@ -170,7 +170,10 @@ def weighted_mi(features, weights, n_feature_states=None, normalize=True):
     try:
         import jax
         import jax.numpy as jnp
-        F = jax.nn.one_hot(features, s_max, dtype=jnp.float32)
+        # one_hot on bool inputs is deprecated (and will error) in
+        # jax; exposons passes bool exposure masks
+        F = jax.nn.one_hot(np.asarray(features).astype(np.int32),
+                           s_max, dtype=jnp.float32)
         F2 = F.reshape(features.shape[0], n_feat * s_max)
         W2 = F2 * jnp.asarray(weights, jnp.float32)[:, None]
         PJ = jnp.dot(W2.T, F2, preferred_element_type=jnp.float32,
@@ -178,6 +181,10 @@ def weighted_mi(features, weights, n_feature_states=None, normalize=True):
         P_joint = np.asarray(PJ, dtype=np.float64).reshape(
             n_feat, s_max, n_feat, s_max).transpose(1, 3, 0, 2)
     except Exception:
+        logger.warning(
+            'device weighted joint-count path failed; falling back to '
+            'the dense host einsum (O(T * F^2 * s^2) memory/compute)',
+            exc_info=True)
         onehot = np.stack([features == u for u in range(s_max)], axis=-1)
         P_joint = np.einsum('tiu,t,tjv->uvij', onehot, weights, onehot)
 

@@ -226,3 +226,30 @@ def test_check_features_states_validation():
     with pytest.raises(DataInvalid):
         mutual_info.check_features_states(
             [np.zeros((5, 3))], n_states=[2, 2])
+
+
+def test_joint_counts_reject_negative_states():
+    """-1 sentinels would be silently dropped by the one-hot device
+    path (undercounted MI) while the host fallback crashes — both now
+    fail loudly up front (r5 review)."""
+    from enspara_tpu.info_theory import libinfo
+
+    a = np.array([[0], [1], [-1], [1]])
+    b = np.array([[0], [1], [0], [1]])
+    with pytest.raises(AssertionError, match='non-negative'):
+        libinfo.matrix_bincount2d(a, b, 2, 2)
+
+
+def test_weighted_mi_accepts_bool_features():
+    """exposons passes bool exposure masks; one_hot on bools is
+    deprecated in jax, so the device path must cast (r5 review: the
+    deprecation would have silently routed every exposons run into a
+    dense O(T F^2 s^2) host einsum)."""
+    from enspara_tpu.info_theory.mutual_info import weighted_mi
+
+    rng = np.random.default_rng(4)
+    feats = rng.random((50, 6)) > 0.5          # bool
+    w = rng.random(50)
+    out = weighted_mi(feats, w)
+    assert out.shape == (6, 6)
+    assert np.isfinite(out).all()

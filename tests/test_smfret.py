@@ -274,3 +274,18 @@ def test_fret_efficiency_and_helpers():
     assert len(rebuilt) == 20
     m = dyefs.calc_4_moments(rebuilt)
     assert m.shape == (4, 1)
+
+
+def test_guaranteed_photon_rejects_all_nonradiative():
+    """A state with only non-radiative events must raise instead of
+    spinning the redraw loop forever (r5 review; the reference
+    hangs)."""
+    from enspara_tpu.exception import DataInvalid
+    from enspara_tpu.geometry.dye_lifetimes import \
+        _sample_lifetimes_guarenteed_photon
+
+    lifetimes = {0: [1.0, 2.0]}
+    outcomes = {0: ['non_radiative', 'non_radiative']}
+    with pytest.raises(DataInvalid, match='non-radiative'):
+        _sample_lifetimes_guarenteed_photon([0], lifetimes, outcomes,
+                                            rng_seed=1)
