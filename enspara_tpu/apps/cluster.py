@@ -255,7 +255,7 @@ def main(argv=None):
             kwargs['n_iters'] = int(args.cluster_iterations)
     if args.cluster_radius is not None:
         kwargs['cluster_radius'] = args.cluster_radius
-    if args.random_state is not None and args.Clusterer is not KMedoids:
+    if args.random_state is not None:
         kwargs['random_state'] = args.random_state
 
     if args.precision != 'fp32':

@@ -103,6 +103,12 @@ def main(argv=None):
     enable_compilation_cache()
     args = process_command_line(argv)
 
+    if len(args.trajectories) != 1 or len(args.topology) != 1:
+        raise exception.ImproperlyConfigured(
+            'collect_cards takes exactly one --trajectories/--topology '
+            'group (%d/%d given); concatenate file lists into one '
+            'group instead' % (len(args.trajectories),
+                               len(args.topology)))
     gen = load_trajectory_generator(args.trajectories[0],
                                     args.topology[0])
 

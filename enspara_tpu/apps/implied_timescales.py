@@ -99,7 +99,14 @@ def process_units(timestep=None, infer_timestep=None):
         except Exception:
             raise exception.ImproperlyConfigured(
                 "Couldn't infer timestep from %s" % infer_timestep)
-        assert np.allclose(timesteps, timesteps[0], atol=1e-3)
+        if timesteps.size == 0:
+            raise exception.ImproperlyConfigured(
+                '%s has fewer than 2 frames; cannot infer a timestep'
+                % infer_timestep)
+        if not np.allclose(timesteps, timesteps[0], atol=1e-3):
+            raise exception.ImproperlyConfigured(
+                'timestep wobbles across %s (%s); pass --timestep '
+                'explicitly' % (infer_timestep, timesteps))
         return 1000 / float(timesteps[0]), 'ns'
     return 1, 'frames'
 

@@ -31,7 +31,8 @@ def process_command_line(argv):
         description='Convert an MSM and FRET dye residue pairs into '
                     'predicted FRET efficiencies with explicit dye '
                     'lifetimes.')
-    subparsers = parser.add_subparsers(title='commands', dest='command')
+    subparsers = parser.add_subparsers(title='commands',
+                                   dest='command', required=True)
 
     clp = subparsers.add_parser(
         'calc_lifetimes',

@@ -32,7 +32,8 @@ def process_command_line(argv):
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
         description='Convert an MSM and FRET dye residue pairs into '
                     'predicted FRET efficiencies via dye point clouds.')
-    subparsers = parser.add_subparsers(title='commands', dest='command')
+    subparsers = parser.add_subparsers(title='commands',
+                                   dest='command', required=True)
 
     mdp = subparsers.add_parser('model_dyes',
                                 help='model FRET dyes onto MSM centers')
@@ -58,7 +59,8 @@ def process_command_line(argv):
     cfp.add_argument('--R0', type=float, default=5.4)
     cfp.add_argument('--time_factor', type=int, default=1)
     cfp.add_argument('--output_dir', action=readable_dir, default='./')
-    cfp.add_argument('--save_burst_frames', default=False, type=bool,
+    cfp.add_argument('--save_burst_frames', default=False,
+                     type=lambda s: s.lower() in ('true', '1', 'yes'),
                      choices=[True, False])
 
     ffp = subparsers.add_parser(

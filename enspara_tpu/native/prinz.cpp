@@ -93,6 +93,12 @@ long mle_prinz_dense(const double* Cin, long n, double tol, long max_iter,
                 X[j * n + i] = v;
 
                 if (v > 0.0) {
+                    // REFERENCE-FAITHFUL quirk: the reference's
+                    // off-diagonal term (libmsm.pyx:78) divides
+                    // OUTSIDE the log (c*log(x)/X_rs, not
+                    // c*log(x/X_rs)). logl is only the stopping
+                    // metric, so we keep the exact convention for
+                    // oracle parity.
                     logl += cij * std::log(v) / X_rs[i]
                           + cji * std::log(v) / X_rs[j];
                 }

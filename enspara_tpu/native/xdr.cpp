@@ -36,6 +36,7 @@ const int magicints[] = {
     1048576, 1321122, 1664510, 2097152, 2642245, 3329021, 4194304,
     5284491, 6658042, 8388607, 10568983, 13316085, 16777216};
 const int LASTIDX = (int)(sizeof(magicints) / sizeof(int)) - 1;
+const int N_MAGICINTS = (int)(sizeof(magicints) / sizeof(int));
 
 // ---------------- big-endian scalar IO ----------------
 
@@ -129,14 +130,31 @@ struct BitWriter {
     unsigned int lastbyte = 0;
 
     void bits(int value, int num_of_bits) {
+        // chunk whole bytes first: with up to 7 pending bits, shifting
+        // the 32-bit accumulator by >24 bits would discard high bits
+        // (review finding; GROMACS sendbits chunks the same way)
         unsigned int v = (unsigned int)value &
                          ((num_of_bits < 32) ? ((1u << num_of_bits) - 1)
                                              : 0xffffffffu);
-        lastbyte = (lastbyte << num_of_bits) | v;
-        lastbits += num_of_bits;
-        while (lastbits >= 8) {
-            lastbits -= 8;
-            out.push_back((unsigned char)((lastbyte >> lastbits) & 0xff));
+        while (num_of_bits >= 8) {
+            num_of_bits -= 8;
+            lastbyte = (lastbyte << 8) | ((v >> num_of_bits) & 0xff);
+            lastbits += 8;
+            while (lastbits >= 8) {
+                lastbits -= 8;
+                out.push_back(
+                    (unsigned char)((lastbyte >> lastbits) & 0xff));
+            }
+        }
+        if (num_of_bits > 0) {
+            lastbyte = (lastbyte << num_of_bits)
+                       | (v & ((1u << num_of_bits) - 1));
+            lastbits += num_of_bits;
+            while (lastbits >= 8) {
+                lastbits -= 8;
+                out.push_back(
+                    (unsigned char)((lastbyte >> lastbits) & 0xff));
+            }
         }
     }
 
@@ -281,6 +299,12 @@ bool decode_coords(FILE* f, int natoms, float* xyz) {
         if (!read_be_i32(f, &maxint[i])) return false;
     }
     if (!read_be_i32(f, &smallidx)) return false;
+    // smallidx comes straight from the file: reject out-of-table or
+    // zero-size values before they index magicints[] or divide by a
+    // zero sizesmall (review finding: OOB read / SIGFPE on corrupt
+    // input)
+    if (smallidx < FIRSTIDX || smallidx >= N_MAGICINTS - 1)
+        return false;
 
     unsigned int sizeint[3], sizesmall[3];
     int bitsizeint[3] = {0, 0, 0};
@@ -348,6 +372,11 @@ bool decode_coords(FILE* f, int natoms, float* xyz) {
         }
         if (run > 0) {
             for (int k = 0; k < run; k += 3) {
+                if (i >= lsize)
+                    // a run crossing the final atom would write past
+                    // the caller's exactly-sized buffer (review
+                    // finding: heap corruption on crafted input)
+                    return false;
                 br.ints(3, smallidx, sizesmall, thiscoord);
                 i++;
                 thiscoord[0] += prevcoord[0] - smallnum;
@@ -381,6 +410,7 @@ bool decode_coords(FILE* f, int natoms, float* xyz) {
             *lfp++ = thiscoord[2] * inv_precision;
         }
         smallidx += is_smaller;
+        if (smallidx < 0 || smallidx >= N_MAGICINTS - 1) return false;
         if (is_smaller < 0) {
             smallnum = smaller;
             if (smallidx > FIRSTIDX) {
@@ -600,7 +630,17 @@ long xtc_write(const char* path, long natoms, long n_frames,
         write_be_i32(f, nbytes);
         long padded = (nbytes + 3L) & ~3L;
         bw.out.resize(padded, 0);
-        fwrite(bw.out.data(), 1, padded, f);
+        if (fwrite(bw.out.data(), 1, padded, f) != (size_t)padded) {
+            fclose(f);
+            return -1;
+        }
+    }
+    // buffered writes latch errors (e.g. ENOSPC) on the stream:
+    // surface them instead of reporting a truncated file as success
+    // (review finding)
+    if (fflush(f) != 0 || ferror(f)) {
+        fclose(f);
+        return -1;
     }
     fclose(f);
     return n_frames;

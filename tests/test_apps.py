@@ -726,3 +726,49 @@ def test_shannon_entropy_offset_and_multichain_numbering(tmp_path):
     assert len(norm) == 3
     assert resi.tolist() == [100.0, 101.0, 102.0]
     assert np.all(norm > 0)
+
+
+def test_cluster_random_state_reaches_kmedoids(tmp_path):
+    """--random-state seeds kmedoids medoid proposals (r5 review: the
+    kwarg was silently dropped for KMedoids, leaving the documented
+    flag a no-op)."""
+    files = _feature_files(tmp_path, 'npy')
+
+    def run(tag):
+        sub = tmp_path / tag
+        sub.mkdir()
+        _, assignments, _ = _run_feature_cluster(
+            sub, files,
+            ['--algorithm', 'kmedoids', '--cluster-number', '2',
+             '--cluster-iterations', '2',
+             '--cluster-distance', 'euclidean'])
+        a = ra.load(assignments)
+        return np.concatenate([np.asarray(a[i]) for i in range(2)])
+
+    # _run_feature_cluster always passes --random-state 0: two runs
+    # must now be identical (they were not while the kwarg was
+    # dropped for kmedoids)
+    np.testing.assert_array_equal(run('r1'), run('r2'))
+
+
+def test_smfret_apps_require_subcommand():
+    """No subcommand -> usage error, not AttributeError (r5 review)."""
+    import pytest
+    from enspara_tpu.apps import smFRET_dye_MC, smFRET_point_clouds
+
+    for mod in (smFRET_dye_MC, smFRET_point_clouds):
+        with pytest.raises(SystemExit):
+            mod.main([])
+
+
+def test_collect_cards_rejects_multiple_groups(tmp_path):
+    import pytest
+    from enspara_tpu.apps import collect_cards
+    from enspara_tpu.exception import ImproperlyConfigured
+
+    with pytest.raises((ImproperlyConfigured, SystemExit)):
+        collect_cards.main([
+            '--trajectories', 'a.xtc', '--topology', 'a.pdb',
+            '--trajectories', 'b.xtc', '--topology', 'b.pdb',
+            '--matrices', str(tmp_path / 'm.pkl'),
+            '--buffer-size', '15'])

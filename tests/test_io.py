@@ -671,3 +671,41 @@ def test_two_pools_do_not_clobber():
         np.testing.assert_array_equal(get2(), B)
     finally:
         p1.terminate(); p2.terminate()
+
+
+def test_xtc_large_range_high_precision_roundtrip(tmp_path):
+    """Quantized spans beyond 2^24 exercise the bitsize==0 encoder
+    path whose >24-bit writes previously overflowed the bit
+    accumulator (r5 review) — the stream must round-trip."""
+    from enspara_tpu.io.xtc import write_xtc, load_xtc
+
+    rng = np.random.default_rng(5)
+    top = make_topology(2)
+    n_at = top.n_atoms
+    xyz = (rng.random((3, n_at, 3)).astype(np.float32) * 40.0)  # 40 nm
+    traj = io.Trajectory(xyz, top)
+    p = str(tmp_path / 'wide.xtc')
+    write_xtc(p, traj, precision=1e6)
+    back = load_xtc(p)
+    assert_allclose(back.xyz, xyz, atol=2e-5)
+
+
+def test_xtc_corrupt_smallidx_rejected(tmp_path):
+    """A corrupt smallidx must fail loudly, not index out of the
+    magicints table or divide by zero (r5 review)."""
+    from enspara_tpu.io.xtc import write_xtc
+    from enspara_tpu import io as io_mod
+
+    traj = make_traj(n_frames=2, n_res=30)
+    p = str(tmp_path / 'ok.xtc')
+    write_xtc(p, traj)
+    data = bytearray(open(p, 'rb').read())
+    # frame layout: magic,natoms,step,time + 9*box + natoms + prec +
+    # 3*minint + 3*maxint + smallidx -> smallidx at byte offset 4*21
+    off = 4 * 21
+    data[off:off + 4] = (10 ** 6).to_bytes(4, 'big')
+    bad = str(tmp_path / 'bad.xtc')
+    open(bad, 'wb').write(bytes(data))
+    # graceful truncation: the corrupt frame is rejected (previously
+    # an out-of-bounds magicints read), yielding zero frames
+    assert io_mod.load(bad).n_frames == 0
