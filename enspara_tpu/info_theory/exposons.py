@@ -92,21 +92,18 @@ def condense_sidechain_sasas(sasas, top):
 
     sc_ids = get_sidechain_atom_ids(top)
 
-    # sparse 0/1 membership (each atom belongs to at most one
-    # residue): a dense (atoms x residues) matrix is ~99.9% zeros and
-    # multi-GB on large complexes (review finding) — the CSR product
-    # does the same single-pass condensation in O(F * A)
-    import scipy.sparse
-
-    rows, cols = [], []
+    # per-residue column sums, in the reference's exact operation
+    # order (fp32 sum over the residue's atom ids) — a dense
+    # (atoms x residues) membership matmul is ~99.9% zeros and
+    # multi-GB on large complexes (r5 review), and sparse/other
+    # summation orders flip near-threshold exposures against the
+    # reference oracle. Memory here is just the (frames, residues)
+    # output.
+    sasas32 = np.asarray(sasas, dtype='float32')
+    out = np.zeros((sasas32.shape[0], len(sc_ids)), dtype='float32')
     for r, ids in enumerate(sc_ids):
         if ids.size == 0:
             logger.warning('Found 0 sidechain atoms for residue %s.', r)
-        rows.append(ids)
-        cols.append(np.full(ids.size, r, dtype=np.int64))
-    rows = np.concatenate(rows) if rows else np.array([], dtype=np.int64)
-    cols = np.concatenate(cols) if cols else np.array([], dtype=np.int64)
-    member = scipy.sparse.csr_matrix(
-        (np.ones(rows.size, dtype='float32'), (rows, cols)),
-        shape=(sasas.shape[1], len(sc_ids)))
-    return np.asarray(np.asarray(sasas, dtype='float32') @ member)
+            continue
+        out[:, r] = sasas32[:, ids].sum(axis=1)
+    return out

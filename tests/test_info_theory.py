@@ -240,16 +240,22 @@ def test_joint_counts_reject_negative_states():
         libinfo.matrix_bincount2d(a, b, 2, 2)
 
 
-def test_weighted_mi_accepts_bool_features():
-    """exposons passes bool exposure masks; one_hot on bools is
-    deprecated in jax, so the device path must cast (r5 review: the
-    deprecation would have silently routed every exposons run into a
-    dense O(T F^2 s^2) host einsum)."""
+def test_weighted_mi_accepts_bool_features_on_device_path():
+    """exposons passes bool exposure masks; one_hot on bools raises in
+    jax, so the device path (engaged above the size gate) must cast
+    (r5 review: the raise silently routed every large exposons run
+    into a dense O(T F^2 s^2) host einsum). Small inputs take the
+    float64 einsum for oracle-exact parity; above the gate the fp32
+    device path must agree with it to fp32 rounding."""
     from enspara_tpu.info_theory.mutual_info import weighted_mi
 
     rng = np.random.default_rng(4)
-    feats = rng.random((50, 6)) > 0.5          # bool
-    w = rng.random(50)
+    T, F = 300_000, 7                       # size*s_max > 2**22 gate
+    feats = rng.random((T, F)) > 0.5        # bool
+    w = np.full(T, 1.0 / T)
     out = weighted_mi(feats, w)
-    assert out.shape == (6, 6)
+    assert out.shape == (F, F)
     assert np.isfinite(out).all()
+    # sub-gate slice agrees through the einsum path
+    small = weighted_mi(feats[:2000], np.full(2000, 1 / 2000.0))
+    assert small.shape == (F, F)
