@@ -33,7 +33,7 @@ def _xlogy(x, y):
     return scipy.special.xlogy(x, y)
 
 
-def _merge_bayes_factors(c1, w1, c2_rows, w2, cap=None):
+def _merge_bayes_factors(c1, w1, c2_rows, w2):
     """Bayes factors for merging profile (c1, w1) with each row of
     (c2_rows, w2): D = sum c1 log(p1/cp) + sum c2 log(p2/cp).
     (vectorized form of reference bace.py:235 multiDistHelper)

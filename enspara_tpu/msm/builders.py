@@ -19,6 +19,7 @@ import numpy as np
 import scipy.sparse
 
 from ..citation import cite
+from ..exception import ConvergenceWarning
 from .transition_matrices import eq_probs
 from .libmsm import _mle_prinz_dense
 
@@ -150,6 +151,13 @@ def mle_device(C, prior_counts=None, calculate_eq_probs=True,
     else:
         C_arr = np.asarray(C_in, dtype=np.float32)
         recast = np.array
+    if (C_arr.sum(axis=1) <= 0).any() \
+            or ((C_arr + C_arr.T).sum(axis=1) <= 0).any():
+        # match the host kernel's contract: a zero-count state would
+        # otherwise NaN-poison T silently (0/0 row) — r5 review
+        raise ValueError(
+            'Prinz MLE requires every state to have at least one '
+            'transition. Trim disconnected states first.')
 
     Cj = jnp.asarray(C_arr)
     C_rs = jnp.sum(Cj, axis=1)
@@ -182,8 +190,42 @@ def mle_device(C, prior_counts=None, calculate_eq_probs=True,
         X_new = jnp.where(off, 0.5 * X + 0.5 * v, X)
         return X_new
 
-    X0 = Csym
-    X = jax.lax.fori_loop(0, max_iter, sweep, X0)
+    def logl_of(X):
+        # the host kernels' stopping metric (reference libmsm.pyx:46,
+        # incl. its log10 base and off-diagonal divide-outside-the-log
+        # quirk), vectorized
+        X_rs = jnp.sum(X, axis=1)
+        d = jnp.diag(X)
+        diag_term = jnp.sum(jnp.where(
+            d > 0, jnp.diag(Cj) * jnp.log10(
+                jnp.maximum(d, 1e-300) / X_rs), 0.0))
+        off = ~jnp.eye(X.shape[0], dtype=bool)
+        off_term = jnp.sum(jnp.where(
+            off & (X > 0),
+            Cj * jnp.log10(jnp.maximum(X, 1e-300)) / X_rs[:, None],
+            0.0))
+        return diag_term + off_term
+
+    def cond(state):
+        i, _, dl = state
+        return (i < max_iter) & (dl > tol)
+
+    def step(state):
+        i, X, _ = state
+        old = logl_of(X)
+        X = sweep(i, X)
+        return i + 1, X, jnp.abs(logl_of(X) - old)
+
+    # tol-driven stopping (r5 review: tol was dead and every call paid
+    # all max_iter sweeps)
+    n_done, X, delta = jax.lax.while_loop(
+        cond, step, (jnp.int32(0), Csym, jnp.float32(jnp.inf)))
+    if int(n_done) >= max_iter and float(delta) > tol:
+        warnings.warn(
+            'Prinz MLE (device) reached max_iter=%d without the '
+            'log-likelihood change dropping below tol=%g (last '
+            'change %g)' % (max_iter, tol, float(delta)),
+            ConvergenceWarning)
     X_rs = jnp.sum(X, axis=1)
     T = X / X_rs[:, None]
     pi = X_rs / jnp.sum(X_rs)

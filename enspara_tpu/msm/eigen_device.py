@@ -206,9 +206,17 @@ def _transpose_tail_fn(n, k):
         pi = row_mass / row_mass.sum()
         # similarity transform of T = sym/row_mass under D = diag(sqrt
         # pi): S_ij = sqrt(pi_i) T_ij / sqrt(pi_j); symmetric for the
-        # transpose builder by construction, re-symmetrized for fp
+        # transpose builder by construction, re-symmetrized for fp.
+        # Zero-count states (max_n_states padding) must divide safely:
+        # their S row/col stays zero instead of NaN-poisoning eigh
+        # (the same guard _batched_lags_impl carries)
         sq = jnp.sqrt(pi)
-        S = (sq[:, None] * (sym / row_mass[:, None])) / sq[None, :]
+        inv_mass = jnp.where(row_mass > 0,
+                             1.0 / jnp.where(row_mass > 0, row_mass,
+                                             1.0), 0.0)
+        inv_sq = jnp.where(sq > 0,
+                           1.0 / jnp.where(sq > 0, sq, 1.0), 0.0)
+        S = (sq[:, None] * (sym * inv_mass[:, None])) * inv_sq[None, :]
         w, u = jnp.linalg.eigh((S + S.T) * 0.5)
         w = w[::-1][:k]
         phi = sq[:, None] * u[:, ::-1][:, :k]
@@ -824,6 +832,7 @@ def implied_timescales_device(assigns, lag_times, method, n_times=None,
     builders.transpose). Falls back to the host path per-lag when
     reversibility can't be established.
     """
+    from ..tpt.core import _is_reversible
     from .transition_matrices import assigns_to_counts, trim_disconnected
 
     if hasattr(assigns, '_data'):
@@ -843,8 +852,24 @@ def implied_timescales_device(assigns, lag_times, method, n_times=None,
         if trim:
             _, C = trim_disconnected(C)
         _, T, pi = method(C)
-        vals, _ = eigenspectrum_reversible(T, pi=pi,
-                                           n_eigs=n_times + 1)
-        out.append(-lag / np.log(np.clip(vals[1:n_times + 1],
-                                         1e-300, None)))
+        # the symmetrized device solver silently CHANGES the spectrum
+        # of a non-reversible T (r5 review): honor the documented
+        # fallback by checking detailed balance before using it
+        T_csr = (T if scipy.sparse.issparse(T)
+                 else scipy.sparse.csr_matrix(np.asarray(T)))
+        if pi is None or np.any(np.asarray(pi) <= 0) \
+                or not _is_reversible(T_csr, np.asarray(pi)):
+            from .transition_matrices import eigenspectrum
+            vals = eigenspectrum(T, n_eigs=n_times + 1)[0]
+        else:
+            vals, _ = eigenspectrum_reversible(T, pi=pi,
+                                               n_eigs=n_times + 1)
+        vals = np.asarray(vals[1:n_times + 1], dtype=np.float64)
+        # negative eigenvalues mean the timescale is undefined: NaN,
+        # exactly as the host path reports (a clipped tiny-positive
+        # value would masquerade as a real fast timescale — r5 review)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            ts = -lag / np.log(vals)
+        ts[~(vals > 0)] = np.nan
+        out.append(ts)
     return np.array(out)

@@ -94,7 +94,10 @@ def _mle_prinz_dense_py(C, tol=1e-10, max_iter=10**5):
                 X[i, i] = C[i, i] * (X_rs[i] - X[i, i]) / denom
             X_rs[i] += (X[i, i] - tmp)
             if X[i, i] > 0:
-                logl += C[i, i] * np.log(X[i, i] / X_rs[i])
+                # reference uses log10 for the stopping metric
+                # (libmsm.pyx:46) — the base changes which sweep
+                # crosses tol, so match it exactly
+                logl += C[i, i] * np.log10(X[i, i] / X_rs[i])
 
         for i in range(n - 1):
             for j in range(i + 1, n):
@@ -117,8 +120,8 @@ def _mle_prinz_dense_py(C, tol=1e-10, max_iter=10**5):
                 X[j, i] = v
 
                 if v > 0:
-                    logl += (C[i, j] * np.log(v) / X_rs[i]
-                             + C[j, i] * np.log(v) / X_rs[j])
+                    logl += (C[i, j] * np.log10(v) / X_rs[i]
+                             + C[j, i] * np.log10(v) / X_rs[j])
 
         if abs(logl - oldlogl) > tol:
             oldlogl = logl

@@ -228,6 +228,13 @@ class MSM(object):
                         zf.write(os.path.join(staging, fn), fn)
                 return
 
-            if force and os.path.isdir(path):
-                shutil.rmtree(path)
+            if os.path.exists(path):
+                if not force:
+                    raise DataInvalid(
+                        '%s exists; pass force=True to overwrite'
+                        % path)
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                else:                     # e.g. a prior zip-format save
+                    os.remove(path)
             shutil.copytree(staging, path)

@@ -236,14 +236,18 @@ def assigns_to_counts_device(assigns_padded, mask, lag_time, n_states,
         raise exception.DataInvalid(
             'lag_time must be a positive integer; got %r' % (lag_time,))
     if isinstance(assigns_padded, np.ndarray) \
-            and assigns_padded.size \
-            and assigns_padded.max(initial=-1) >= n_states:
+            and isinstance(mask, np.ndarray) and assigns_padded.size:
         # the host coo path raises on out-of-range states; the device
         # bincount would silently DROP them — validate host inputs up
-        # front (device-resident inputs are the caller's contract)
-        raise exception.DataInvalid(
-            'assignment id %d >= n_states=%d'
-            % (int(assigns_padded.max()), n_states))
+        # front (device-resident inputs are the caller's contract).
+        # Only MASKED-IN cells count: sentinel values under mask=False
+        # are legal padding (r5 review)
+        masked_max = int(np.max(assigns_padded, initial=-1,
+                                where=mask.astype(bool)))
+        if masked_max >= n_states:
+            raise exception.DataInvalid(
+                'assignment id %d >= n_states=%d'
+                % (masked_max, n_states))
     a = jnp.asarray(assigns_padded, jnp.int32)
     m = jnp.asarray(mask, bool)
     start = a[:, :-lag_time]
@@ -277,6 +281,20 @@ def assigns_to_counts_sharded(assigns_padded, mask, lag_time, n_states,
         mesh = pmesh.frame_mesh()
     a = np.asarray(assigns_padded)
     m = np.asarray(mask, dtype=bool)
+    if a.size:
+        # inside shard_map the operands are traced, so the device
+        # variant's host validation never fires — run it here on the
+        # numpy inputs (r5 review: out-of-range ids were silently
+        # dropped from the sharded counts)
+        if not isinstance(lag_time, (int, np.integer)) or lag_time < 1:
+            raise exception.DataInvalid(
+                'lag_time must be a positive integer; got %r'
+                % (lag_time,))
+        masked_max = int(np.max(a, initial=-1, where=m))
+        if masked_max >= n_states:
+            raise exception.DataInvalid(
+                'assignment id %d >= n_states=%d'
+                % (masked_max, n_states))
     n_traj = a.shape[0]
     pad = (-n_traj) % mesh.size
     if pad:

@@ -61,7 +61,9 @@ long mle_prinz_dense(const double* Cin, long n, double tol, long max_iter,
             }
             X_rs[i] += (X[i * n + i] - tmp);
             if (X[i * n + i] > 0.0) {
-                logl += C[i * n + i] * std::log(X[i * n + i] / X_rs[i]);
+                // log10: the reference's stopping metric base
+                // (libmsm.pyx:46)
+                logl += C[i * n + i] * std::log10(X[i * n + i] / X_rs[i]);
             }
         }
 
@@ -99,8 +101,8 @@ long mle_prinz_dense(const double* Cin, long n, double tol, long max_iter,
                     // c*log(x/X_rs)). logl is only the stopping
                     // metric, so we keep the exact convention for
                     // oracle parity.
-                    logl += cij * std::log(v) / X_rs[i]
-                          + cji * std::log(v) / X_rs[j];
+                    logl += cij * std::log10(v) / X_rs[i]
+                          + cji * std::log10(v) / X_rs[j];
                 }
             }
         }

@@ -367,3 +367,73 @@ def test_bucketed_ell_shape_identity():
         n_pad, w_pad = bucketed_ell_shape(n, 17)
         assert n_pad >= n and (n_pad - n) / n < 0.13
         assert w_pad >= 17 and w_pad % 8 == 0
+
+
+def test_transpose_tail_zero_count_states():
+    """max_n_states padding routinely leaves zero-count rows; the
+    fused tail must not NaN-poison the spectrum (r5 review)."""
+    from enspara_tpu.msm.eigen_device import transpose_timescales_device
+
+    C = np.array([[5, 2, 0], [1, 4, 0], [0, 0, 0]], dtype=np.float64)
+    ts, vals, vecs = transpose_timescales_device(C, n_eigs=2)
+    assert np.isfinite(np.asarray(vals)).all()
+    assert np.isfinite(np.asarray(ts)).all()
+    # agrees with the host engine on the live 2x2 block
+    from enspara_tpu.msm import builders
+    from enspara_tpu.msm.eigen_device import eigenspectrum_reversible
+    _, T, pi = builders.transpose(C[:2, :2])
+    ref_vals, _ = eigenspectrum_reversible(T, pi=pi, n_eigs=2,
+                                           method='eigh')
+    np.testing.assert_allclose(np.asarray(vals)[:2], ref_vals,
+                               atol=1e-5)
+
+
+def test_implied_timescales_device_nonreversible_fallback():
+    """builders.normalize produces non-reversible T: the device path
+    must fall back to the general host eigensolver instead of
+    force-symmetrizing the spectrum (r5 review), and negative
+    eigenvalues must yield NaN like the host path."""
+    from enspara_tpu.msm import builders
+    from enspara_tpu.msm.eigen_device import implied_timescales_device
+    from enspara_tpu.msm.timescales import implied_timescales
+
+    rng = np.random.default_rng(2)
+    # strongly non-reversible cyclic chain
+    a = np.zeros(600, dtype=int)
+    state = 0
+    for i in range(600):
+        a[i] = state
+        state = (state + 1) % 4 if rng.random() < 0.9 \
+            else rng.integers(4)
+    a = a[None, :]
+
+    dev = implied_timescales_device(a, [1, 2], builders.normalize,
+                                    n_times=2)
+    host = implied_timescales(a, [1, 2], builders.normalize, n_times=2)
+    np.testing.assert_allclose(dev, host, rtol=1e-4, equal_nan=True)
+
+
+def test_mle_device_contracts():
+    """Zero-count states raise like the host kernel (instead of a
+    silent NaN T), and tol actually stops the sweep loop
+    (r5 review)."""
+    import warnings
+
+    import pytest
+    from enspara_tpu.exception import ConvergenceWarning
+    from enspara_tpu.msm import builders
+
+    with pytest.raises(ValueError, match='[Tt]rim'):
+        builders.mle_device(np.array([[2.0, 0.0], [0.0, 0.0]]))
+
+    rng = np.random.default_rng(0)
+    C = rng.integers(1, 50, size=(12, 12)).astype(float)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        builders.mle_device(C, tol=1e-30, max_iter=1)
+    assert any(isinstance(x.message, ConvergenceWarning) for x in w)
+    # converged result still matches the host kernel
+    _, T_dev, pi_dev = builders.mle_device(C)
+    _, T_host, pi_host = builders.mle(C)
+    np.testing.assert_allclose(np.asarray(T_dev), np.asarray(T_host),
+                               atol=5e-4)

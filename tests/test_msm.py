@@ -457,3 +457,59 @@ def test_msm_zip_save_force_replaces_directory(tmp_path):
         m.save(path, zipfile=True)       # refuses without force
     m.save(path, zipfile=True, force=True)   # replaces the dir
     assert msm.MSM.load(path) == m
+
+
+def test_sharded_counts_validate_state_range():
+    """Out-of-range ids were silently dropped inside shard_map; the
+    sharded front door now validates the numpy inputs up front
+    (r5 review)."""
+    from enspara_tpu.msm.transition_matrices import \
+        assigns_to_counts_sharded
+
+    a = np.array([[0, 1, 5, 1]])
+    m = np.ones_like(a, dtype=bool)
+    with pytest.raises(exception.DataInvalid, match='>= n_states'):
+        assigns_to_counts_sharded(a, m, 1, n_states=3)
+
+
+def test_device_counts_allow_masked_sentinels():
+    """Sentinel values under mask=False are legal padding; validation
+    must only consider masked-in cells (r5 review)."""
+    from enspara_tpu.msm.transition_matrices import (
+        assigns_to_counts, assigns_to_counts_device)
+
+    a = np.array([[0, 1, 1, 999], [1, 0, 1, 999]])
+    m = np.array([[True, True, True, False],
+                  [True, True, True, False]])
+    C = np.asarray(assigns_to_counts_device(a, m, 1, 2))
+    ref = assigns_to_counts(
+        np.where(m, a, -1), lag_time=1, max_n_states=2).toarray()
+    # device drops gap-spanning pairs; with the gap at the tail the
+    # two agree exactly
+    np.testing.assert_array_equal(C, ref)
+
+
+def test_msm_save_force_replaces_file(tmp_path):
+    """force=True replaces a prior zip-format save with a directory
+    save (r5 review: rmtree only fired for directories)."""
+    from enspara_tpu.msm import MSM, builders
+
+    assigns = np.array([[0, 1, 0, 1, 1, 0]])
+    m = MSM(lag_time=1, method=builders.transpose)
+    m.fit(assigns)
+    import os
+    path = str(tmp_path / 'model')
+    m.save(path, zipfile=True)
+    assert os.path.isfile(path)
+    m.save(path, force=True)              # dir-mode over the old file
+    assert os.path.isdir(path)
+    m2 = MSM.load(path)
+    np.testing.assert_allclose(np.asarray(m2.tprobs_.todense())
+                               if hasattr(m2.tprobs_, 'todense')
+                               else np.asarray(m2.tprobs_),
+                               np.asarray(m.tprobs_.todense())
+                               if hasattr(m.tprobs_, 'todense')
+                               else np.asarray(m.tprobs_))
+    # without force, a clear DataInvalid
+    with pytest.raises(exception.DataInvalid, match='force'):
+        m.save(path)
