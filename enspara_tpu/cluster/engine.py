@@ -197,14 +197,24 @@ def kcenters_device(X, metric='euclidean', n_clusters=None,
         # forces this path (interpret mode off TPU — e.g. small jobs
         # rerouted to the CPU mesh — so the flag gives the same
         # covering on every backend).
-        return kcenters_device_fused(
-            X, n_clusters=n_clusters, dist_cutoff=dist_cutoff,
-            k_max=k_max, init_distances=init_distances,
-            init_assignments=init_assignments,
-            n_init_centers=n_init_centers,
-            init_center_indices=init_center_indices,
-            mesh=mesh if mesh.size > 1 else None,
-            precision=precision, sort=sort)
+        def _run_fused():
+            return kcenters_device_fused(
+                X, n_clusters=n_clusters, dist_cutoff=dist_cutoff,
+                k_max=k_max, init_distances=init_distances,
+                init_assignments=init_assignments,
+                n_init_centers=n_init_centers,
+                init_center_indices=init_center_indices,
+                mesh=mesh if mesh.size > 1 else None,
+                interpret=(platform != 'tpu'),
+                precision=precision, sort=sort)
+
+        if mesh.size == 1:
+            # honor a PINNED 1-device mesh: without this, a caller who
+            # routed a job to a specific chip (or to CPU) would have
+            # the fused path land on the default device (r5 review)
+            with jax.default_device(mesh.devices.flat[0]):
+                return _run_fused()
+        return _run_fused()
     if precision not in (None, 'fp32'):
         raise ValueError("precision='bf16' requires metric='rmsd' on "
                          "a TPU backend (the bf16 stream lives in the "
@@ -612,6 +622,11 @@ def _kcenters_loop_fused_sharded(frames_r, g, dist, assig, n_start,
         imax = jnp.iinfo(jnp.int32).max
 
         def global_best(d):
+            # same tie-break contract as parallel.ops.global_argmax
+            # (smallest global index among maxima = serial np.argmax);
+            # kept inline because the engine's arrays are frame-MINOR
+            # (1, n_local) columns, not the (n_local,) rows that
+            # helper takes — change one, check the other
             la = jnp.argmax(d[0]).astype(jnp.int32)
             lv = d[0, la]
             start = (jax.lax.axis_index(FRAME_AXIS) * n_local) \

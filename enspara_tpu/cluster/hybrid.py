@@ -72,12 +72,14 @@ def hybrid(X, distance_method, n_iters=5, n_clusters=None,
         return result
 
     metric = util._get_distance_method(distance_method)
+    # the caller's mesh pin must reach the PAM stage too (r5 review:
+    # the device sweeps fell back to a mesh over ALL devices)
     return _kmedoids_iterations(
         X, metric, n_iters,
         list(np.asarray(result.center_indices)),
         np.asarray(result.assignments),
         np.asarray(result.distances),
-        random_state=random_state)
+        random_state=random_state, mesh=mesh)
 
 
 def hybrid_device(X, metric='rmsd', n_iters=5, n_clusters=None,

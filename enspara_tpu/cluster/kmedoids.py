@@ -96,7 +96,7 @@ class KMedoids(util.MolecularClusterMixin):
 
 def kmedoids(X, distance_method, n_clusters=None, n_iters=5,
              assignments=None, distances=None, cluster_center_inds=None,
-             proposals=None, random_state=None):
+             proposals=None, random_state=None, mesh=None):
     """Functional k-medoids (reference: cluster/kmedoids.py:108).
 
     Cold start: picks ``n_clusters`` random frames as medoids. Warm
@@ -116,7 +116,12 @@ def kmedoids(X, distance_method, n_clusters=None, n_iters=5,
         X, metric, n_clusters, assignments, distances,
         cluster_center_inds, random_state)
 
-    if not np.all(np.asarray(distances)[cluster_center_inds] < 1e-3):
+    # fp32 kernel self-distance noise scales with the data magnitude
+    # (QCP: ~sqrt(G*eps32/n_atoms)); a fixed 1e-3 absolute gate
+    # rejected valid warm starts on large-magnitude data (r5 review)
+    gate = max(1e-3, 1e-5 * float(np.max(np.abs(np.asarray(
+        distances)))) if np.asarray(distances).size else 1e-3)
+    if not np.all(np.asarray(distances)[cluster_center_inds] < gate):
         raise DataInvalid(
             'Warm-start assignments/distances are inconsistent with '
             'centers drawn from X: the recovered center frames sit '
@@ -127,7 +132,22 @@ def kmedoids(X, distance_method, n_clusters=None, n_iters=5,
 
     return _kmedoids_iterations(
         X, metric, n_iters, cluster_center_inds, assignments, distances,
-        proposals=proposals, random_state=random_state)
+        proposals=proposals, random_state=random_state, mesh=mesh)
+
+
+def _assign_to_inds(X, metric, center_inds):
+    """Assign every frame to the centers at ``center_inds`` — the
+    batched device scan for named metrics (one call, one data pass —
+    the host per-center-block loop cost minutes of init at 1M frames,
+    r5 review), the reference-semantics host loop otherwise."""
+    name = util._metric_name(metric)
+    if name is not None:
+        from . import engine
+        xyz = X.xyz if hasattr(X, 'xyz') else np.asarray(X)
+        return engine.assign_device(xyz, xyz[np.asarray(center_inds)],
+                                    name)
+    return util.assign_to_nearest_center(
+        X, [X[i] for i in center_inds], metric)
 
 
 def _inputs_tree(X, metric, n_clusters, assignments, distances,
@@ -139,21 +159,22 @@ def _inputs_tree(X, metric, n_clusters, assignments, distances,
             and distances is None):
         cluster_center_inds = random_state.choice(
             len(X), size=n_clusters, replace=False)
-        assignments, distances = util.assign_to_nearest_center(
-            X, [X[i] for i in cluster_center_inds], metric)
+        assignments, distances = _assign_to_inds(
+            X, metric, cluster_center_inds)
     elif cluster_center_inds is None:
         cluster_center_inds = util.find_cluster_centers(
             assignments, distances)
     elif assignments is None or distances is None:
-        assignments, distances = util.assign_to_nearest_center(
-            X, [X[i] for i in cluster_center_inds], metric)
+        assignments, distances = _assign_to_inds(
+            X, metric, cluster_center_inds)
     return (np.asarray(assignments), np.asarray(distances),
             list(np.asarray(cluster_center_inds)))
 
 
 def _kmedoids_iterations(X, metric, n_iters, cluster_center_inds,
                          assignments, distances, proposals=None,
-                         random_state=None, backend='auto'):
+                         random_state=None, backend='auto',
+                         mesh=None):
     """(reference: kmedoids.py:410)
 
     ``backend='auto'`` runs the sweeps fully on device
@@ -186,12 +207,19 @@ def _kmedoids_iterations(X, metric, n_iters, cluster_center_inds,
             X_dev, metric_name, np.asarray(assignments),
             np.asarray(distances, dtype=np.float64),
             np.asarray(cluster_center_inds),
-            n_sweeps=n_iters, seed=int(rs.randint(2 ** 31)))
+            n_sweeps=n_iters, seed=int(rs.randint(2 ** 31)),
+            mesh=mesh)
         return util.ClusterResult(
             center_indices=list(m), assignments=a, distances=d,
             centers=util.gather_frames(X, m))
 
-    result = None
+    # n_iters=0 returns the warm-start state, matching the device
+    # path (r5 review: the host path returned None)
+    result = util.ClusterResult(
+        center_indices=cluster_center_inds,
+        assignments=assignments,
+        distances=distances,
+        centers=util.gather_frames(X, cluster_center_inds))
     for i in range(n_iters):
         cluster_center_inds, distances, assignments, centers = \
             _kmedoids_pam_update(

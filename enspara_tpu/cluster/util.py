@@ -233,7 +233,11 @@ def load_features(features, stride):
         if isinstance(data, ra.RaggedArray):
             return list(data.lengths), data._data
         return [len(data)], np.asarray(data)
-    rows = [np.load(f)[::stride] for f in features]
+    # mmap: a 20 GB file with --subsample 10 must not page fully
+    # through RAM to keep 2 GB (r5 review; parallel/io.py's
+    # loader already reads npy stripes this way)
+    rows = [np.asarray(np.load(f, mmap_mode='r')[::stride])
+            for f in features]
     inner = set(r.shape[1:] for r in rows)
     if len(inner) > 1:
         raise DataInvalid(
@@ -401,9 +405,27 @@ def write_assignments_and_distances_with_reassign(result, args,
         _save(args.distances, result.distances)
         _save(args.assignments, result.assignments)
     elif not args.no_reassign:
-        assig, dist = reassign(
-            args.topologies, args.trajectories, args.atoms,
-            centers=result.centers)
+        if getattr(args, 'features', None):
+            # feature runs: reload the FULL (unsubsampled) features and
+            # batch-assign to the centers. (The reference reaches its
+            # trajectory-only reassign() here and crashes on the None
+            # topologies — r5 review.)
+            lengths, data = load_features(args.features, stride=1)
+            name = _metric_name(args.cluster_distance)
+            if name is not None:
+                from . import engine
+                assig_flat, dist_flat = engine.assign_device(
+                    data, np.asarray(result.centers), name)
+            else:
+                assig_flat, dist_flat = assign_to_nearest_center(
+                    data, np.asarray(result.centers),
+                    _get_distance_method(args.cluster_distance))
+            assig = ra.RaggedArray(assig_flat, lengths=lengths)
+            dist = ra.RaggedArray(dist_flat, lengths=lengths)
+        else:
+            assig, dist = reassign(
+                args.topologies, args.trajectories, args.atoms,
+                centers=result.centers)
         _save(args.distances, dist)
         _save(args.assignments, assig)
     else:

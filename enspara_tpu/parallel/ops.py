@@ -202,10 +202,16 @@ def assemble_striped_array(local_arr):
         return local_arr
     stripes = _allgather_obj(local_arr)
     total = sum(len(s) for s in stripes)
-    out = np.zeros((total,) + np.asarray(local_arr).shape[1:],
-                   dtype=np.asarray(local_arr).dtype)
+    # output shape/dtype from an OWNER stripe, not the local one: a
+    # process whose stripe is empty holds a 1-D float64 np.array([])
+    # whose trailing dims/dtype disagree with the owners' data, which
+    # would crash (or dtype-diverge) that process alone (r5 review)
+    proto = next((np.asarray(s) for s in stripes if len(s)),
+                 np.asarray(local_arr))
+    out = np.zeros((total,) + proto.shape[1:], dtype=proto.dtype)
     for r, stripe in enumerate(stripes):
-        out[r::size] = stripe
+        if len(stripe):
+            out[r::size] = stripe
     return out
 
 
@@ -227,7 +233,11 @@ def assemble_striped_ragged_array(local_array, global_lengths):
         rows = ra_mod.RaggedArray(stripe,
                                   lengths=global_lengths[r::size])
         out[r::size] = rows
-    return out._data.astype(np.asarray(local_array).dtype)
+    # result dtype from an OWNER stripe so empty-stripe processes
+    # return the same dtype as everyone else (r5 review)
+    proto = next((np.asarray(s) for s in stripes if len(s)),
+                 np.asarray(local_array))
+    return out._data.astype(proto.dtype)
 
 
 def convert_local_indices(local_ctr_inds, global_lengths):

@@ -772,3 +772,19 @@ def test_collect_cards_rejects_multiple_groups(tmp_path):
             '--trajectories', 'b.xtc', '--topology', 'b.pdb',
             '--matrices', str(tmp_path / 'm.pkl'),
             '--buffer-size', '15'])
+
+
+def test_feature_cluster_subsample_reassigns(tmp_path):
+    """--features with --subsample > 1 must reassign the FULL feature
+    set (r5 review: the trajectory-only reassign() crashed on None
+    topologies and the run's outputs were lost)."""
+    files = _feature_files(tmp_path, 'npy')
+    _, assignments, _ = _run_feature_cluster(
+        tmp_path, files,
+        ['--algorithm', 'kcenters', '--cluster-number', '2',
+         '--cluster-distance', 'euclidean', '--subsample', '3'])
+    a = ra.load(assignments)
+    # reassignment covers EVERY frame, not the subsample
+    assert sum(len(np.asarray(a[i])) for i in range(2)) == 50
+    flat = np.concatenate([np.asarray(a[i]) for i in range(2)])
+    assert len(np.unique(flat)) == 2

@@ -162,3 +162,33 @@ def test_hybrid_device_end_to_end():
     labels = res.assignments
     assert len(np.unique(labels[:80])) == 1
     assert len(np.unique(labels[80:])) == 1
+
+
+def test_kmedoids_n_iters_zero_returns_warm_start():
+    """n_iters=0 returns the warm-start state on the host path too
+    (r5 review: it returned None while the device path returned a
+    ClusterResult)."""
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(60, 4)).astype(np.float32)
+    res = kmedoids(X, 'euclidean', n_clusters=3, n_iters=0,
+                   random_state=0)
+    assert res is not None
+    assert len(res.center_indices) == 3
+    assert res.assignments.shape == (60,)
+
+
+def test_hybrid_threads_mesh_to_pam_stage():
+    """A caller-pinned mesh must reach the k-medoids stage (r5 review:
+    the device sweeps silently fell back to a mesh over ALL
+    devices)."""
+    import jax
+    from jax.sharding import Mesh
+    from enspara_tpu.cluster.hybrid import hybrid
+    from enspara_tpu.parallel.mesh import FRAME_AXIS
+
+    mesh = Mesh(np.array(jax.devices()[:1]), (FRAME_AXIS,))
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(128, 4)).astype(np.float32)
+    res = hybrid(X, 'euclidean', n_iters=1, n_clusters=3,
+                 random_state=0, mesh=mesh)
+    assert len(res.center_indices) == 3

@@ -74,3 +74,31 @@ def test_allgather_obj_rejects_ndim_over_4():
     # 4-D and bool arrays are fine on the 1-process shortcut
     out = _allgather_obj(np.ones((2, 2), dtype=bool))
     assert out[0].dtype == np.dtype(bool)
+
+
+def test_assemble_striped_empty_stripe(monkeypatch):
+    """A process with an empty stripe (fewer items than processes)
+    must assemble with the OWNERS' shape/dtype instead of crashing or
+    dtype-diverging (r5 review)."""
+    from enspara_tpu.parallel import ops
+
+    stripes = [np.ones((1, 3), np.float32),
+               np.full((1, 3), 2.0, np.float32),
+               np.array([])]                    # this process's stripe
+    monkeypatch.setattr(ops, '_proc_info', lambda: (2, 3))
+    monkeypatch.setattr(ops, '_allgather_obj', lambda x: stripes)
+    out = ops.assemble_striped_array(np.array([]))
+    assert out.shape == (2, 3)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out[0], 1.0)
+    np.testing.assert_array_equal(out[1], 2.0)
+
+    # ragged: rows striped across 3 processes, this one empty
+    rstripes = [np.arange(2, dtype=np.float32),
+                np.arange(3, dtype=np.float32) + 10.0,
+                np.array([])]
+    monkeypatch.setattr(ops, '_allgather_obj', lambda x: rstripes)
+    flat = ops.assemble_striped_ragged_array(
+        np.array([]), global_lengths=[2, 3])
+    assert flat.dtype == np.float32
+    np.testing.assert_array_equal(flat, [0, 1, 10, 11, 12])
