@@ -20,8 +20,16 @@ __all__ = ['transitions', 'traj_ord_disord_times',
 
 
 def transitions(assignments):
-    """Frames at which a state transition occurs.
+    """Frames at which a state transition occurs. Accepts a 1-D array
+    (returns the transition frames), a 2-D array, or a RaggedArray with
+    unequal rows (returns a RaggedArray of per-row transition frames).
     (reference: disorder.py:9)"""
+    if isinstance(assignments, ra.RaggedArray):
+        d = assignments[:, 1:] - assignments[:, :-1]
+        rows, columns = ra.where(d != 0)
+        lengths = np.bincount(np.asarray(rows, dtype=np.intp),
+                              minlength=len(assignments))
+        return ra.RaggedArray(columns, lengths=lengths)
     assignments = np.asarray(assignments)
     if assignments.ndim == 1:
         d = assignments[1:] - assignments[:-1]
