@@ -63,7 +63,12 @@ def exposons_from_sasas(sasas, damping, weights, threshold):
 
 
 _BACKBONE_NAMES = frozenset(
-    ['N', 'C', 'CA', 'O', 'HA', 'H', 'H1', 'H2', 'H3', 'OXT'])
+    ['N', 'C', 'CA', 'O', 'HA', 'H', 'H1', 'H2', 'H3', 'OXT',
+     # C-terminal carboxylate synonyms: mdtraj's PDB loader renames
+     # these to O/OXT before the reference's name-based selection
+     # (exposons.py:154) ever sees them; our loader preserves source
+     # names, so the exclusion must list them explicitly
+     'OC1', 'OC2', 'OT1', 'OT2'])
 
 
 def get_sidechain_atom_ids(top):
