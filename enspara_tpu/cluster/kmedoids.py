@@ -59,8 +59,9 @@ def ctr_ids_mpi(cluster_center_inds, lengths):
         local = global_inds[rank::size]
         local_concat = np.concatenate(
             [np.asarray(r).reshape(-1) for r in local])
-        local_fid = int(np.flatnonzero(
-            local_concat == int(global_inds[traj_id, frame_id]))[0])
+        target = np.asarray(
+            global_inds[traj_id, frame_id]).reshape(-1)[0]
+        local_fid = int(np.flatnonzero(local_concat == target)[0])
         out.append((rank, local_fid))
     return out
 

@@ -788,3 +788,59 @@ def test_feature_cluster_subsample_reassigns(tmp_path):
     assert sum(len(np.asarray(a[i])) for i in range(2)) == 50
     flat = np.concatenate([np.asarray(a[i]) for i in range(2)])
     assert len(np.unique(flat)) == 2
+
+
+def test_kmedoids_warm_start_cli(tmp_path):
+    """kmedoids CLI warm start from kcenters outputs via the --init-*
+    flags (reference: test_apps_cluster.py:550 test_kmedoids_warm_start):
+    one PAM iteration must lower the mean-square cost, and every
+    medoid must come from the kcenters cluster it refines."""
+    from sklearn.datasets import make_blobs
+
+    from enspara_tpu.cluster import util as cutil
+    from enspara_tpu.cluster.kcenters import kcenters
+    from enspara_tpu.cluster.kmedoids import _msq
+
+    X, _ = make_blobs(n_samples=100, n_features=3, centers=3,
+                      center_box=(0, 100), random_state=3)
+    X = X.astype(np.float64)
+    lengths = [50, 30, 20]
+
+    result = kcenters(X, 'euclidean', n_clusters=3)
+
+    files = []
+    a = ra.RaggedArray(X, lengths=lengths)
+    for i in range(len(lengths)):
+        fn = str(tmp_path / ('w%d.npy' % i))
+        np.save(fn, np.asarray(a[i]))
+        files.append(fn)
+
+    init_assig = str(tmp_path / 'init_assignments.h5')
+    ra.save(init_assig, result.assignments)
+    init_dist = str(tmp_path / 'init_distances.h5')
+    ra.save(init_dist, result.distances)
+    init_ctrs = str(tmp_path / 'init_center_inds.npy')
+    np.save(init_ctrs, np.asarray(result.center_indices))
+
+    _, assignments, _ = _run_feature_cluster(
+        tmp_path, files,
+        ['--algorithm', 'kmedoids', '--cluster-number', '3',
+         '--cluster-iterations', '1',
+         '--cluster-distance', 'euclidean',
+         '--init-assignments', init_assig,
+         '--init-distances', init_dist,
+         '--init-center-inds', init_ctrs])
+
+    a2 = ra.load(assignments)
+    assignments2 = np.concatenate(
+        [np.asarray(a2[i]) for i in range(len(lengths))])
+    dists2 = np.concatenate([np.asarray(r) for r in ra.load(
+        str(tmp_path / 'fd.h5'))])
+
+    assert _msq(dists2) < _msq(result.distances)
+
+    # after ONE iteration each new medoid still belongs to the
+    # kcenters cluster it was proposed from
+    ctr_inds2 = cutil.find_cluster_centers(assignments2, dists2)
+    np.testing.assert_array_equal(
+        result.assignments[ctr_inds2], np.arange(len(ctr_inds2)))

@@ -41,6 +41,28 @@ def test_randind_single_process_uniform_and_seeded():
         ops.randind(np.array([]))
 
 
+def test_randind_same_as_np():
+    """The (rank, local) pick must reconstruct exactly what
+    np.random.RandomState(seed).choice(a) draws (reference:
+    test_mpi_ops.py:128 — size=1 stripe here, so a[r::1][o] is
+    a[o])."""
+    a = np.arange(17)
+    for seed in range(100):
+        r, o = ops.randind(a, random_state=seed)
+        assert np.random.RandomState(seed).choice(a) == a[r::1][o]
+
+
+def test_randind_uniform():
+    """Draws are uniform over the global array (reference:
+    test_mpi_ops.py:143)."""
+    a = np.arange(10)
+    rng = np.random.RandomState(0)
+    picks = np.array([ops.randind(a, random_state=rng)[1]
+                      for _ in range(5000)])
+    counts = np.bincount(picks, minlength=10)
+    assert (counts > 400).all() and (counts < 600).all()
+
+
 def test_kcenters_mpi_alias():
     from enspara_tpu.cluster.kcenters import kcenters_mpi
 
