@@ -844,3 +844,26 @@ def test_kmedoids_warm_start_cli(tmp_path):
     ctr_inds2 = cutil.find_cluster_centers(assignments2, dists2)
     np.testing.assert_array_equal(
         result.assignments[ctr_inds2], np.arange(len(ctr_inds2)))
+
+
+def test_cluster_empty_selection_rejected(tmp_path):
+    """A selection matching no atoms is ImproperlyConfigured
+    (reference: test_apps_cluster.py:138 test_rmsd_cluster_broken_atoms,
+    which uses the out-of-range 'residue -1')."""
+    from enspara_tpu.apps import cluster as cluster_app
+    from enspara_tpu.exception import ImproperlyConfigured
+
+    ref = '/root/reference/enspara/test/data/'
+    if not os.path.isdir(ref):
+        pytest.skip('reference data not present')
+    with pytest.raises(ImproperlyConfigured):
+        cluster_app.main([
+            'cluster',
+            '--trajectories', ref + 'frame0.xtc',
+            '--topology', ref + 'native.pdb',
+            '--cluster-radius', '0.1',
+            '--atoms', 'residue -1',
+            '--algorithm', 'khybrid',
+            '--distances', str(tmp_path / 'd.h5'),
+            '--assignments', str(tmp_path / 'a.h5'),
+            '--center-features', str(tmp_path / 'c.pkl')])
