@@ -24,19 +24,17 @@ def transitions(assignments):
     (returns the transition frames), a 2-D array, or a RaggedArray with
     unequal rows (returns a RaggedArray of per-row transition frames).
     (reference: disorder.py:9)"""
-    if isinstance(assignments, ra.RaggedArray):
-        d = assignments[:, 1:] - assignments[:, :-1]
-        rows, columns = ra.where(d != 0)
-        lengths = np.bincount(np.asarray(rows, dtype=np.intp),
-                              minlength=len(assignments))
-        return ra.RaggedArray(columns, lengths=lengths)
-    assignments = np.asarray(assignments)
-    if assignments.ndim == 1:
-        d = assignments[1:] - assignments[:-1]
-        return np.where(d != 0)[0]
+    if not isinstance(assignments, ra.RaggedArray):
+        assignments = np.asarray(assignments)
+        if assignments.ndim == 1:
+            d = assignments[1:] - assignments[:-1]
+            return np.where(d != 0)[0]
+    # 2-D ndarray and ragged RA share one path: ra.where falls through
+    # to np.where for plain ndarrays
     d = assignments[:, 1:] - assignments[:, :-1]
-    rows, columns = np.where(d != 0)
-    lengths = np.bincount(rows, minlength=assignments.shape[0])
+    rows, columns = ra.where(d != 0)
+    lengths = np.bincount(np.asarray(rows, dtype=np.intp),
+                          minlength=len(assignments))
     return ra.RaggedArray(columns, lengths=lengths)
 
 

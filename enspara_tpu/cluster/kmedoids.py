@@ -48,6 +48,7 @@ def ctr_ids_mpi(cluster_center_inds, lengths):
         np.arange(int(lengths.sum())), lengths=lengths)
 
     out = []
+    stripe_cache = {}   # at most `size` distinct stripes; O(n) once each
     for ind in cluster_center_inds:
         if hasattr(ind, '__len__'):
             traj_id, frame_id = int(ind[0]), int(ind[1])
@@ -56,9 +57,11 @@ def ctr_ids_mpi(cluster_center_inds, lengths):
                 global_inds == int(ind))
             traj_id, frame_id = int(traj_id[0]), int(frame_id[0])
         rank = traj_id % size
-        local = global_inds[rank::size]
-        local_concat = np.concatenate(
-            [np.asarray(r).reshape(-1) for r in local])
+        if rank not in stripe_cache:
+            stripe_cache[rank] = np.concatenate(
+                [np.asarray(r).reshape(-1)
+                 for r in global_inds[rank::size]])
+        local_concat = stripe_cache[rank]
         target = np.asarray(
             global_inds[traj_id, frame_id]).reshape(-1)[0]
         local_fid = int(np.flatnonzero(local_concat == target)[0])

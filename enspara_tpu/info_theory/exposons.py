@@ -67,7 +67,11 @@ _BACKBONE_NAMES = frozenset(
      # C-terminal carboxylate synonyms: mdtraj's PDB loader renames
      # these to O/OXT before the reference's name-based selection
      # (exposons.py:154) ever sees them; our loader preserves source
-     # names, so the exclusion must list them explicitly
+     # names, so the exclusion must list them explicitly. Deliberate
+     # divergence: for topologies whose loader does NOT rename (e.g.
+     # GRO upstream), the reference counts these backbone carboxylate
+     # oxygens as "sidechain" — a loader artifact, not chemistry — so
+     # we exclude them uniformly across formats instead.
      'OC1', 'OC2', 'OT1', 'OT2'])
 
 

@@ -822,7 +822,7 @@ def test_kmedoids_warm_start_cli(tmp_path):
     init_ctrs = str(tmp_path / 'init_center_inds.npy')
     np.save(init_ctrs, np.asarray(result.center_indices))
 
-    _, assignments, _ = _run_feature_cluster(
+    distances, assignments, _ = _run_feature_cluster(
         tmp_path, files,
         ['--algorithm', 'kmedoids', '--cluster-number', '3',
          '--cluster-iterations', '1',
@@ -834,8 +834,8 @@ def test_kmedoids_warm_start_cli(tmp_path):
     a2 = ra.load(assignments)
     assignments2 = np.concatenate(
         [np.asarray(a2[i]) for i in range(len(lengths))])
-    dists2 = np.concatenate([np.asarray(r) for r in ra.load(
-        str(tmp_path / 'fd.h5'))])
+    dists2 = np.concatenate(
+        [np.asarray(r) for r in ra.load(distances)])
 
     assert _msq(dists2) < _msq(result.distances)
 
@@ -853,14 +853,12 @@ def test_cluster_empty_selection_rejected(tmp_path):
     from enspara_tpu.apps import cluster as cluster_app
     from enspara_tpu.exception import ImproperlyConfigured
 
-    ref = '/root/reference/enspara/test/data/'
-    if not os.path.isdir(ref):
-        pytest.skip('reference data not present')
+    # module-level pytestmark already skips when REF_DATA is absent
     with pytest.raises(ImproperlyConfigured):
         cluster_app.main([
             'cluster',
-            '--trajectories', ref + 'frame0.xtc',
-            '--topology', ref + 'native.pdb',
+            '--trajectories', os.path.join(REF_DATA, 'frame0.xtc'),
+            '--topology', os.path.join(REF_DATA, 'native.pdb'),
             '--cluster-radius', '0.1',
             '--atoms', 'residue -1',
             '--algorithm', 'khybrid',

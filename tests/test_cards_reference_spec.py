@@ -57,18 +57,28 @@ def test_trj_ord_disord_times_one_transition():
     assert (1.25, 0.5, 0.1, 0.5) == result
 
 
-def _load_trjs():
+@pytest.fixture(scope='module')
+def beta_trj():
     from enspara_tpu import io
     pdb = io.load(os.path.join(REF, 'data/beta-peptide.pdb'))
     return io.load(os.path.join(REF, 'data/beta-peptide.xtc'),
                    top=pdb.top)
 
 
+@pytest.fixture(scope='module')
+def beta_rotamers(beta_trj):
+    """all_rotamers on the full trajectory, computed once (the
+    reference builds its ROTAMER_TRJS once at module scope too)."""
+    from enspara_tpu.geometry.rotamer import all_rotamers
+    rots = all_rotamers(beta_trj, buffer_width=15)[0]
+    return [rots, rots]
+
+
 @needs_ref
-def test_cards_commutative():
+def test_cards_commutative(beta_trj):
     """Trajectory order cannot change any CARDS output
     (reference test_cards.py:113)."""
-    trj = _load_trjs()
+    trj = beta_trj
     pivot = len(trj) // 2
     r1 = cards.cards([trj[0:pivot], trj[pivot:]])
     r2 = cards.cards([trj[pivot:], trj[0:pivot]])
@@ -80,11 +90,11 @@ def test_cards_commutative():
 
 
 @needs_ref
-def test_cards_length_difference():
+def test_cards_length_difference(beta_trj):
     """Splitting one trajectory into unequal pieces preserves the
     structural MI exactly and the disorder-mediated channels
     approximately (reference test_cards.py:94)."""
-    trj = _load_trjs()
+    trj = beta_trj
     pivot = len(trj) // 4
     r1 = cards.cards([trj])
     r2 = cards.cards([trj[pivot:], trj[0:pivot]])
@@ -100,15 +110,11 @@ def test_cards_length_difference():
 
 
 @needs_ref
-def test_transitions_golden():
+def test_transitions_golden(beta_rotamers):
     """Per-trajectory, per-dihedral transition frames and ord/disord
     statistics against the reference's bundled golden data
     (reference test_cards.py:132)."""
-    from enspara_tpu.geometry.rotamer import all_rotamers
-
-    trj = _load_trjs()
-    rotamer_trjs = [all_rotamers(t, buffer_width=15)[0]
-                    for t in (trj, trj)]
+    rotamer_trjs = beta_rotamers
     n_dihedrals = rotamer_trjs[0].shape[1]
 
     data = os.path.join(REF, 'cards_data')
@@ -136,7 +142,7 @@ def test_transitions_golden():
 
 
 @needs_ref
-def test_disorder_trajectories_golden():
+def test_disorder_trajectories_golden(beta_rotamers):
     """Aggregated mean ordered/disordered times against the bundled
     goldens, and the per-frame labeling contract
     (reference test_cards.py:207 — its per-frame `dis_trj%d.dat`
@@ -145,11 +151,7 @@ def test_disorder_trajectories_golden():
     asserts against, so the per-frame check pins shape/alphabet and
     the mean times are covered by test_transitions_golden's exact
     per-trajectory statistics instead)."""
-    from enspara_tpu.geometry.rotamer import all_rotamers
-
-    trj = _load_trjs()
-    rotamer_trjs = [all_rotamers(t, buffer_width=15)[0]
-                    for t in (trj, trj)]
+    rotamer_trjs = beta_rotamers
     n_dihedrals = rotamer_trjs[0].shape[1]
 
     transition_times, mean_ord, mean_dis = \
@@ -169,6 +171,9 @@ def test_disorder_trajectories_golden():
     assert_allclose(np.where(np.isnan(mean_ord), 0, mean_ord),
                     np.where(np.isnan(stats[0, :, 0]), 0,
                              stats[0, :, 0]))
+    assert_allclose(np.where(np.isnan(mean_dis), 0, mean_dis),
+                    np.where(np.isnan(stats[0, :, 2]), 0,
+                             stats[0, :, 2]))
 
     for i in range(2):
         traj_len = rotamer_trjs[i].shape[0]
@@ -182,14 +187,14 @@ def test_disorder_trajectories_golden():
 
 
 @needs_ref
-def test_split_transition_times():
+def test_split_transition_times(beta_trj, beta_rotamers):
     """Splitting trajectories leaves dwell-time statistics consistent
     (reference test_cards.py:167)."""
     from enspara_tpu.geometry.rotamer import all_rotamers
 
-    trj = _load_trjs()
+    trj = beta_trj
     pivot = len(trj) // 4
-    rot_unsp = [all_rotamers(t, buffer_width=15)[0] for t in [trj]]
+    rot_unsp = [beta_rotamers[0]]
     rot_spl = [all_rotamers(t, buffer_width=15)[0]
                for t in [trj[pivot:], trj[0:pivot]]]
 
